@@ -1,0 +1,18 @@
+"""edgerunner-tpu: TPU-native auto-regressive mesh-generation framework.
+
+A ground-up JAX/XLA/Pallas implementation of the EdgeRunner capability set:
+an auto-regressive auto-encoder (ArAE) over losslessly tokenized triangle
+meshes, a point-cloud latent encoder, an image-conditioned latent-diffusion
+DiT, and the native EdgeBreaker-family mesh tokenizer ("metok").
+
+Layout:
+    tokenizer/  - metok C++17 codec + ctypes bindings (host-side)
+    ops/        - Pallas TPU kernels + attention dispatch
+    models/     - Flax modules: ShapeOPT decoder, point encoder, DiT, LMM, MDiT
+    diffusion/  - DDPM/DDIM schedulers (v-prediction, min-SNR weighting)
+    parallel/   - device mesh + sharding rules (dp/tp)
+    data/       - mesh IO, datasets, bucketed collation
+    train/      - train state, loops, orbax checkpointing
+"""
+
+__version__ = "0.1.0"

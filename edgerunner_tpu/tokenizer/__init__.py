@@ -1,0 +1,171 @@
+"""metok — native mesh tokenizer for edgerunner-tpu.
+
+EdgeBreaker-family lossless mesh<->token codec, C++17 core with ctypes
+bindings. API mirrors the reference framework's tokenizer Engine
+(reference: meto/meto/__init__.py:21-50) so the rest of the framework can
+treat token streams identically:
+
+    eng = Engine(discrete_bins=512, backend="LR_ABSCO")
+    tokens, face_order, face_type = eng.encode(vertices, faces)
+    vertices, faces, face_type = eng.decode(tokens)
+
+Vocabulary layout (before the +3 model-level special-token offset):
+    LR_ABSCO: {L=0, R=1, BOM=2} ++ absolute coords in [3, 3+bins)
+    LR:       {L=0, R=1, BOM=2} ++ residual coords in [3, 3+2*bins)
+    CLERS:    {C..EOM=0..6}     ++ residual coords in [7, 7+2*bins)
+"""
+
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from .build import build_metok
+
+_BACKENDS = {"LR_ABSCO": 0, "LR": 1, "CLERS": 2}
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    path = build_metok()
+    lib = ctypes.CDLL(path)
+    ip = ctypes.POINTER(ctypes.c_int)
+    fp = ctypes.POINTER(ctypes.c_float)
+    lib.metok_encode.restype = ctypes.c_void_p
+    lib.metok_encode.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        fp, ctypes.c_int, ip, ctypes.c_int,
+    ]
+    lib.metok_decode.restype = ctypes.c_void_p
+    lib.metok_decode.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ip, ctypes.c_int,
+    ]
+    for name, rtype in [
+        ("metok_get_tokens", ip),
+        ("metok_get_face_order", ip),
+        ("metok_get_face_type", ip),
+        ("metok_get_faces", ip),
+        ("metok_get_verts", fp),
+    ]:
+        fn = getattr(lib, name)
+        fn.restype = rtype
+        fn.argtypes = [ctypes.c_void_p, ip]
+    lib.metok_free.restype = None
+    lib.metok_free.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def _read_ints(fn, handle):
+    n = ctypes.c_int(0)
+    ptr = fn(handle, ctypes.byref(n))
+    if n.value == 0:
+        return np.empty((0,), dtype=np.int64)
+    return np.ctypeslib.as_array(ptr, shape=(n.value,)).astype(np.int64)
+
+
+class Engine:
+    """Mesh <-> token codec (reference: meto/meto/__init__.py:21-50)."""
+
+    def __init__(self, discrete_bins: int, verbose: bool = False,
+                 backend: str = "LR_ABSCO"):
+        if backend not in _BACKENDS:
+            raise ValueError(f"unknown backend {backend!r}")
+        self.discrete_bins = int(discrete_bins)
+        self.verbose = bool(verbose)
+        self.backend = backend
+        self._backend_id = _BACKENDS[backend]
+        if backend == "LR_ABSCO":
+            self.num_base_tokens = self.discrete_bins
+            self.num_special_tokens = 3
+        elif backend == "LR":
+            self.num_base_tokens = self.discrete_bins * 2
+            self.num_special_tokens = 3
+        else:  # CLERS
+            self.num_base_tokens = self.discrete_bins * 2
+            self.num_special_tokens = 7
+        self.num_tokens = self.num_base_tokens + self.num_special_tokens
+
+    def encode(self, vertices, faces):
+        """vertices: [N,3] float in [-1,1]; faces: [M,3] int.
+
+        Returns (tokens, face_order, face_type) int64 arrays.
+        """
+        lib = _load()
+        v = np.ascontiguousarray(vertices, dtype=np.float32)
+        f = np.ascontiguousarray(faces, dtype=np.int32)
+        assert v.ndim == 2 and v.shape[1] == 3, f"bad vertices shape {v.shape}"
+        assert f.ndim == 2 and f.shape[1] == 3, f"bad faces shape {f.shape}"
+        handle = lib.metok_encode(
+            self._backend_id, self.discrete_bins, int(self.verbose),
+            v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), v.shape[0],
+            f.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), f.shape[0],
+        )
+        try:
+            tokens = _read_ints(lib.metok_get_tokens, handle)
+            face_order = _read_ints(lib.metok_get_face_order, handle)
+            face_type = _read_ints(lib.metok_get_face_type, handle)
+        finally:
+            lib.metok_free(handle)
+        return tokens, face_order, face_type
+
+    def decode(self, tokens):
+        """tokens: [T] int. Returns (vertices [N,3] f32, faces [M,3] i64, face_type)."""
+        lib = _load()
+        t = np.ascontiguousarray(tokens, dtype=np.int32)
+        handle = lib.metok_decode(
+            self._backend_id, self.discrete_bins, int(self.verbose),
+            t.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), t.shape[0],
+        )
+        try:
+            nv = ctypes.c_int(0)
+            vp = lib.metok_get_verts(handle, ctypes.byref(nv))
+            if nv.value:
+                verts = np.ctypeslib.as_array(vp, shape=(nv.value, 3)).astype(np.float32)
+            else:
+                verts = np.empty((0, 3), dtype=np.float32)
+            nf = ctypes.c_int(0)
+            fp = lib.metok_get_faces(handle, ctypes.byref(nf))
+            if nf.value:
+                faces = np.ctypeslib.as_array(fp, shape=(nf.value, 3)).astype(np.int64)
+            else:
+                faces = np.empty((0, 3), dtype=np.int64)
+            face_type = _read_ints(lib.metok_get_face_type, handle)
+        finally:
+            lib.metok_free(handle)
+        return verts, faces, face_type
+
+
+def normalize_mesh(vertices, bound: float = 0.95):
+    """Center the mesh and scale its longest extent to [-bound, bound]."""
+    vmin = vertices.min(0)
+    vmax = vertices.max(0)
+    center = (vmax + vmin) / 2
+    scale = 2 * bound / np.max(vmax - vmin)
+    return (vertices - center) * scale
+
+
+def sort_mesh(vertices, faces):
+    """Sort vertices in y-z-x order and canonicalize face ordering.
+
+    (reference: meto/meto/__init__.py:96-115; the meto engines sort
+    internally so this is only needed for the naive tokenizer path.)
+    """
+    order = np.lexsort((vertices[:, 0], vertices[:, 2], vertices[:, 1]))
+    vertices = vertices[order]
+    inverse = np.argsort(order)
+    faces = inverse[faces]
+    # rotate each face so its smallest vertex id comes first
+    start = faces.argmin(axis=1)
+    take = start[:, None] + np.arange(3)[None, :]
+    faces = np.take_along_axis(np.concatenate([faces, faces[:, :2]], axis=1), take, axis=1)
+    faces = np.array(sorted(faces.tolist()))
+    return vertices, faces
+
+
+__all__ = ["Engine", "normalize_mesh", "sort_mesh", "build_metok"]

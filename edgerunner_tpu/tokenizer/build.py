@@ -1,0 +1,41 @@
+"""On-demand compilation of the metok C++ extension.
+
+The shared library is built with g++ straight from the single source file and
+cached next to it; we rebuild whenever the source is newer than the binary.
+No pybind11 — the extension exposes a plain C ABI consumed via ctypes.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import threading
+
+_SRC = os.path.join(os.path.dirname(__file__), "src", "metok.cpp")
+_LIB = os.path.join(os.path.dirname(__file__), "src", "_metok.so")
+_LOCK = threading.Lock()
+
+
+def build_metok(force: bool = False) -> str:
+    """Compile metok.cpp to a shared library if needed; return the .so path."""
+    with _LOCK:
+        if (
+            not force
+            and os.path.exists(_LIB)
+            and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)
+        ):
+            return _LIB
+        tmp = _LIB + ".tmp"
+        cmd = [
+            "g++",
+            "-std=c++17",
+            "-O3",
+            "-fPIC",
+            "-shared",
+            "-o",
+            tmp,
+            _SRC,
+        ]
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+        os.replace(tmp, _LIB)
+        return _LIB

@@ -1,0 +1,172 @@
+"""Topology fixture zoo for tokenizer tests.
+
+Mirrors the corner cases exercised by the reference's tokenizer demo
+(reference: meto/tests/engine.py:39-118): open/closed surfaces, inconsistent
+winding, interior holes ("M" shapes), genus-1 handles, plus procedurally
+generated spheres/grids/random watertight meshes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _norm(v, bound=0.95):
+    vmin, vmax = v.min(0), v.max(0)
+    return (v - (vmax + vmin) / 2) * (2 * bound / np.max(vmax - vmin))
+
+
+def icosphere(subdivisions: int = 2):
+    """Unit icosphere via loop-free midpoint subdivision."""
+    t = (1.0 + 5**0.5) / 2.0
+    v = np.array(
+        [
+            [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+            [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+            [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1],
+        ],
+        dtype=np.float64,
+    )
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    f = np.array(
+        [
+            [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+            [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+            [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+            [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+        ],
+        dtype=np.int64,
+    )
+    for _ in range(subdivisions):
+        verts = list(v)
+        cache: dict[tuple[int, int], int] = {}
+
+        def midpoint(a: int, b: int) -> int:
+            key = (a, b) if a < b else (b, a)
+            if key in cache:
+                return cache[key]
+            m = (verts[a] + verts[b]) / 2
+            m /= np.linalg.norm(m)
+            verts.append(m)
+            cache[key] = len(verts) - 1
+            return cache[key]
+
+        nf = []
+        for a, b, c in f:
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            nf += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
+        v = np.array(verts)
+        f = np.array(nf, dtype=np.int64)
+    return v, f
+
+
+def grid_plane(n: int = 4):
+    """n x n grid of quads split into triangles (open surface)."""
+    xs, ys = np.meshgrid(np.linspace(0, 1, n + 1), np.linspace(0, 1, n + 1))
+    v = np.stack([xs.ravel(), ys.ravel(), 0.1 * np.sin(5 * xs.ravel())], axis=1)
+    f = []
+    for i in range(n):
+        for j in range(n):
+            a = i * (n + 1) + j
+            b = a + 1
+            c = a + (n + 1)
+            d = c + 1
+            f += [[a, b, d], [a, d, c]]
+    return v, np.array(f, dtype=np.int64)
+
+
+def random_fan(rng: np.random.Generator, n: int = 12):
+    """Triangle fan around a center vertex (all faces share one vertex)."""
+    angles = np.sort(rng.uniform(0, 2 * np.pi, n))
+    ring = np.stack([np.cos(angles), np.sin(angles), rng.uniform(-0.2, 0.2, n)], axis=1)
+    v = np.concatenate([np.zeros((1, 3)), ring], axis=0)
+    f = np.array([[0, 1 + i, 1 + (i + 1) % n] for i in range(n)], dtype=np.int64)
+    return v, f
+
+
+def fixture_zoo() -> dict[str, tuple[np.ndarray, np.ndarray]]:
+    zoo: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+    zoo["plane"] = (
+        np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], dtype=np.float32),
+        np.array([[0, 1, 2], [0, 2, 3]], dtype=np.int64),
+    )
+    zoo["tetrahedron"] = (
+        np.array([[0, 0, 0], [1, 0, 0], [0.5, 1, 0], [0.5, 0.5, 1]], dtype=np.float32),
+        np.array([[0, 1, 2], [0, 2, 3], [0, 3, 1], [1, 3, 2]], dtype=np.int64),
+    )
+    zoo["cube"] = (
+        np.array(
+            [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+             [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]], dtype=np.float32),
+        np.array(
+            [[0, 1, 2], [0, 2, 3], [0, 4, 5], [0, 5, 1], [1, 5, 6], [1, 6, 2],
+             [2, 6, 7], [2, 7, 3], [3, 7, 4], [3, 4, 0], [4, 7, 6], [4, 6, 5]],
+            dtype=np.int64),
+    )
+    zoo["see"] = (
+        np.array([[0.5, 1, 0], [0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], dtype=np.float32),
+        np.array([[0, 1, 2], [0, 2, 3], [0, 4, 1]], dtype=np.int64),
+    )
+    lrlre_v = _norm(np.array(
+        [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0], [-1, 1, 0], [-1, 2, 0], [-2, 2, 0]],
+        dtype=np.float64))
+    zoo["lrlre"] = (lrlre_v, np.array(
+        [[0, 1, 2], [0, 2, 3], [0, 3, 4], [4, 3, 5], [5, 4, 6]], dtype=np.int64))
+    # same shape with one face deliberately flipped: exercises winding repair
+    zoo["lRlre"] = (lrlre_v, np.array(
+        [[0, 1, 2], [0, 3, 2], [0, 3, 4], [4, 3, 5], [5, 4, 6]], dtype=np.int64))
+    mtype_v = _norm(np.array(
+        [[1, 0, 0], [3, 0, 0], [2, 1, 0], [4, 1, 0], [3, 2, 0],
+         [4, 3, 0], [2, 3, 0], [1, 2, 0], [0, 3, 0], [0, 1, 0]], dtype=np.float64))
+    zoo["mtype"] = (mtype_v, np.array(
+        [[0, 1, 2], [1, 3, 2], [4, 2, 3], [5, 4, 3], [6, 4, 5],
+         [6, 7, 4], [8, 7, 6], [8, 9, 7], [7, 9, 2], [9, 0, 2]], dtype=np.int64))
+    zoo["mtype_fake"] = (mtype_v, np.array(
+        [[7, 2, 4], [0, 1, 2], [1, 3, 2], [4, 2, 3], [5, 4, 3], [6, 4, 5],
+         [6, 7, 4], [8, 7, 6], [8, 9, 7], [7, 9, 2], [9, 0, 2]], dtype=np.int64))
+    zoo["mtype2"] = (
+        _norm(np.array([[0, 0, 0], [0, 1, 0], [1, 1, 1], [1, 0, 1], [2, 1, 1], [2, 0, 1]],
+                       dtype=np.float64)),
+        np.array([[1, 0, 2], [2, 0, 3], [2, 3, 4], [4, 3, 5], [4, 5, 1], [1, 5, 0]],
+                 dtype=np.int64),
+    )
+    torus_v = _norm(np.array(
+        [[2, 0, 0], [2, 1, 0], [4, 1, 0], [3, 2, 0], [4, 3, 0], [2, 3, 0],
+         [1, 2, 0], [0, 3, 0], [0, 1, 0],
+         [2, 0, 1], [2, 1, 1], [4, 1, 1], [3, 2, 1], [4, 3, 1], [2, 3, 1],
+         [1, 2, 1], [0, 3, 1], [0, 1, 1]], dtype=np.float64))
+    zoo["torus"] = (torus_v, np.array(
+        [[1, 2, 0], [2, 1, 3], [2, 3, 4], [4, 3, 5], [3, 6, 5], [5, 6, 7],
+         [6, 8, 7], [1, 8, 6], [1, 0, 8],
+         [9, 11, 10], [12, 10, 11], [13, 12, 11], [14, 12, 13], [14, 15, 12],
+         [16, 15, 14], [16, 17, 15], [15, 17, 10], [17, 9, 10],
+         [8, 0, 17], [9, 17, 0], [9, 0, 2], [11, 9, 2], [11, 2, 4], [13, 11, 4],
+         [13, 4, 5], [14, 13, 5], [14, 5, 7], [16, 14, 7], [16, 7, 8], [17, 16, 8],
+         [10, 1, 6], [15, 10, 6], [12, 3, 1], [10, 12, 1], [15, 6, 3], [12, 15, 3]],
+        dtype=np.int64))
+    zoo["torus_fake"] = (torus_v, np.array(
+        [[0, 2, 1], [3, 1, 2], [4, 3, 2], [5, 3, 4], [5, 6, 3], [7, 6, 5],
+         [7, 8, 6], [6, 8, 1], [8, 0, 1],
+         [9, 11, 10], [12, 10, 11], [13, 12, 11], [14, 12, 13], [14, 15, 12],
+         [16, 15, 14], [16, 17, 15], [15, 17, 10], [17, 9, 10],
+         [0, 8, 17], [0, 17, 9], [2, 0, 9], [2, 9, 11], [4, 2, 11], [4, 11, 13],
+         [5, 4, 13], [5, 13, 14], [7, 5, 14], [7, 14, 16], [8, 7, 16], [8, 16, 17]],
+        dtype=np.int64))
+
+    sv, sf = icosphere(2)
+    zoo["sphere"] = (_norm(sv), sf)
+    gv, gf = grid_plane(5)
+    zoo["grid"] = (_norm(gv), gf)
+
+    rng = np.random.default_rng(0)
+    fv, ff = random_fan(rng)
+    zoo["fan"] = (_norm(fv), ff)
+
+    # jittered spheres: watertight meshes with irregular quantized geometry
+    for seed in (1, 2):
+        rv, rf = icosphere(1)
+        rv = rv + np.random.default_rng(seed).normal(0, 0.03, rv.shape)
+        zoo[f"bumpy_sphere_{seed}"] = (_norm(rv), rf)
+
+    return zoo

@@ -1,0 +1,73 @@
+"""Generate golden token streams for tokenizer parity tests.
+
+Compiles tools/golden_oracle.cpp against the read-only reference headers and
+runs it over the fixture zoo, writing tests/golden/<name>.json. Run once at
+test-authoring time; the JSON files are committed so CI never needs the
+reference checkout.
+
+Usage: python tools/gen_golden.py [--bins 512]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+from fixtures import fixture_zoo  # noqa: E402
+
+REF_INCLUDE = "/root/reference/meto/include"
+HERE = os.path.dirname(os.path.abspath(__file__))
+ORACLE_SRC = os.path.join(HERE, "golden_oracle.cpp")
+ORACLE_BIN = os.path.join(HERE, "golden_oracle")
+GOLDEN_DIR = os.path.join(HERE, "..", "tests", "golden")
+
+
+def build_oracle():
+    subprocess.run(
+        ["g++", "-std=c++17", "-O2", "-I", REF_INCLUDE, "-o", ORACLE_BIN, ORACLE_SRC],
+        check=True,
+    )
+
+
+def run_oracle(bins, verts, faces):
+    lines = [f"{bins} {len(verts)} {len(faces)}"]
+    for v in verts:
+        lines.append(f"{float(v[0]):.9g} {float(v[1]):.9g} {float(v[2]):.9g}")
+    for f in faces:
+        lines.append(f"{int(f[0])} {int(f[1])} {int(f[2])}")
+    out = subprocess.run(
+        [ORACLE_BIN], input="\n".join(lines), capture_output=True, text=True, check=True
+    )
+    return json.loads(out.stdout)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bins", type=int, nargs="+", default=[512, 2048])
+    args = ap.parse_args()
+
+    build_oracle()
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    zoo = fixture_zoo()
+    for bins in args.bins:
+        for name, (v, f) in zoo.items():
+            v = v.astype("float32")  # feed the oracle the exact f32 inputs
+            golden = run_oracle(bins, v, f)
+            golden["bins"] = bins
+            # store inputs at full precision so the test feeds identical floats
+            golden["verts"] = [[float(x) for x in row] for row in v.astype("float32")]
+            golden["faces"] = [[int(x) for x in row] for row in f]
+            path = os.path.join(GOLDEN_DIR, f"{name}_b{bins}.json")
+            with open(path, "w") as fp:
+                json.dump(golden, fp)
+            print(f"wrote {path}: {len(golden['lr_absco_tokens'])} LR_ABSCO tokens")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+// Test-only oracle: runs the reference meto engines (headers included from
+// the read-only reference checkout) on a mesh read from stdin and prints the
+// resulting token streams as JSON. Used ONLY to generate golden files for
+// parity tests (tests/golden/*.json); never linked into the framework.
+//
+// Input format (stdin):
+//   bins nv nf
+//   x y z            (nv lines, floats)
+//   a b c            (nf lines, ints)
+// Output: one JSON object with tokens/face_order/face_type for each backend
+// plus decoded vertices/faces for LR_ABSCO.
+
+#include <cstdio>
+#include <vector>
+
+#include <meto/engine_clers.h>
+#include <meto/engine_lr.h>
+#include <meto/engine_lr_absco.h>
+
+template <typename T>
+static void print_arr(const char* name, const std::vector<T>& v, bool trailing_comma) {
+    printf("\"%s\": [", name);
+    for (size_t i = 0; i < v.size(); i++) {
+        if constexpr (std::is_same_v<T, int>) printf("%d", v[i]);
+        else printf("%.9g", (double)v[i]);
+        if (i + 1 < v.size()) printf(",");
+    }
+    printf("]%s\n", trailing_comma ? "," : "");
+}
+
+int main() {
+    int bins, nv, nf;
+    if (scanf("%d %d %d", &bins, &nv, &nf) != 3) return 1;
+    std::vector<std::vector<float>> verts(nv, std::vector<float>(3));
+    for (int i = 0; i < nv; i++) scanf("%f %f %f", &verts[i][0], &verts[i][1], &verts[i][2]);
+    std::vector<std::vector<int>> faces(nf, std::vector<int>(3));
+    for (int i = 0; i < nf; i++) scanf("%d %d %d", &faces[i][0], &faces[i][1], &faces[i][2]);
+
+    printf("{\n");
+
+    {
+        Engine_LR_ABSCO eng(bins, false);
+        auto [tokens, order, type] = eng.encode(verts, faces);
+        print_arr("lr_absco_tokens", tokens, true);
+        print_arr("lr_absco_face_order", order, true);
+        print_arr("lr_absco_face_type", type, true);
+        Engine_LR_ABSCO dec(bins, false);
+        auto [dv, df, dt] = dec.decode(tokens);
+        std::vector<float> flat_v;
+        for (auto& p : dv) flat_v.insert(flat_v.end(), p.begin(), p.end());
+        std::vector<int> flat_f;
+        for (auto& p : df) flat_f.insert(flat_f.end(), p.begin(), p.end());
+        print_arr("lr_absco_dec_verts", flat_v, true);
+        print_arr("lr_absco_dec_faces", flat_f, true);
+        print_arr("lr_absco_dec_face_type", dt, true);
+    }
+    {
+        Engine_LR eng(bins, false);
+        auto [tokens, order, type] = eng.encode(verts, faces);
+        print_arr("lr_tokens", tokens, true);
+        print_arr("lr_face_order", order, true);
+        print_arr("lr_face_type", type, true);
+        Engine_LR dec(bins, false);
+        auto [dv, df, dt] = dec.decode(tokens);
+        std::vector<float> flat_v;
+        for (auto& p : dv) flat_v.insert(flat_v.end(), p.begin(), p.end());
+        std::vector<int> flat_f;
+        for (auto& p : df) flat_f.insert(flat_f.end(), p.begin(), p.end());
+        print_arr("lr_dec_verts", flat_v, true);
+        print_arr("lr_dec_faces", flat_f, true);
+        print_arr("lr_dec_face_type", dt, true);
+    }
+    {
+        Engine_CLERS eng(bins, false);
+        auto [tokens, order, type] = eng.encode(verts, faces);
+        print_arr("clers_tokens", tokens, true);
+        print_arr("clers_face_order", order, true);
+        print_arr("clers_face_type", type, true);
+        Engine_CLERS dec(bins, false);
+        auto [dv, df, dt] = dec.decode(tokens);
+        std::vector<float> flat_v;
+        for (auto& p : dv) flat_v.insert(flat_v.end(), p.begin(), p.end());
+        std::vector<int> flat_f;
+        for (auto& p : df) flat_f.insert(flat_f.end(), p.begin(), p.end());
+        print_arr("clers_dec_verts", flat_v, true);
+        print_arr("clers_dec_faces", flat_f, true);
+        print_arr("clers_dec_face_type", dt, false);
+    }
+
+    printf("}\n");
+    return 0;
+}
