@@ -1,0 +1,293 @@
+"""Options / config system for edgerunner-tpu.
+
+A single dataclass with named presets exposed as CLI subcommands
+(`python main.py ArAE --flag value`), preserving the reference's option
+surface and preset values (reference: core/options.py:17-213) without the
+tyro dependency.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+import typing
+from dataclasses import dataclass, field
+from typing import Dict, List, Literal, Optional, Tuple
+
+
+@dataclass
+class Options:
+    ### tokenizer
+    # coord discrete bins (also the number of basic tokens)
+    discrete_bins: int = 512
+    # enable metok (EdgeBreaker-family tokenizer); False = naive 9-coords/face
+    use_meto: bool = True
+    # metok backend
+    meto_backend: Literal["LR", "LR_ABSCO", "CLERS"] = "LR_ABSCO"
+    # special tokens
+    bos_token_id: int = 1
+    eos_token_id: int = 2
+    pad_token_id: int = 0
+
+    ### point vae
+    point_num: int = 8192
+    point_hidden_dim: int = 1024
+    point_num_heads: int = 16
+    point_latent_size: int = 2048
+    point_latent_dim: int = 64
+    point_num_layers: int = 24
+    point_query_num: int = 81920
+    point_encoder_mode: Literal["downsample", "embed"] = "embed"
+    kl_weight: float = 1e-8
+
+    ### dit
+    dit_hidden_dim: int = 1024
+    dit_num_heads: int = 16
+    dit_num_layers: int = 24
+    snr_gamma: Optional[float] = 5.0
+    noise_scheduler_predtype: Literal["epsilon", "v_prediction"] = "v_prediction"
+
+    ### lmm
+    freeze_encoder: bool = True
+    # max sequence length (excluding BOS, EOS and COND)
+    max_seq_length: int = 10240
+    hidden_dim: int = 1024
+    intermediate_dim: Optional[int] = None
+    num_layers: int = 24
+    num_heads: int = 16
+    cond_mode: Literal["none", "image", "point", "point_latent"] = "image"
+    num_cond_tokens: int = 257
+    generate_mode: Literal["greedy", "sample"] = "sample"
+    use_num_face_cond: bool = False
+    nof_dropout_ratio: float = 0.2
+
+    ### dataset
+    max_face_length: int = 1000
+    dataset: Literal["obj", "objxl"] = "obj"
+    # local data root holding mesh files (replaces the reference's S3 buckets)
+    data_root: str = "./data"
+    num_workers: int = 16
+    testset_size: int = 32
+    use_decimate_aug: bool = True
+    use_scale_aug: bool = True
+
+    ### training
+    workspace: str = "./workspace"
+    resume: Optional[str] = None
+    resume2: Optional[str] = None
+    resume_step_ratio: float = 0
+    align_posemb: Literal["left", "right"] = "right"
+    # per-host batch size
+    batch_size: int = 4
+    gradient_accumulation_steps: int = 1
+    num_epochs: int = 100
+    gradient_clip: float = 1.0
+    mixed_precision: Literal["no", "bf16"] = "bf16"
+    lr: float = 1e-4
+    # rematerialization (gradient checkpointing) of decoder layers
+    checkpointing: bool = True
+    seed: int = 0
+    eval_mode: Literal["none", "loss", "generate"] = "loss"
+    debug_eval: bool = False
+    warmup_ratio: float = 0.01
+    use_wandb: bool = False
+
+    ### parallelism (TPU-native; the reference is DP-only via torch DDP)
+    # data-parallel axis size; -1 = all remaining devices
+    dp_size: int = -1
+    # tensor-parallel axis size (sharded attention heads / MLP)
+    tp_size: int = 1
+
+    ### testing
+    test_path: Optional[str] = None
+    test_resume_tokens: Optional[str] = None
+    test_repeat: int = 1
+    test_num_face: Tuple[int, ...] = (1000,)
+    test_max_seq_length: Optional[int] = None
+    # decode-length bucket rounding (tokens) to avoid per-length recompiles
+    decode_bucket: int = 1024
+    # batched generation (TPU improvement over the reference's B==1 limit)
+    test_batch_size: int = 1
+
+
+# named presets (reference: core/options.py:152-211)
+config_defaults: Dict[str, Options] = {}
+config_doc: Dict[str, str] = {}
+
+config_doc["default"] = "the default settings"
+config_defaults["default"] = Options()
+
+config_doc["ArAE"] = "ArAE"
+config_defaults["ArAE"] = Options(
+    point_encoder_mode="embed",
+    kl_weight=1e-8,
+    discrete_bins=512,
+    use_num_face_cond=True,
+    use_decimate_aug=True,
+    cond_mode="point",
+    num_cond_tokens=2049,
+    freeze_encoder=False,
+    use_meto=True,
+    meto_backend="LR_ABSCO",
+    max_face_length=4000,
+    max_seq_length=40960,
+    align_posemb="right",
+    batch_size=4,
+    hidden_dim=1536,
+    num_heads=16,
+    num_layers=24,
+    gradient_accumulation_steps=1,
+    lr=1e-5,
+    warmup_ratio=0,
+    num_epochs=100,
+    eval_mode="loss",
+)
+
+config_doc["DiT"] = "DiT"
+config_defaults["DiT"] = Options(
+    point_encoder_mode="embed",
+    kl_weight=1e-8,
+    max_face_length=8000,
+    discrete_bins=512,
+    use_num_face_cond=True,
+    use_decimate_aug=False,
+    cond_mode="point",
+    num_cond_tokens=2049,
+    freeze_encoder=False,
+    use_meto=True,
+    meto_backend="LR_ABSCO",
+    max_seq_length=40960,
+    hidden_dim=1536,
+    num_heads=16,
+    num_layers=24,
+    dit_hidden_dim=1024,
+    dit_num_heads=16,
+    dit_num_layers=24,
+    snr_gamma=5.0,
+    noise_scheduler_predtype="v_prediction",
+    batch_size=8,
+    gradient_accumulation_steps=1,
+    lr=1e-5,
+    num_epochs=300,
+    eval_mode="none",
+)
+
+
+_HINTS = None
+
+
+def _field_type(name: str):
+    global _HINTS
+    if _HINTS is None:
+        _HINTS = typing.get_type_hints(Options)
+    return _HINTS[name]
+
+
+def _add_field_arg(parser: argparse.ArgumentParser, f: dataclasses.Field, default):
+    """Register one dataclass field as an argparse flag."""
+    name = "--" + f.name
+    ftype = _field_type(f.name)
+    origin = typing.get_origin(ftype)
+    args_ = typing.get_args(ftype)
+
+    if ftype is bool:
+        # accept --flag / --no_flag and --flag true/false
+        parser.add_argument(
+            name, nargs="?", const="true", default=None, metavar="BOOL",
+            help=f"(bool, default {default})",
+        )
+        parser.add_argument("--no_" + f.name, action="store_true", default=False,
+                            help=argparse.SUPPRESS)
+        return
+
+    if origin is Literal:
+        parser.add_argument(name, type=str, choices=[str(a) for a in args_],
+                            default=None, help=f"(default {default})")
+        return
+
+    if origin in (tuple, Tuple) or origin in (list, List):
+        elem = args_[0] if args_ else str
+        if elem is Ellipsis:
+            elem = str
+        parser.add_argument(name, nargs="+", type=elem, default=None,
+                            help=f"(default {default})")
+        return
+
+    if origin is typing.Union:  # Optional[X]
+        inner = [a for a in args_ if a is not type(None)]
+        elem = inner[0] if inner else str
+        parser.add_argument(name, type=elem, default=None,
+                            help=f"(default {default})")
+        return
+
+    parser.add_argument(name, type=ftype if callable(ftype) else str, default=None,
+                        help=f"(default {default})")
+
+
+def _parse_bool(s: str) -> bool:
+    if isinstance(s, bool):
+        return s
+    if s.lower() in ("1", "true", "yes", "on"):
+        return True
+    if s.lower() in ("0", "false", "no", "off"):
+        return False
+    raise ValueError(f"cannot parse bool from {s!r}")
+
+
+def parse_cli(argv: Optional[List[str]] = None, prog: str = "edgerunner-tpu") -> Options:
+    """Parse `<preset> [--flag value ...]` into an Options instance."""
+    argv = list(sys.argv[1:] if argv is None else argv)
+
+    top = argparse.ArgumentParser(prog=prog)
+    sub = top.add_subparsers(dest="preset", required=True)
+    parsers = {}
+    for preset_name, preset in config_defaults.items():
+        p = sub.add_parser(preset_name, help=config_doc.get(preset_name, ""))
+        for f in dataclasses.fields(Options):
+            _add_field_arg(p, f, getattr(preset, f.name))
+        parsers[preset_name] = p
+
+    ns = top.parse_args(argv)
+    preset = config_defaults[ns.preset]
+    opt = dataclasses.replace(preset)
+
+    for f in dataclasses.fields(Options):
+        if getattr(ns, "no_" + f.name, False):
+            setattr(opt, f.name, False)
+            continue
+        val = getattr(ns, f.name, None)
+        if val is None:
+            continue
+        ftype = _field_type(f.name)
+        origin = typing.get_origin(ftype)
+        if ftype is bool:
+            setattr(opt, f.name, _parse_bool(val))
+        elif origin in (tuple, Tuple):
+            setattr(opt, f.name, tuple(val))
+        else:
+            setattr(opt, f.name, val)
+    return opt
+
+
+def validate(opt: Options) -> Options:
+    """Cross-field validation (reference: main.py:38-39)."""
+    if opt.cond_mode == "point":
+        expected = opt.point_latent_size + (1 if opt.use_num_face_cond else 0)
+        assert opt.num_cond_tokens == expected, (
+            f"num_cond_tokens ({opt.num_cond_tokens}) must equal point_latent_size"
+            f" + use_num_face_cond ({expected}) in point cond mode"
+        )
+    return opt
+
+
+def vocab_size_for(opt: Options) -> int:
+    """Vocabulary size rules (reference: core/models.py:77-84)."""
+    if opt.use_meto:
+        if opt.meto_backend in ("LR", "CLERS"):
+            return 2 * opt.discrete_bins + 3 + 3
+        return opt.discrete_bins + 3 + 3  # LR_ABSCO
+    return opt.discrete_bins + 3
+
+
+AllConfigs = config_defaults  # alias mirroring the reference naming

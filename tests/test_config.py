@@ -1,0 +1,68 @@
+"""Config/CLI tests (option surface parity with reference core/options.py)."""
+
+import pytest
+
+from edgerunner_tpu.config import Options, config_defaults, parse_cli, validate, vocab_size_for
+
+
+def test_arae_preset_values():
+    o = config_defaults["ArAE"]
+    assert o.hidden_dim == 1536
+    assert o.num_layers == 24
+    assert o.num_heads == 16
+    assert o.max_face_length == 4000
+    assert o.max_seq_length == 40960
+    assert o.num_cond_tokens == 2049
+    assert o.cond_mode == "point"
+    assert o.meto_backend == "LR_ABSCO"
+    assert o.use_num_face_cond
+    assert o.lr == 1e-5
+
+
+def test_dit_preset_values():
+    o = config_defaults["DiT"]
+    assert o.dit_hidden_dim == 1024
+    assert o.dit_num_layers == 24
+    assert o.snr_gamma == 5.0
+    assert o.noise_scheduler_predtype == "v_prediction"
+    assert o.eval_mode == "none"
+
+
+def test_vocab_size_rules():
+    o = Options(use_meto=True, meto_backend="LR_ABSCO", discrete_bins=512)
+    assert vocab_size_for(o) == 518
+    o = Options(use_meto=True, meto_backend="LR", discrete_bins=512)
+    assert vocab_size_for(o) == 1030
+    o = Options(use_meto=False, discrete_bins=512)
+    assert vocab_size_for(o) == 515
+
+
+def test_cli_overrides():
+    o = parse_cli(["ArAE", "--hidden_dim", "128", "--test_num_face", "500", "2000",
+                   "--use_scale_aug", "false", "--generate_mode", "greedy"])
+    assert o.hidden_dim == 128
+    assert o.test_num_face == (500, 2000)
+    assert o.use_scale_aug is False
+    assert o.generate_mode == "greedy"
+    # untouched preset values survive
+    assert o.num_layers == 24
+
+
+def test_cli_bool_forms():
+    assert parse_cli(["default", "--use_meto"]).use_meto is True
+    assert parse_cli(["default", "--no_use_meto"]).use_meto is False
+    assert parse_cli(["default", "--use_meto", "0"]).use_meto is False
+
+
+def test_validate_point_cond():
+    o = Options(cond_mode="point", point_latent_size=2048,
+                use_num_face_cond=True, num_cond_tokens=2049)
+    validate(o)
+    o.num_cond_tokens = 2048
+    with pytest.raises(AssertionError):
+        validate(o)
+
+
+def test_unknown_flag_rejected():
+    with pytest.raises(SystemExit):
+        parse_cli(["ArAE", "--definitely_not_a_flag", "1"])
