@@ -1,0 +1,10 @@
+from .layers import CrossAttention, FeedForward, SelfAttention
+from .shape_opt import ShapeOPT, ShapeOPTConfig
+
+__all__ = [
+    "CrossAttention",
+    "FeedForward",
+    "SelfAttention",
+    "ShapeOPT",
+    "ShapeOPTConfig",
+]

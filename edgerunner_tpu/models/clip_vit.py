@@ -1,0 +1,171 @@
+"""CLIP vision tower (flax) — frozen image conditioner.
+
+JAX re-implementation of the CLIP ViT used by the reference as a frozen
+image encoder (reference: core/models.py:41, 'laion/CLIP-ViT-H-14-laion2B-
+s32B-b79K', last_hidden_state [B, 257, 1280]). Weights are converted from a
+HuggingFace torch checkpoint with `convert_hf_clip_params`; with no converted
+checkpoint the tower runs randomly initialized (useful for shape/e2e tests).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+CLIP_IMAGE_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], dtype=np.float32)
+CLIP_IMAGE_STD = np.array([0.26862954, 0.26130258, 0.27577711], dtype=np.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPVisionConfig:
+    # ViT-H/14 geometry
+    image_size: int = 224
+    patch_size: int = 14
+    hidden_size: int = 1280
+    intermediate_size: int = 5120
+    num_layers: int = 32
+    num_heads: int = 16
+    layer_norm_eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @property
+    def seq_len(self) -> int:
+        return self.num_patches + 1
+
+
+class CLIPAttention(nn.Module):
+    cfg: CLIPVisionConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        B, N, _ = x.shape
+        H = c.num_heads
+        Dh = c.hidden_size // H
+        q = nn.Dense(c.hidden_size, dtype=c.dtype, name="q_proj")(x)
+        k = nn.Dense(c.hidden_size, dtype=c.dtype, name="k_proj")(x)
+        v = nn.Dense(c.hidden_size, dtype=c.dtype, name="v_proj")(x)
+        q = q.reshape(B, N, H, Dh)
+        k = k.reshape(B, N, H, Dh)
+        v = v.reshape(B, N, H, Dh)
+        logits = jnp.einsum("bnhd,bmhd->bhnm", q, k).astype(jnp.float32) / np.sqrt(Dh)
+        w = jax.nn.softmax(logits, axis=-1).astype(c.dtype)
+        o = jnp.einsum("bhnm,bmhd->bnhd", w, v).reshape(B, N, -1)
+        return nn.Dense(c.hidden_size, dtype=c.dtype, name="out_proj")(o)
+
+
+class CLIPEncoderLayer(nn.Module):
+    cfg: CLIPVisionConfig
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="layer_norm1")(x).astype(c.dtype)
+        x = x + CLIPAttention(c, name="self_attn")(h)
+        h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="layer_norm2")(x).astype(c.dtype)
+        h = nn.Dense(c.intermediate_size, dtype=c.dtype, name="fc1")(h)
+        h = jax.nn.gelu(h, approximate=False)
+        h = nn.Dense(c.hidden_size, dtype=c.dtype, name="fc2")(h)
+        return x + h
+
+
+class CLIPVisionTower(nn.Module):
+    """Returns last_hidden_state [B, 257, hidden] for pixel input [B, H, W, 3]
+    already normalized with CLIP mean/std."""
+
+    cfg: CLIPVisionConfig = CLIPVisionConfig()
+
+    @nn.compact
+    def __call__(self, pixels):
+        c = self.cfg
+        B = pixels.shape[0]
+        patches = nn.Conv(
+            c.hidden_size,
+            kernel_size=(c.patch_size, c.patch_size),
+            strides=(c.patch_size, c.patch_size),
+            use_bias=False,
+            dtype=c.dtype,
+            name="patch_embedding",
+        )(pixels.astype(c.dtype))
+        patches = patches.reshape(B, -1, c.hidden_size)  # [B, 256, C]
+        cls = self.param("class_embedding", nn.initializers.normal(0.02),
+                         (c.hidden_size,))
+        cls = jnp.broadcast_to(cls.astype(c.dtype), (B, 1, c.hidden_size))
+        x = jnp.concatenate([cls, patches], axis=1)
+        pos = self.param("position_embedding", nn.initializers.normal(0.02),
+                         (c.seq_len, c.hidden_size))
+        x = x + pos[None].astype(c.dtype)
+        x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="pre_layrnorm")(x).astype(c.dtype)
+        for i in range(c.num_layers):
+            x = CLIPEncoderLayer(c, name=f"layers_{i}")(x)
+        return x
+
+
+def preprocess_images(images: jax.Array, size: int = 224) -> jax.Array:
+    """[B, H, W, 3] in [0,1] -> resized + CLIP-normalized [B, size, size, 3]."""
+    B, H, W, _ = images.shape
+    if (H, W) != (size, size):
+        images = jax.image.resize(images, (B, size, size, 3), method="bilinear")
+    mean = jnp.asarray(CLIP_IMAGE_MEAN)
+    std = jnp.asarray(CLIP_IMAGE_STD)
+    return (images - mean) / std
+
+
+def convert_hf_clip_params(state_dict) -> dict:
+    """Map a HuggingFace CLIPVisionModel torch state_dict to this module's
+    params pytree. Accepts tensors or numpy arrays."""
+
+    def arr(t):
+        return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t,
+                          dtype=np.float32)
+
+    p = "vision_model."
+    out: dict = {
+        "patch_embedding": {
+            # torch conv [out, in, kh, kw] -> flax [kh, kw, in, out]
+            "kernel": arr(state_dict[p + "embeddings.patch_embedding.weight"]).transpose(2, 3, 1, 0)
+        },
+        "class_embedding": arr(state_dict[p + "embeddings.class_embedding"]),
+        "position_embedding": arr(state_dict[p + "embeddings.position_embedding.weight"]),
+        "pre_layrnorm": {
+            "scale": arr(state_dict[p + "pre_layrnorm.weight"]),
+            "bias": arr(state_dict[p + "pre_layrnorm.bias"]),
+        },
+    }
+    i = 0
+    while p + f"encoder.layers.{i}.layer_norm1.weight" in state_dict:
+        lp = p + f"encoder.layers.{i}."
+        def dense(name):
+            return {
+                "kernel": arr(state_dict[lp + name + ".weight"]).T,
+                "bias": arr(state_dict[lp + name + ".bias"]),
+            }
+        out[f"layers_{i}"] = {
+            "layer_norm1": {
+                "scale": arr(state_dict[lp + "layer_norm1.weight"]),
+                "bias": arr(state_dict[lp + "layer_norm1.bias"]),
+            },
+            "layer_norm2": {
+                "scale": arr(state_dict[lp + "layer_norm2.weight"]),
+                "bias": arr(state_dict[lp + "layer_norm2.bias"]),
+            },
+            "self_attn": {
+                "q_proj": dense("self_attn.q_proj"),
+                "k_proj": dense("self_attn.k_proj"),
+                "v_proj": dense("self_attn.v_proj"),
+                "out_proj": dense("self_attn.out_proj"),
+            },
+            "fc1": dense("mlp.fc1"),
+            "fc2": dense("mlp.fc2"),
+        }
+        i += 1
+    return out

@@ -1,0 +1,165 @@
+"""Shared neural building blocks (flax.linen).
+
+Mirrors the reference module set (reference: core/transformer/attention.py:98-153,
+core/transformer/point.py:68-126) with TPU-friendly compute: params live in
+fp32, activations run in a configurable compute dtype (bf16 on TPU).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from edgerunner_tpu.ops import attention
+
+# OPT-style init (reference: modeling_opt.py:448-458)
+dense_init = nn.initializers.normal(stddev=0.02)
+
+
+class Dense(nn.Dense):
+    """nn.Dense with the framework-wide N(0, 0.02) weight init."""
+
+    kernel_init: Callable = dense_init
+
+
+class SelfAttention(nn.Module):
+    """Fused-QKV multi-head self-attention."""
+
+    hidden_dim: int
+    num_heads: int
+    output_dim: Optional[int] = None
+    causal: bool = False
+    dtype: Any = jnp.float32
+    out_kernel_init: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x, *, lengths=None):
+        # x: [B, N, C]; lengths: [B] valid prefix lengths (pad mask)
+        B, N, _ = x.shape
+        H = self.num_heads
+        Dh = self.hidden_dim // H
+        qkv = Dense(3 * self.hidden_dim, dtype=self.dtype, name="qkv_proj")(x)
+        q, k, v = jnp.split(qkv.reshape(B, N, 3 * H, Dh), 3, axis=2)
+        o = attention(q, k, v, causal=self.causal, q_len=lengths, kv_len=lengths)
+        out_init = self.out_kernel_init or dense_init
+        return Dense(
+            self.output_dim or self.hidden_dim,
+            dtype=self.dtype,
+            kernel_init=out_init,
+            name="out_proj",
+        )(o.reshape(B, N, H * Dh))
+
+
+class CrossAttention(nn.Module):
+    """Q from x, K/V from context."""
+
+    hidden_dim: int
+    num_heads: int
+    output_dim: Optional[int] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, *, q_len=None, kv_len=None):
+        B, N, _ = x.shape
+        M = context.shape[1]
+        H = self.num_heads
+        Dh = self.hidden_dim // H
+        q = Dense(self.hidden_dim, dtype=self.dtype, name="q_proj")(x)
+        k = Dense(self.hidden_dim, dtype=self.dtype, name="k_proj")(context)
+        v = Dense(self.hidden_dim, dtype=self.dtype, name="v_proj")(context)
+        o = attention(
+            q.reshape(B, N, H, Dh),
+            k.reshape(B, M, H, Dh),
+            v.reshape(B, M, H, Dh),
+            causal=False,
+            q_len=q_len,
+            kv_len=kv_len,
+        )
+        return Dense(
+            self.output_dim or self.hidden_dim, dtype=self.dtype, name="out_proj"
+        )(o.reshape(B, N, H * Dh))
+
+
+class FeedForward(nn.Module):
+    """GEGLU feed-forward (reference: point.py:68-84)."""
+
+    dim: int
+    mult: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = Dense(self.dim * self.mult * 2, dtype=self.dtype, name="fc_in")(x)
+        h, gates = jnp.split(h, 2, axis=-1)
+        h = h * jax.nn.gelu(gates)
+        return Dense(self.dim, dtype=self.dtype, name="fc_out")(h)
+
+
+class ResAttBlock(nn.Module):
+    """Pre-LN residual self-attention block (reference: point.py:87-105)."""
+
+    dim: int
+    num_heads: int
+    dtype: Any = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        def body(mdl, x):
+            x = x + SelfAttention(
+                mdl.dim, mdl.num_heads, dtype=mdl.dtype, name="att"
+            )(nn.LayerNorm(dtype=mdl.dtype, name="ln1")(x))
+            x = x + FeedForward(mdl.dim, dtype=mdl.dtype, name="mlp")(
+                nn.LayerNorm(dtype=mdl.dtype, name="ln2")(x)
+            )
+            return x
+
+        if self.remat:
+            return nn.remat(body)(self, x)
+        return body(self, x)
+
+
+class ResCrossAttBlock(nn.Module):
+    """Pre-LN residual cross-attention block (reference: point.py:108-126)."""
+
+    dim: int
+    num_heads: int
+    dtype: Any = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, context):
+        def body(mdl, x, context):
+            x = x + CrossAttention(
+                mdl.dim, mdl.num_heads, dtype=mdl.dtype, name="att"
+            )(nn.LayerNorm(dtype=mdl.dtype, name="ln1")(x), context)
+            x = x + FeedForward(mdl.dim, dtype=mdl.dtype, name="mlp")(
+                nn.LayerNorm(dtype=mdl.dtype, name="ln2")(x)
+            )
+            return x
+
+        if self.remat:
+            return nn.remat(body)(self, x, context)
+        return body(self, x, context)
+
+
+class MLP(nn.Module):
+    """Plain ReLU MLP (reference: modeling_opt.py:28-47)."""
+
+    dim_out: int
+    dim_hidden: int
+    num_layers: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layers):
+            last = i == self.num_layers - 1
+            x = Dense(self.dim_out if last else self.dim_hidden,
+                      dtype=self.dtype, name=f"fc{i}")(x)
+            if not last:
+                x = jax.nn.relu(x)
+        return x

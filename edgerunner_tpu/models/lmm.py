@@ -1,0 +1,169 @@
+"""LMM — the ArAE top-level model (conditioner + ShapeOPT decoder + loss).
+
+Re-design of the reference LMM (reference: core/models.py:32-202) as a flax
+module. Conditioning branches:
+  * 'point'        PointEncoderEmbed latent -> proj -> LN
+  * 'point_latent' externally produced latent (DiT pipeline) -> proj -> LN
+  * 'image'        frozen CLIP ViT-H tower -> proj -> LN
+  * 'none'         no cond tokens (optionally just the num-face bucket)
+plus an optional num-face bucket embedding appended as one extra cond token.
+
+The autoregressive decode loop lives in edgerunner_tpu/generate.py; this
+module provides `encode_cond`, the teacher-forcing `__call__`, and thin
+prefill/step wrappers around the decoder.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from edgerunner_tpu.config import Options, vocab_size_for
+from edgerunner_tpu.models.clip_vit import CLIPVisionTower, preprocess_images
+from edgerunner_tpu.models.layers import Dense
+from edgerunner_tpu.models.point_encoder import (
+    PointEncoderEmbed,
+    PointEncoderFPS,
+    latent_kl,
+)
+from edgerunner_tpu.models.shape_opt import ShapeOPT, ShapeOPTConfig
+from edgerunner_tpu.utils import quantize_num_faces
+
+
+class LMM(nn.Module):
+    opt: Options
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        opt = self.opt
+        self.vocab_size = vocab_size_for(opt)
+
+        if opt.cond_mode == "image":
+            self.image_encoder = CLIPVisionTower(name="image_encoder")
+            self.proj_cond = Dense(opt.hidden_dim, dtype=self.dtype, name="proj_cond")
+            self.norm_cond = nn.LayerNorm(name="norm_cond")
+        elif opt.cond_mode == "point":
+            enc_cls = PointEncoderEmbed if opt.point_encoder_mode == "embed" else PointEncoderFPS
+            self.point_encoder = enc_cls(
+                hidden_dim=opt.point_hidden_dim,
+                num_heads=opt.point_num_heads,
+                latent_size=opt.point_latent_size,
+                latent_dim=opt.point_latent_dim,
+                dtype=self.dtype,
+                remat=opt.checkpointing,
+                name="point_encoder",
+            )
+            self.proj_cond = Dense(opt.hidden_dim, dtype=self.dtype, name="proj_cond")
+            self.norm_cond = nn.LayerNorm(name="norm_cond")
+        elif opt.cond_mode == "point_latent":
+            self.proj_cond = Dense(opt.hidden_dim, dtype=self.dtype, name="proj_cond")
+            self.norm_cond = nn.LayerNorm(name="norm_cond")
+
+        if opt.use_num_face_cond:
+            self.embed_num_face = nn.Embed(
+                10, opt.hidden_dim,
+                embedding_init=nn.initializers.normal(stddev=0.02),
+                name="embed_num_face")
+
+        cfg = ShapeOPTConfig(
+            vocab_size=self.vocab_size,
+            hidden_dim=opt.hidden_dim,
+            intermediate_dim=(opt.hidden_dim * 4 if opt.intermediate_dim is None
+                              else opt.intermediate_dim),
+            num_hidden_layers=opt.num_layers,
+            num_attention_heads=opt.num_heads,
+            max_position_embeddings=opt.max_seq_length + opt.num_cond_tokens + 10,
+            num_cond_tokens=opt.num_cond_tokens,
+            pad_token_id=opt.pad_token_id,
+            bos_token_id=opt.bos_token_id,
+            eos_token_id=opt.eos_token_id,
+            dtype=self.dtype,
+            remat=opt.checkpointing,
+        )
+        self.mesh_decoder = ShapeOPT(cfg, name="mesh_decoder")
+
+    # ---------------------------------------------------------------- cond --
+    def encode_cond(self, conds, num_faces, *, train: bool = False):
+        """conds: point [B,N,3] / latent [B,L,D] / image [B,H,W,3] / None.
+        num_faces: [B] int. Returns (cond_embeds [B,C,H] or None, kl scalar)."""
+        opt = self.opt
+        kl = jnp.zeros((), jnp.float32)
+        cond_embeds = None
+
+        if opt.cond_mode == "image":
+            feats = self.image_encoder(preprocess_images(conds))
+            if opt.freeze_encoder:
+                feats = jax.lax.stop_gradient(feats)
+            cond_embeds = self.norm_cond(self.proj_cond(feats)).astype(self.dtype)
+        elif opt.cond_mode == "point":
+            latent = self.point_encoder(conds)
+            kl = latent_kl(latent)
+            cond_embeds = self.norm_cond(self.proj_cond(latent)).astype(self.dtype)
+        elif opt.cond_mode == "point_latent":
+            cond_embeds = self.norm_cond(self.proj_cond(conds)).astype(self.dtype)
+
+        if opt.use_num_face_cond:
+            buckets = quantize_num_faces(num_faces)
+            nf_embed = self.embed_num_face(buckets)[:, None].astype(self.dtype)
+            if cond_embeds is not None:
+                cond_embeds = jnp.concatenate([cond_embeds, nf_embed], axis=1)
+            else:
+                cond_embeds = nf_embed
+        return cond_embeds, kl
+
+    # ------------------------------------------------------------- training --
+    def __call__(self, conds, tokens, labels, num_faces, lengths,
+                 *, train: bool = False):
+        """Teacher-forcing forward (reference: models.py:147-202).
+
+        tokens: [B, 1+M+1] (BOS ++ coords ++ EOS ++ PAD); labels: [B, C+1+M+1]
+        with -100 on cond/BOS/pad; lengths: [B] valid total lengths.
+        Returns dict(loss, loss_ce, loss_kl, logits).
+        """
+        opt = self.opt
+
+        if train and opt.use_num_face_cond and opt.nof_dropout_ratio > 0:
+            # num-face dropout: train the unconditional bucket 20% of the time
+            drop = jax.random.uniform(self.make_rng("nof"), (num_faces.shape[0],))
+            num_faces = jnp.where(drop < opt.nof_dropout_ratio, -1, num_faces)
+
+        cond_embeds, kl = self.encode_cond(conds, num_faces, train=train)
+        token_embeds = self.mesh_decoder.embed_tokens(tokens)
+        if cond_embeds is not None:
+            inputs_embeds = jnp.concatenate([cond_embeds, token_embeds], axis=1)
+        else:
+            inputs_embeds = token_embeds
+
+        logits, loss_ce = self.mesh_decoder(
+            inputs_embeds, labels=labels, lengths=lengths,
+            deterministic=not train)
+
+        loss = loss_ce
+        out = {"loss_ce": loss_ce, "logits": logits}
+        if opt.cond_mode == "point":
+            out["loss_kl"] = kl
+            loss = loss + opt.kl_weight * kl
+        out["loss"] = loss
+        return out
+
+    # ------------------------------------------------------------ generation --
+    def prefill(self, conds, num_faces, prompt_ids, max_len: int):
+        """Encode cond + prompt token ids; fill a max_len KV cache.
+
+        prompt_ids: [B, P] (BOS, optionally ++ resume ids). Returns
+        (next_logits [B,1,V], k_cache, v_cache, prompt_len incl. cond).
+        """
+        cond_embeds, _ = self.encode_cond(conds, num_faces, train=False)
+        tok = self.mesh_decoder.embed_tokens(prompt_ids)
+        if cond_embeds is not None:
+            embeds = jnp.concatenate([cond_embeds, tok], axis=1)
+        else:
+            embeds = tok
+        logits, k, v = self.mesh_decoder.prefill(embeds, max_len)
+        return logits, k, v, embeds.shape[1]
+
+    def step(self, token_ids, k_cache, v_cache, index):
+        return self.mesh_decoder.step(token_ids, k_cache, v_cache, index)

@@ -1,0 +1,113 @@
+"""Point-cloud latent encoder ("point VAE", deterministic).
+
+Re-design of the reference point encoder (reference:
+core/transformer/point.py:23-205): a bank of learned queries cross-attends
+over frequency-embedded surface points and projects to a compact latent.
+The "posterior" is deterministic — kl() is an L2 penalty on the latent
+(reference: point.py:23-35).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from edgerunner_tpu.models.layers import Dense, ResCrossAttBlock
+
+
+def point_freq_basis(freq_embed_dim: int = 48) -> np.ndarray:
+    """Per-axis power-of-two frequency basis, [3, freq_embed_dim // 2]
+    (reference: point.py:44-50)."""
+    assert freq_embed_dim % 6 == 0
+    n = freq_embed_dim // 6
+    e = (2.0 ** np.arange(n)) * np.pi
+    z = np.zeros(n)
+    basis = np.stack([
+        np.concatenate([e, z, z]),
+        np.concatenate([z, e, z]),
+        np.concatenate([z, z, e]),
+    ])  # [3, 3n]
+    return basis.astype(np.float32)
+
+
+class PointEmbed(nn.Module):
+    """sin/cos frequency features + raw xyz -> linear (reference: point.py:37-65)."""
+
+    dim: int = 512
+    freq_embed_dim: int = 48
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, pts):
+        # pts: [B, N, 3]
+        basis = jnp.asarray(point_freq_basis(self.freq_embed_dim), dtype=pts.dtype)
+        proj = jnp.einsum("bnd,de->bne", pts, basis)
+        feats = jnp.concatenate([jnp.sin(proj), jnp.cos(proj), pts], axis=-1)
+        return Dense(self.dim, dtype=self.dtype, name="mlp")(feats.astype(self.dtype))
+
+
+class PointEncoderEmbed(nn.Module):
+    """Learned-query cross-attention encoder (default point_encoder_mode='embed',
+    reference: point.py:172-205)."""
+
+    hidden_dim: int = 1024
+    num_heads: int = 16
+    latent_size: int = 2048
+    latent_dim: int = 64
+    dtype: Any = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, pts):
+        # pts: [B, N, 3] -> latent [B, latent_size, latent_dim]
+        B = pts.shape[0]
+        query = self.param(
+            "query_embed",
+            nn.initializers.normal(stddev=self.hidden_dim**-0.5),
+            (1, self.latent_size, self.hidden_dim),
+        )
+        x = PointEmbed(dim=self.hidden_dim, dtype=self.dtype, name="point_embed")(pts)
+        x = nn.LayerNorm(name="ln")(x).astype(self.dtype)
+        q = jnp.broadcast_to(query, (B, self.latent_size, self.hidden_dim)).astype(self.dtype)
+        latent = ResCrossAttBlock(
+            self.hidden_dim, self.num_heads, dtype=self.dtype, remat=self.remat,
+            name="cross_att",
+        )(q, x)
+        return Dense(self.latent_dim, dtype=self.dtype, name="linear")(latent)
+
+
+class PointEncoderFPS(nn.Module):
+    """Farthest-point-sampled query variant (point_encoder_mode='downsample',
+    reference: point.py:129-169; torch_cluster.fps -> ops.farthest_point_sample)."""
+
+    hidden_dim: int = 1024
+    num_heads: int = 16
+    latent_size: int = 2048
+    latent_dim: int = 64
+    dtype: Any = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, pts):
+        from edgerunner_tpu.ops.pointops import farthest_point_sample
+
+        embed = PointEmbed(dim=self.hidden_dim, dtype=self.dtype, name="point_embed")
+        x = nn.LayerNorm(name="ln")(embed(pts)).astype(self.dtype)
+        idx = farthest_point_sample(pts, self.latent_size)  # [B, latent_size]
+        query_pts = jnp.take_along_axis(pts, idx[..., None], axis=1)
+        q = embed(query_pts)
+        latent = ResCrossAttBlock(
+            self.hidden_dim, self.num_heads, dtype=self.dtype, remat=self.remat,
+            name="cross_att",
+        )(q, x)
+        return Dense(self.latent_dim, dtype=self.dtype, name="linear")(latent)
+
+
+def latent_kl(latent: jax.Array) -> jax.Array:
+    """Deterministic-"VAE" regularizer: 0.5 * sum(latent^2)
+    (reference: point.py:33-35)."""
+    return 0.5 * jnp.sum(jnp.square(latent.astype(jnp.float32)))

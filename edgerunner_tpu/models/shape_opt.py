@@ -1,0 +1,259 @@
+"""ShapeOPT: decoder-only mesh-token language model (flax.linen).
+
+Re-design of the reference's modified-OPT decoder (reference:
+core/transformer/modeling_opt.py:86-550) for TPU/XLA:
+
+* three statically-shaped execution modes instead of HF's dynamic KV tuples:
+  - ``__call__``   full-sequence teacher forcing (training/eval)
+  - ``prefill``    run the conditioning prefix once, emit a *preallocated*
+                   [L, B, max_len, H, Dh] KV cache
+  - ``step``       single-token decode writing into the cache at a given index
+* learned absolute position embeddings (table size max_position_embeddings)
+* post-LN OPT block: LN(x + attn(x)); LN(x + fc2(relu(fc1(x))))
+* OPT init: N(0, 0.02) everywhere, out-projections scaled by 1/sqrt(2*L),
+  pad-token embedding row zeroed (reference: modeling_opt.py:443-458)
+* padding is expressed as prefix lengths (ints), never ragged shapes
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from edgerunner_tpu.ops import attention, decode_attention
+from edgerunner_tpu.models.layers import Dense, dense_init
+
+
+@dataclasses.dataclass(frozen=True)
+class ShapeOPTConfig:
+    vocab_size: int = 518
+    max_position_embeddings: int = 2048
+    hidden_dim: int = 1024
+    intermediate_dim: int = 4096
+    num_hidden_layers: int = 24
+    num_attention_heads: int = 16
+    dropout: float = 0.1
+    init_std: float = 0.02
+    pad_token_id: int = 0
+    bos_token_id: int = 1
+    eos_token_id: int = 2
+    num_cond_tokens: int = 257
+    dtype: Any = jnp.float32
+    remat: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_dim // self.num_attention_heads
+
+
+def scaled_out_init(std: float, num_layers: int):
+    return nn.initializers.normal(stddev=std / jnp.sqrt(2 * num_layers))
+
+
+class OPTAttention(nn.Module):
+    """Separate q/k/v/out projections with bias (reference: modeling_opt.py:164-167)."""
+
+    cfg: ShapeOPTConfig
+
+    def setup(self):
+        c = self.cfg
+        self.q_proj = Dense(c.hidden_dim, dtype=c.dtype, name="q_proj")
+        self.k_proj = Dense(c.hidden_dim, dtype=c.dtype, name="k_proj")
+        self.v_proj = Dense(c.hidden_dim, dtype=c.dtype, name="v_proj")
+        self.out_proj = Dense(
+            c.hidden_dim,
+            dtype=c.dtype,
+            kernel_init=scaled_out_init(c.init_std, c.num_hidden_layers),
+            name="out_proj",
+        )
+
+    def _heads(self, x):
+        B, N, _ = x.shape
+        c = self.cfg
+        return x.reshape(B, N, c.num_attention_heads, c.head_dim)
+
+    def __call__(self, h, *, lengths=None):
+        q = self._heads(self.q_proj(h))
+        k = self._heads(self.k_proj(h))
+        v = self._heads(self.v_proj(h))
+        o = attention(q, k, v, causal=True, q_len=lengths, kv_len=lengths)
+        B, N, _ = h.shape
+        return self.out_proj(o.reshape(B, N, -1))
+
+    def prefill(self, h, max_len: int):
+        """Full causal attention over the prompt; KV padded to max_len."""
+        B, P, _ = h.shape
+        q = self._heads(self.q_proj(h))
+        k = self._heads(self.k_proj(h))
+        v = self._heads(self.v_proj(h))
+        o = attention(q, k, v, causal=True)
+        out = self.out_proj(o.reshape(B, P, -1))
+        pad = [(0, 0), (0, max_len - P), (0, 0), (0, 0)]
+        return out, jnp.pad(k, pad), jnp.pad(v, pad)
+
+    def step(self, h, k_cache, v_cache, index):
+        """h: [B, 1, C]; caches [B, L, H, Dh]; index: scalar position."""
+        B = h.shape[0]
+        q = self._heads(self.q_proj(h))
+        k = self._heads(self.k_proj(h))
+        v = self._heads(self.v_proj(h))
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype), (0, index, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype), (0, index, 0, 0))
+        o = decode_attention(q, k_cache, v_cache, index + 1)
+        return self.out_proj(o.reshape(B, 1, -1)), k_cache, v_cache
+
+
+class OPTDecoderLayer(nn.Module):
+    """Post-LN OPT block (reference: modeling_opt.py:263-288)."""
+
+    cfg: ShapeOPTConfig
+
+    def setup(self):
+        c = self.cfg
+        self.self_attn = OPTAttention(c, name="self_attn")
+        self.self_attn_layer_norm = nn.LayerNorm(name="self_attn_layer_norm")
+        self.fc1 = Dense(c.intermediate_dim, dtype=c.dtype, name="fc1")
+        self.fc2 = Dense(c.hidden_dim, dtype=c.dtype, name="fc2")
+        self.final_layer_norm = nn.LayerNorm(name="final_layer_norm")
+        self.drop = nn.Dropout(rate=c.dropout)
+
+    def _mlp(self, h, deterministic):
+        m = self.fc2(jax.nn.relu(self.fc1(h)))
+        m = self.drop(m, deterministic=deterministic)
+        return self.final_layer_norm(h + m).astype(self.cfg.dtype)
+
+    def __call__(self, h, *, lengths=None, deterministic: bool = True):
+        a = self.self_attn(h, lengths=lengths)
+        a = self.drop(a, deterministic=deterministic)
+        h = self.self_attn_layer_norm(h + a).astype(self.cfg.dtype)
+        return self._mlp(h, deterministic)
+
+    def prefill(self, h, max_len: int):
+        a, k, v = self.self_attn.prefill(h, max_len)
+        h = self.self_attn_layer_norm(h + a).astype(self.cfg.dtype)
+        return self._mlp(h, True), k, v
+
+    def step(self, h, k_cache, v_cache, index):
+        a, k_cache, v_cache = self.self_attn.step(h, k_cache, v_cache, index)
+        h = self.self_attn_layer_norm(h + a).astype(self.cfg.dtype)
+        return self._mlp(h, True), k_cache, v_cache
+
+
+class ShapeOPTDecoder(nn.Module):
+    """Token + learned-position embedding, stacked OPT layers
+    (reference: modeling_opt.py:307-426)."""
+
+    cfg: ShapeOPTConfig
+
+    def setup(self):
+        c = self.cfg
+
+        def tok_embed_init(key, shape, dtype=jnp.float32):
+            w = jax.random.normal(key, shape, dtype) * c.init_std
+            return w.at[c.pad_token_id].set(0.0)
+
+        self.embd = nn.Embed(c.vocab_size, c.hidden_dim,
+                             embedding_init=tok_embed_init, name="embd")
+        self.embed_positions = nn.Embed(
+            c.max_position_embeddings, c.hidden_dim,
+            embedding_init=nn.initializers.normal(stddev=c.init_std),
+            name="embed_positions")
+        layer_cls = OPTDecoderLayer
+        if c.remat:
+            layer_cls = nn.remat(
+                OPTDecoderLayer,
+                static_argnums=(),
+                prevent_cse=False,
+            )
+        self.layers = [layer_cls(c, name=f"layers_{i}") for i in range(c.num_hidden_layers)]
+
+    def embed_tokens(self, ids):
+        return self.embd(ids).astype(self.cfg.dtype)
+
+    def _pos(self, start, length):
+        ids = start + jnp.arange(length)
+        return self.embed_positions(ids).astype(self.cfg.dtype)
+
+    def __call__(self, inputs_embeds, *, lengths=None, deterministic: bool = True):
+        # inputs_embeds: [B, T, C] float embeds, or [B, T] int token ids
+        # (reference: modeling_opt.py:340-342); lengths: [B] valid prefix lengths
+        if jnp.issubdtype(inputs_embeds.dtype, jnp.integer):
+            inputs_embeds = self.embed_tokens(inputs_embeds)
+        T = inputs_embeds.shape[1]
+        h = inputs_embeds.astype(self.cfg.dtype) + self._pos(0, T)[None]
+        for layer in self.layers:
+            h = layer(h, lengths=lengths, deterministic=deterministic)
+        return h
+
+    def prefill(self, inputs_embeds, max_len: int):
+        """Run the prompt; returns (hidden [B,P,C], k_cache, v_cache [L,B,max,H,Dh])."""
+        P = inputs_embeds.shape[1]
+        h = inputs_embeds.astype(self.cfg.dtype) + self._pos(0, P)[None]
+        ks, vs = [], []
+        for layer in self.layers:
+            h, k, v = layer.prefill(h, max_len)
+            ks.append(k)
+            vs.append(v)
+        return h, jnp.stack(ks), jnp.stack(vs)
+
+    def step(self, token_ids, k_cache, v_cache, index):
+        """token_ids: [B, 1]; caches: [L, B, max, H, Dh]; index: scalar."""
+        h = self.embed_tokens(token_ids)
+        pos = self.embed_positions(jnp.asarray(index, jnp.int32).reshape(1))
+        h = h + pos[None].astype(self.cfg.dtype)
+        new_k, new_v = [], []
+        for i, layer in enumerate(self.layers):
+            h, k, v = layer.step(h, k_cache[i], v_cache[i], index)
+            new_k.append(k)
+            new_v.append(v)
+        return h, jnp.stack(new_k), jnp.stack(new_v)
+
+
+class ShapeOPT(nn.Module):
+    """Decoder + LM head (+ shifted-CE loss helper)
+    (reference: modeling_opt.py:429-517)."""
+
+    cfg: ShapeOPTConfig
+
+    def setup(self):
+        self.model = ShapeOPTDecoder(self.cfg, name="model")
+        self.lm_head = Dense(self.cfg.vocab_size, use_bias=False,
+                             dtype=self.cfg.dtype, name="lm_head")
+
+    def __call__(self, inputs_embeds, *, labels=None, lengths=None,
+                 deterministic: bool = True):
+        h = self.model(inputs_embeds, lengths=lengths, deterministic=deterministic)
+        logits = self.lm_head(h)
+        loss = None
+        if labels is not None:
+            loss = shifted_cross_entropy(logits, labels)
+        return logits, loss
+
+    def embed_tokens(self, ids):
+        return self.model.embed_tokens(ids)
+
+    def prefill(self, inputs_embeds, max_len: int):
+        h, k, v = self.model.prefill(inputs_embeds, max_len)
+        logits = self.lm_head(h[:, -1:])  # next-token logits after the prompt
+        return logits, k, v
+
+    def step(self, token_ids, k_cache, v_cache, index):
+        h, k, v = self.model.step(token_ids, k_cache, v_cache, index)
+        return self.lm_head(h), k, v
+
+
+def shifted_cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Mean CE of logits[:, :-1] vs labels[:, 1:], ignoring label == -100
+    (reference: modeling_opt.py:499-505)."""
+    shift_logits = logits[:, :-1].astype(jnp.float32)
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != -100
+    safe = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    return nll.sum() / jnp.maximum(valid.sum(), 1)

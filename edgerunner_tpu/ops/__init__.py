@@ -1,0 +1,3 @@
+from .attention import attention, attention_reference, decode_attention
+
+__all__ = ["attention", "attention_reference", "decode_attention"]

@@ -1,0 +1,127 @@
+"""Attention dispatch for edgerunner-tpu.
+
+Single entry point `attention(q, k, v, ...)` mirroring the reference wrapper
+(reference: core/transformer/attention.py:27-95), re-designed for TPU:
+
+* the reference unpads ragged batches into flash-attn varlen calls; TPU wants
+  fixed shapes, so padding is handled with *prefix length masks* (`q_len` /
+  `kv_len`, one int per row) — every mask produced by this framework's collate
+  is a prefix mask, so lengths are a lossless replacement for [B, N] bools
+* on TPU, large sequences route to the Pallas flash-attention kernel
+  (ops/flash_attention.py); small/CPU shapes use an XLA-fused masked softmax
+* single-token decode against a KV cache uses a plain einsum (`decode_attention`)
+  — at q_len=1 the MXU is fed best by a straight matmul, no kernel needed
+
+Shapes follow the reference convention: q [B, N, H, D], k/v [B, M, H, D].
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def _length_mask(lengths: jax.Array, size: int) -> jax.Array:
+    # lengths: [B] -> bool [B, size]
+    return jax.lax.broadcasted_iota(jnp.int32, (lengths.shape[0], size), 1) < lengths[:, None]
+
+
+def attention_reference(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    q_len: Optional[jax.Array] = None,
+    kv_len: Optional[jax.Array] = None,
+    kv_offset: int = 0,
+) -> jax.Array:
+    """Masked softmax attention; numerically the ground truth for the kernels.
+
+    q: [B, N, H, D]; k, v: [B, M, H, D]; q_len/kv_len: [B] valid prefix
+    lengths. kv_offset shifts the causal diagonal: query row i attends to kv
+    positions <= i + kv_offset (used when q is a suffix of the kv sequence).
+    Returns [B, N, H, D] with rows beyond q_len zeroed.
+    """
+    B, N, H, D = q.shape
+    M = k.shape[1]
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    logits = jnp.einsum("bnhd,bmhd->bhnm", qf, kf) / jnp.sqrt(D).astype(jnp.float32)
+
+    if causal:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (N, M), 0) + kv_offset
+        cols = jax.lax.broadcasted_iota(jnp.int32, (N, M), 1)
+        logits = jnp.where((cols <= rows)[None, None], logits, NEG_INF)
+    if kv_len is not None:
+        logits = jnp.where(_length_mask(kv_len, M)[:, None, None, :], logits, NEG_INF)
+
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhnm,bmhd->bnhd", weights, vf)
+    if q_len is not None:
+        out = jnp.where(_length_mask(q_len, N)[:, :, None, None], out, 0.0)
+    return out.astype(q.dtype)
+
+
+def decode_attention(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    cur_index: jax.Array,
+) -> jax.Array:
+    """One-token causal attention against a static KV cache.
+
+    q: [B, 1, H, D]; k_cache/v_cache: [B, L, H, D] (L = static max length);
+    cur_index: scalar or [B] — number of valid cache entries (the current
+    token's position + 1). Returns [B, 1, H, D].
+    """
+    B, L, H, D = k_cache.shape
+    qf = q.astype(jnp.float32)
+    logits = jnp.einsum("bnhd,bmhd->bhnm", qf, k_cache.astype(jnp.float32))
+    logits = logits / jnp.sqrt(D).astype(jnp.float32)
+    idx = jnp.broadcast_to(jnp.asarray(cur_index, jnp.int32), (B,))
+    mask = _length_mask(idx, L)  # [B, L]
+    logits = jnp.where(mask[:, None, None, :], logits, NEG_INF)
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhnm,bmhd->bnhd", weights, v_cache.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
+# routing thresholds: below this the fused-softmax path is at least as fast
+# and avoids kernel launch constraints
+_MIN_FLASH_SEQ = 1024
+
+
+def attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    q_len: Optional[jax.Array] = None,
+    kv_len: Optional[jax.Array] = None,
+    kv_offset: int = 0,
+) -> jax.Array:
+    """Dispatching attention entry point (replaces reference attention.py:27)."""
+    B, N, H, D = q.shape
+    M = k.shape[1]
+    use_flash = (
+        jax.default_backend() == "tpu"
+        and N >= _MIN_FLASH_SEQ
+        and N == M
+        and kv_offset == 0
+        and D % 128 == 0
+    )
+    if use_flash:
+        from .flash_attention import flash_attention
+
+        return flash_attention(q, k, v, causal=causal, q_len=q_len, kv_len=kv_len)
+    return attention_reference(
+        q, k, v, causal=causal, q_len=q_len, kv_len=kv_len, kv_offset=kv_offset
+    )

@@ -1,0 +1,64 @@
+"""Point-cloud ops (JAX-native replacements for CUDA point utilities).
+
+farthest_point_sample replaces torch_cluster.fps (reference: point.py:152-157):
+an iterative max-min selection, vectorized over the batch, with static shapes
+so it jits cleanly on TPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def farthest_point_sample(pts: jax.Array, k: int) -> jax.Array:
+    """Select k indices per batch via farthest-point sampling.
+
+    pts: [B, N, 3]; returns int32 [B, k]. Deterministic: starts from point 0.
+    """
+    B, N, _ = pts.shape
+    p = pts.astype(jnp.float32)
+
+    def body(i, state):
+        dists, idx = state
+        last = idx[:, i - 1]  # [B]
+        last_pt = jnp.take_along_axis(p, last[:, None, None], axis=1)  # [B,1,3]
+        d = jnp.sum((p - last_pt) ** 2, axis=-1)  # [B, N]
+        dists = jnp.minimum(dists, d)
+        nxt = jnp.argmax(dists, axis=-1).astype(jnp.int32)  # [B]
+        idx = idx.at[:, i].set(nxt)
+        return dists, idx
+
+    init_idx = jnp.zeros((B, k), dtype=jnp.int32)
+    init_dists = jnp.full((B, N), jnp.inf, dtype=jnp.float32)
+    _, idx = jax.lax.fori_loop(1, k, body, (init_dists, init_idx))
+    return idx
+
+
+def sample_surface_points(vertices, faces, n: int, rng) -> jax.Array:
+    """Uniform surface sampling on a triangle mesh (host-side numpy).
+
+    Replaces trimesh.sample (reference: provider.py:280). vertices [V,3],
+    faces [F,3], returns [n,3] float32. `rng` is a numpy Generator.
+    """
+    import numpy as np
+
+    v = np.asarray(vertices, dtype=np.float64)
+    f = np.asarray(faces, dtype=np.int64)
+    tri = v[f]  # [F, 3, 3]
+    cross = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    area = 0.5 * np.linalg.norm(cross, axis=1)
+    total = area.sum()
+    if total <= 0:
+        probs = np.full(len(f), 1.0 / len(f))
+    else:
+        probs = area / total
+    choice = rng.choice(len(f), size=n, p=probs)
+    u = rng.random(n)
+    w = rng.random(n)
+    flip = u + w > 1
+    u[flip] = 1 - u[flip]
+    w[flip] = 1 - w[flip]
+    t = tri[choice]
+    pts = t[:, 0] + u[:, None] * (t[:, 1] - t[:, 0]) + w[:, None] * (t[:, 2] - t[:, 0])
+    return pts.astype(np.float32)

@@ -1,0 +1,3 @@
+from .misc import get_tokenizer, init_logger, quantize_num_faces
+
+__all__ = ["get_tokenizer", "init_logger", "quantize_num_faces"]

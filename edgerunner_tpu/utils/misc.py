@@ -1,0 +1,52 @@
+"""Shared utilities (reference: core/utils.py:20-141)."""
+
+from __future__ import annotations
+
+import logging
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def init_logger(filename: str) -> logging.Logger:
+    logger = logging.getLogger("edgerunner_tpu")
+    logger.setLevel(logging.DEBUG)
+    logger.handlers.clear()
+    fmt = logging.Formatter("%(asctime)s [%(levelname)s] %(message)s")
+    fh = logging.FileHandler(filename, mode="w")
+    fh.setLevel(logging.DEBUG)
+    fh.setFormatter(fmt)
+    logger.addHandler(fh)
+    ch = logging.StreamHandler()
+    ch.setLevel(logging.DEBUG)
+    ch.setFormatter(fmt)
+    logger.addHandler(ch)
+    return logger
+
+
+def get_tokenizer(opt):
+    """(tokenizer, vocab_size) for an Options (reference: core/utils.py:78-86)."""
+    from edgerunner_tpu.config import vocab_size_for
+
+    if opt.use_meto:
+        from edgerunner_tpu.tokenizer import Engine
+
+        tokenizer = Engine(discrete_bins=opt.discrete_bins, backend=opt.meto_backend)
+    else:
+        tokenizer = None
+    return tokenizer, vocab_size_for(opt)
+
+
+def quantize_num_faces(n):
+    """Bucket face counts: 0 uncond, 1 <=1000, 2 <=2000, 3 <=4000, 4 <=8000,
+    5 above (reference: core/utils.py:89-116). Works on ints and jnp arrays."""
+    if isinstance(n, (int, np.integer)):
+        if n <= 0:
+            return 0
+        for i, hi in enumerate((1000, 2000, 4000, 8000), start=1):
+            if n <= hi:
+                return i
+        return 5
+    n = jnp.asarray(n)
+    bounds = jnp.array([0, 1000, 2000, 4000, 8000])
+    return jnp.sum(n[..., None] > bounds[None], axis=-1).astype(jnp.int32)

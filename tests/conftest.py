@@ -1,11 +1,17 @@
 import os
 import sys
 
-# force the CPU backend with 8 virtual devices so sharding tests run anywhere
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force the CPU backend with 8 virtual devices so sharding tests run anywhere.
+# NOTE: the axon TPU plugin overrides JAX_PLATFORMS at import time, so the
+# env var alone is not enough — jax.config.update below is what sticks.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

@@ -1,0 +1,167 @@
+"""Model-stack tests: ShapeOPT decoder, point encoder, LMM (CPU, tiny configs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from edgerunner_tpu.config import Options
+from edgerunner_tpu.models.lmm import LMM
+from edgerunner_tpu.models.point_encoder import PointEncoderEmbed, latent_kl
+from edgerunner_tpu.models.shape_opt import (
+    ShapeOPT,
+    ShapeOPTConfig,
+    shifted_cross_entropy,
+)
+
+RNG = jax.random.PRNGKey(0)
+
+
+def tiny_opt(**kw):
+    base = dict(
+        cond_mode="point", point_latent_size=16, num_cond_tokens=17,
+        point_hidden_dim=32, point_num_heads=4, point_latent_dim=8,
+        hidden_dim=64, num_layers=2, num_heads=4, max_seq_length=64,
+        use_num_face_cond=True, checkpointing=False,
+    )
+    base.update(kw)
+    return Options(**base)
+
+
+def tiny_cfg(**kw):
+    base = dict(vocab_size=50, max_position_embeddings=128, hidden_dim=32,
+                intermediate_dim=64, num_hidden_layers=2, num_attention_heads=4,
+                num_cond_tokens=4, dropout=0.0)
+    base.update(kw)
+    return ShapeOPTConfig(**base)
+
+
+def test_shifted_ce_ignores_masked():
+    logits = jax.random.normal(RNG, (2, 6, 10))
+    labels = jnp.array([[1, 2, 3, -100, -100, -100], [4, 5, -100, -100, -100, -100]])
+    loss = shifted_cross_entropy(logits, labels)
+    # manual: positions (0->1), (1->2), (2->3) row0 and (0->4), (1->5) row1
+    lp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+    manual = -(lp[0, 0, 2] + lp[0, 1, 3] + lp[1, 0, 5]) / 3
+    np.testing.assert_allclose(float(loss), float(manual), rtol=1e-6)
+
+
+def test_padding_invariance():
+    """Rows padded beyond `lengths` must not change valid-position logits."""
+    cfg = tiny_cfg()
+    model = ShapeOPT(cfg)
+    ids = jax.random.randint(RNG, (1, 8), 3, 50)
+    embeds_fn = lambda p, i: model.apply(p, i, method=ShapeOPT.embed_tokens)
+    params = model.init(RNG, ids)
+    emb8 = embeds_fn(params, ids)
+    logits8, _ = model.apply(params, emb8, lengths=jnp.array([8]))
+    ids12 = jnp.pad(ids, ((0, 0), (0, 4)))  # pad with PAD=0 tokens
+    emb12 = embeds_fn(params, ids12)
+    logits12, _ = model.apply(params, emb12, lengths=jnp.array([8]))
+    np.testing.assert_allclose(
+        np.asarray(logits8), np.asarray(logits12[:, :8]), rtol=1e-4, atol=1e-5)
+
+
+def test_prefill_step_matches_full_forward():
+    cfg = tiny_cfg()
+    model = ShapeOPT(cfg)
+    ids = jax.random.randint(RNG, (2, 5), 3, 50)
+    params = model.init(RNG, ids)
+    emb = model.apply(params, ids, method=ShapeOPT.embed_tokens)
+    full_logits, _ = model.apply(params, emb)
+
+    prefix = emb[:, :3]
+    logits_p, k, v = model.apply(params, prefix, 16, method=ShapeOPT.prefill)
+    np.testing.assert_allclose(
+        np.asarray(logits_p[:, 0]), np.asarray(full_logits[:, 2]), rtol=2e-4, atol=1e-5)
+    # step tokens 3 and 4
+    l3, k, v = model.apply(params, ids[:, 3:4], k, v, jnp.asarray(3), method=ShapeOPT.step)
+    np.testing.assert_allclose(
+        np.asarray(l3[:, 0]), np.asarray(full_logits[:, 3]), rtol=2e-4, atol=1e-5)
+    l4, k, v = model.apply(params, ids[:, 4:5], k, v, jnp.asarray(4), method=ShapeOPT.step)
+    np.testing.assert_allclose(
+        np.asarray(l4[:, 0]), np.asarray(full_logits[:, 4]), rtol=2e-4, atol=1e-5)
+
+
+def test_pad_token_embedding_is_zero():
+    cfg = tiny_cfg()
+    model = ShapeOPT(cfg)
+    params = model.init(RNG, jnp.zeros((1, 4), jnp.int32))
+    emb_table = params["params"]["model"]["embd"]["embedding"]
+    assert np.all(np.asarray(emb_table[cfg.pad_token_id]) == 0)
+
+
+def test_point_encoder_shapes_and_kl():
+    enc = PointEncoderEmbed(hidden_dim=32, num_heads=4, latent_size=8, latent_dim=4)
+    pts = jax.random.normal(RNG, (2, 64, 3))
+    params = enc.init(RNG, pts)
+    latent = enc.apply(params, pts)
+    assert latent.shape == (2, 8, 4)
+    kl = latent_kl(latent)
+    np.testing.assert_allclose(float(kl), 0.5 * float(jnp.sum(latent**2)), rtol=1e-6)
+
+
+def test_lmm_forward_and_losses():
+    opt = tiny_opt()
+    model = LMM(opt)
+    B, M = 2, 10
+    conds = jax.random.normal(RNG, (B, 32, 3))
+    tokens = jnp.concatenate(
+        [jnp.full((B, 1), 1), jax.random.randint(RNG, (B, M), 6, 518),
+         jnp.full((B, 1), 2)], axis=1)
+    C = opt.num_cond_tokens
+    labels = jnp.concatenate([jnp.full((B, C + 1), -100), tokens[:, 1:]], axis=1)
+    lengths = jnp.full((B,), C + 1 + M + 1, dtype=jnp.int32)
+    num_faces = jnp.array([500, 1500])
+    rngs = {"params": RNG, "nof": RNG, "dropout": RNG}
+    params = model.init(rngs, conds, tokens, labels, num_faces, lengths, train=True)
+    out = model.apply(params, conds, tokens, labels, num_faces, lengths,
+                      train=True, rngs={"nof": RNG, "dropout": RNG})
+    assert out["logits"].shape == (B, C + 1 + M + 1, 518)
+    assert np.isfinite(float(out["loss"]))
+    assert float(out["loss_kl"]) >= 0
+    # random-init CE should be near log(vocab)
+    assert abs(float(out["loss_ce"]) - np.log(518)) < 1.0
+
+
+def test_lmm_cond_modes():
+    for mode, cond_shape in [
+        ("point_latent", (1, 16, 8)),
+        ("none", None),
+    ]:
+        opt = tiny_opt(cond_mode=mode,
+                       num_cond_tokens=17 if mode == "point_latent" else 1)
+        model = LMM(opt)
+        conds = None if cond_shape is None else jax.random.normal(RNG, cond_shape)
+        tokens = jnp.array([[1, 6, 7, 8, 2]])
+        C = opt.num_cond_tokens
+        labels = jnp.concatenate([jnp.full((1, C + 1), -100), tokens[:, 1:]], axis=1)
+        lengths = jnp.array([C + 5], dtype=jnp.int32)
+        nf = jnp.array([100])
+        params = model.init({"params": RNG, "nof": RNG, "dropout": RNG},
+                            conds, tokens, labels, nf, lengths)
+        out = model.apply(params, conds, tokens, labels, nf, lengths)
+        assert np.isfinite(float(out["loss"]))
+
+
+def test_quantize_num_faces():
+    from edgerunner_tpu.utils import quantize_num_faces
+    assert quantize_num_faces(-1) == 0
+    assert quantize_num_faces(500) == 1
+    assert quantize_num_faces(1500) == 2
+    assert quantize_num_faces(3000) == 3
+    assert quantize_num_faces(8000) == 4
+    assert quantize_num_faces(9000) == 5
+    got = quantize_num_faces(jnp.array([-1, 500, 1500, 3000, 8000, 9000]))
+    assert got.tolist() == [0, 1, 2, 3, 4, 5]
+
+
+def test_clip_tower_shape():
+    from edgerunner_tpu.models.clip_vit import CLIPVisionConfig, CLIPVisionTower
+    cfg = CLIPVisionConfig(image_size=28, patch_size=14, hidden_size=32,
+                           intermediate_size=64, num_layers=2, num_heads=4)
+    tower = CLIPVisionTower(cfg)
+    x = jax.random.normal(RNG, (2, 28, 28, 3))
+    params = tower.init(RNG, x)
+    out = tower.apply(params, x)
+    assert out.shape == (2, 5, 32)  # 4 patches + cls
