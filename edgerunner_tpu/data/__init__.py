@@ -1,0 +1,11 @@
+from .mesh_io import load_mesh, normalize_mesh, save_mesh_file
+from .tokenize import detokenize_mesh, save_mesh, tokenize_mesh
+
+__all__ = [
+    "load_mesh",
+    "normalize_mesh",
+    "save_mesh_file",
+    "tokenize_mesh",
+    "detokenize_mesh",
+    "save_mesh",
+]

@@ -1,0 +1,66 @@
+"""Image conditioning IO: load, recenter on the alpha/foreground mask, white
+background composite (reference: infer.py:71-83, kiui.op.recenter).
+
+Background removal (rembg in the reference) is an external host-side step;
+images with an alpha channel use it as the mask, otherwise a near-white
+heuristic mask is used.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _imread(path: str) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(path)
+    return np.asarray(img).astype(np.float32) / 255.0
+
+
+def recenter(image: np.ndarray, mask: np.ndarray, border_ratio: float = 0.2) -> np.ndarray:
+    """Crop to the mask bbox and paste centered into a square canvas with a
+    border (reference: kiui.op.recenter usage at infer.py:77)."""
+    H, W = image.shape[:2]
+    size = max(H, W)
+    out = np.zeros((size, size, image.shape[2]), dtype=image.dtype)
+
+    ys, xs = np.nonzero(mask)
+    if len(ys) == 0:
+        return image
+    y0, y1 = ys.min(), ys.max() + 1
+    x0, x1 = xs.min(), xs.max() + 1
+    h, w = y1 - y0, x1 - x0
+    desired = int(size * (1 - border_ratio))
+    scale = desired / max(h, w)
+    h2, w2 = int(h * scale), int(w * scale)
+
+    from PIL import Image
+
+    crop = (image[y0:y1, x0:x1] * 255).astype(np.uint8)
+    resized = np.asarray(
+        Image.fromarray(crop).resize((w2, h2), Image.BILINEAR)
+    ).astype(np.float32) / 255.0
+    oy, ox = (size - h2) // 2, (size - w2) // 2
+    out[oy:oy + h2, ox:ox + w2] = resized
+    return out
+
+
+def load_image_cond(path: str, size: int = 512, border_ratio: float = 0.2) -> np.ndarray:
+    """-> [size, size, 3] float32 in [0,1], white background, recentered."""
+    img = _imread(path)
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    if img.shape[2] == 4:
+        mask = img[..., 3] > 0.5
+        img = recenter(img, mask, border_ratio)
+        img = img[..., :3] * img[..., 3:4] + (1 - img[..., 3:4])  # white bg
+    else:
+        mask = img.mean(-1) < 0.99  # heuristic foreground on white bg
+        img = recenter(img, mask, border_ratio)[..., :3]
+
+    from PIL import Image
+
+    img8 = (img * 255).astype(np.uint8)
+    resized = np.asarray(Image.fromarray(img8).resize((size, size), Image.BILINEAR))
+    return resized.astype(np.float32) / 255.0

@@ -1,0 +1,152 @@
+"""Autoregressive decode engine — the TPU-native replacement for the
+reference's HF GenerationMixin loop (reference: core/models.py:204-318,
+modeling_opt.py:519-549).
+
+Design:
+  * the whole decode is ONE jitted function: prefill + `lax.while_loop` over
+    single-token steps with a preallocated KV cache — no per-step dispatch,
+    no host syncs
+  * the grammar FSM runs on device as carried loop state (ops/sampling.py)
+  * decode lengths are bucketed (round up to `decode_bucket`) so each bucket
+    compiles once and is reused across requests
+  * batched: every row carries its own FSM/done flag, lifting the reference's
+    B == 1 restriction (reference: models.py:216)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from edgerunner_tpu.config import Options, vocab_size_for
+from edgerunner_tpu.models.lmm import LMM
+from edgerunner_tpu.ops import sampling as S
+
+
+def round_up_bucket(n: int, bucket: int) -> int:
+    return max(bucket, -(-n // bucket) * bucket)
+
+
+# jitted decode closures, keyed by (model identity, static decode shape/mode)
+_DECODE_CACHE: dict = {}
+
+
+def _get_decode_fn(model: LMM, *, num_new: int, max_len: int, mode: str,
+                   use_grammar: bool, top_k: int = 10):
+    key = (id(model), num_new, max_len, mode, use_grammar, top_k)
+    if key in _DECODE_CACHE:
+        return _DECODE_CACHE[key]
+
+    opt = model.opt
+    vocab = vocab_size_for(opt)
+
+    def decode(params, conds, num_faces, prompt_ids, init_state, rng):
+        """Returns (tokens [B, num_new] with PAD after EOS, num_generated)."""
+        B = prompt_ids.shape[0]
+        next_logits, k_cache, v_cache, plen = model.apply(
+            params, conds, num_faces, prompt_ids, max_len, method=LMM.prefill)
+
+        tokens0 = jnp.zeros((B, num_new), jnp.int32)
+        done0 = jnp.zeros((B,), bool)
+
+        def cond_fn(carry):
+            i, _, _, _, _, _, done, _ = carry
+            return (i < num_new) & ~jnp.all(done)
+
+        def body_fn(carry):
+            i, tokens, logits, k_cache, v_cache, gstate, done, rng = carry
+            logits = logits[:, 0].astype(jnp.float32)  # [B, V]
+
+            if use_grammar:
+                mask = S.grammar_mask(gstate, vocab)
+            else:
+                mask = S.naive_grammar_mask(i, B, vocab)
+            logits = S.apply_mask(logits, mask)
+
+            rng, sub = jax.random.split(rng)
+            if mode == "greedy":
+                nxt = S.greedy_token(logits)
+            else:
+                nxt = S.sample_token(logits, sub, top_k=top_k)
+            nxt = jnp.where(done, S.PAD_ID, nxt).astype(jnp.int32)
+
+            gstate = S.grammar_advance(gstate, nxt)
+            done = done | (nxt == S.EOS_ID)
+            tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, i))
+
+            logits, k_cache, v_cache = model.apply(
+                params, nxt[:, None], k_cache, v_cache, plen + i, method=LMM.step)
+            return i + 1, tokens, logits, k_cache, v_cache, gstate, done, rng
+
+        carry = (jnp.asarray(0), tokens0, next_logits, k_cache, v_cache,
+                 init_state, done0, rng)
+        i, tokens, *_ = jax.lax.while_loop(cond_fn, body_fn, carry)
+        return tokens, i
+
+    fn = jax.jit(decode)
+    _DECODE_CACHE[key] = fn
+    return fn
+
+
+def generate_tokens(
+    model: LMM,
+    params,
+    conds,
+    *,
+    num_faces: int = 1000,
+    resume_ids: Optional[np.ndarray] = None,
+    max_new_tokens: Optional[int] = None,
+    rng: Optional[jax.Array] = None,
+    use_grammar: bool = True,
+):
+    """Generate mesh token streams (reference: LMM.generate, models.py:204-303).
+
+    conds: [B, ...] conditioning (point cloud / latent / image / [B, 0] none).
+    Returns np.ndarray [B, T] of generated tokens (BOS excluded), PAD-filled
+    after each row's EOS.
+    """
+    opt = model.opt
+    B = conds.shape[0]
+    if rng is None:
+        rng = jax.random.PRNGKey(opt.seed)
+
+    prompt = np.full((B, 1), opt.bos_token_id, np.int32)
+    if resume_ids is not None:
+        prompt = np.concatenate([prompt, np.asarray(resume_ids, np.int32)], axis=1)
+        init_state = S.grammar_replay(prompt[:, 1:])
+    else:
+        init_state = S.grammar_init(B)
+
+    limit = opt.max_seq_length if max_new_tokens is None else max_new_tokens
+    # token budget: 4 tokens/face heuristic (reference: models.py:284) governs
+    # the bucket; the EOS decides the actual stop
+    if num_faces > 0:
+        budget = min(limit, num_faces * 9 + 32)
+    else:
+        budget = limit
+    num_new = round_up_bucket(budget, opt.decode_bucket)
+    num_new = min(num_new, round_up_bucket(limit, opt.decode_bucket))
+    max_len = prompt.shape[1] + opt.num_cond_tokens + num_new
+
+    nf = jnp.full((B,), num_faces, jnp.int32)
+    decode = _get_decode_fn(
+        model, num_new=int(num_new), max_len=int(max_len),
+        mode=opt.generate_mode, use_grammar=use_grammar)
+    tokens, n = decode(params, jnp.asarray(conds), nf, jnp.asarray(prompt),
+                       init_state, rng)
+    tokens = np.asarray(tokens)
+    if resume_ids is not None:
+        tokens = np.concatenate([np.asarray(resume_ids, np.int32), tokens], axis=1)
+    return tokens
+
+
+def trim_eos(tokens: np.ndarray, eos_id: int = S.EOS_ID) -> np.ndarray:
+    """Cut a single row at its first EOS (reference: provider.py:42-45)."""
+    idx = np.nonzero(tokens == eos_id)[0]
+    if len(idx) > 0:
+        return tokens[: idx[0]]
+    return tokens

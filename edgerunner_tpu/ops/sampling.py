@@ -1,0 +1,102 @@
+"""On-device grammar-constrained sampling for mesh-token decoding.
+
+The reference constrains generation with a Python callback invoked per step
+(reference: core/models.py:236-271 + the monkey-patched HF logits processor,
+core/utils.py:118-141) which forces a device->host sync every token. Here the
+grammar is a counter FSM carried through `lax.while_loop` and materialized as
+a logit mask on device — zero host round-trips.
+
+Token layout after the +3 special offset (reference: models.py:252):
+    0=PAD  1=BOS  2=EOS  3=L  4=R  5=BOM  6..V-1=coords
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+PAD_ID, BOS_ID, EOS_ID = 0, 1, 2
+L_ID, R_ID, BOM_ID = 3, 4, 5
+COORD_START = 6
+NEG_INF = -1e30
+
+
+class GrammarState(NamedTuple):
+    """Carried FSM state, one per batch row."""
+
+    counter: jax.Array   # int32 [B]: coord tokens still owed
+    is_first: jax.Array  # bool  [B]: next token is the first generated one
+
+
+def grammar_init(batch: int) -> GrammarState:
+    return GrammarState(
+        counter=jnp.zeros((batch,), jnp.int32),
+        is_first=jnp.ones((batch,), bool),
+    )
+
+
+def grammar_advance(state: GrammarState, token: jax.Array) -> GrammarState:
+    """Update the FSM after `token` [B] was emitted (reference: models.py:254-261)."""
+    counter = jnp.where(
+        token == BOM_ID, 9,
+        jnp.where((token == L_ID) | (token == R_ID), 3,
+                  jnp.where(token >= COORD_START, state.counter - 1, state.counter)))
+    return GrammarState(counter=counter.astype(jnp.int32),
+                        is_first=jnp.zeros_like(state.is_first))
+
+
+def grammar_mask(state: GrammarState, vocab_size: int) -> jax.Array:
+    """Allowed-token mask bool [B, V] for the *next* token
+    (reference: models.py:262-268)."""
+    B = state.counter.shape[0]
+    ids = jax.lax.broadcasted_iota(jnp.int32, (B, vocab_size), 1)
+    coords = ids >= COORD_START
+    ops_or_eos = (ids == L_ID) | (ids == R_ID) | (ids == BOM_ID) | (ids == EOS_ID)
+    bom_only = ids == BOM_ID
+    owing = state.counter[:, None] > 0
+    mask = jnp.where(owing, coords, ops_or_eos)
+    return jnp.where(state.is_first[:, None], bom_only, mask)
+
+
+def grammar_replay(tokens) -> GrammarState:
+    """Host-side replay of the FSM over existing tokens (resume_ids support)."""
+    import numpy as np
+
+    tokens = np.asarray(tokens)
+    B, T = tokens.shape
+    counter = np.zeros((B,), np.int32)
+    is_first = np.ones((B,), bool)
+    for t in range(T):
+        tok = tokens[:, t]
+        counter = np.where(tok == BOM_ID, 9,
+                           np.where((tok == L_ID) | (tok == R_ID), 3,
+                                    np.where(tok >= COORD_START, counter - 1, counter)))
+        is_first &= False
+    return GrammarState(counter=jnp.asarray(counter), is_first=jnp.asarray(is_first))
+
+
+def naive_grammar_mask(step_index: jax.Array, batch: int, vocab_size: int) -> jax.Array:
+    """Naive (9-coords/face) tokenizer constraint: coords always allowed, EOS
+    only when the sequence so far (incl. BOS) has length % 9 == 1
+    (reference: models.py:237-242). step_index counts generated tokens."""
+    ids = jax.lax.broadcasted_iota(jnp.int32, (batch, vocab_size), 1)
+    coords = ids >= 3
+    eos_ok = (step_index + 1) % 9 == 1
+    return coords | ((ids == EOS_ID) & eos_ok)
+
+
+def apply_mask(logits: jax.Array, mask: jax.Array) -> jax.Array:
+    return jnp.where(mask, logits, NEG_INF)
+
+
+def sample_token(logits: jax.Array, rng: jax.Array, *, top_k: int = 10) -> jax.Array:
+    """Top-k sampling (reference: models.py:299-301). logits [B, V] -> [B]."""
+    vals, idx = jax.lax.top_k(logits, top_k)
+    choice = jax.random.categorical(rng, vals, axis=-1)  # [B]
+    return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0]
+
+
+def greedy_token(logits: jax.Array) -> jax.Array:
+    return jnp.argmax(logits, axis=-1)

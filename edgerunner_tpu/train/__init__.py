@@ -1,0 +1,3 @@
+from .checkpoint import CheckpointManager, load_params_for_inference
+
+__all__ = ["CheckpointManager", "load_params_for_inference"]

@@ -1,0 +1,157 @@
+"""Checkpointing (orbax) with the reference's latest/best/keep-2 policy
+(reference: main.py:226-238) plus optimizer-state saving, which the reference
+lacks (weights-only resume; SURVEY §5).
+
+Also provides tolerant loading with position-embedding left/right realignment
+for finetuning across sequence lengths (reference: main.py:69-93).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def save_pytree(path: str, tree: Any):
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, tree, force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_pytree(path: str, target: Optional[Any] = None) -> Any:
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    if target is None:
+        return ckptr.restore(path)
+    return ckptr.restore(path, target=target)
+
+
+def _realign_posemb(ckpt_w: np.ndarray, model_w: np.ndarray, align: str) -> np.ndarray:
+    """Align a loaded position-embedding table onto a differently-sized one
+    (reference: main.py:77-89)."""
+    out = np.array(model_w)
+    n_ckpt, n_model = ckpt_w.shape[0], model_w.shape[0]
+    if n_model > n_ckpt:
+        if align == "right":
+            out[-n_ckpt:] = ckpt_w
+        else:
+            out[:n_ckpt] = ckpt_w
+    else:
+        out = ckpt_w[:n_model] if align == "left" else ckpt_w[-n_model:]
+    return out
+
+
+def tolerant_merge(model_params: Any, ckpt_params: Any, align_posemb: str = "right",
+                   log=print) -> Any:
+    """Copy matching-shape leaves from ckpt into model params; realign the
+    decoder position-embedding table when sizes differ; skip the rest."""
+    model_leaves = jax.tree_util.tree_flatten_with_path(model_params)[0]
+    flat_model = {jax.tree_util.keystr(kp): (kp, v) for kp, v in model_leaves}
+    flat_ckpt = {jax.tree_util.keystr(kp): v for kp, v in
+                 jax.tree_util.tree_flatten_with_path(ckpt_params)[0]}
+
+    merged = {}
+    for key, (kp, mv) in flat_model.items():
+        if key not in flat_ckpt:
+            log(f"[ckpt] missing param {key}: keeping init")
+            merged[key] = mv
+            continue
+        cv = np.asarray(flat_ckpt[key])
+        if cv.shape == mv.shape:
+            merged[key] = jnp.asarray(cv, dtype=mv.dtype)
+        elif "embed_positions" in key and cv.ndim == 2 and cv.shape[1] == mv.shape[1]:
+            log(f"[ckpt] realigning position embeddings {cv.shape} -> {mv.shape} ({align_posemb})")
+            merged[key] = jnp.asarray(
+                _realign_posemb(cv, np.asarray(mv), align_posemb), dtype=mv.dtype)
+        else:
+            log(f"[ckpt] shape mismatch for {key}: ckpt {cv.shape} != model {mv.shape}, ignored")
+            merged[key] = mv
+    for key in flat_ckpt:
+        if key not in flat_model:
+            log(f"[ckpt] unexpected param {key}")
+
+    leaves_by_key = [merged[jax.tree_util.keystr(kp)] for kp, _ in model_leaves]
+    treedef = jax.tree_util.tree_structure(model_params)
+    return jax.tree_util.tree_unflatten(treedef, leaves_by_key)
+
+
+class CheckpointManager:
+    """Per-epoch save with `latest` pointer, `best` copy, keep-last-2 pruning
+    (reference: main.py:226-238)."""
+
+    def __init__(self, workspace: str, keep: int = 2):
+        self.workspace = workspace
+        self.keep = keep
+        self.old_dirs: list[str] = []
+        self.best_loss = float("inf")
+        os.makedirs(workspace, exist_ok=True)
+
+    def save_epoch(self, epoch: int, params: Any, opt_state: Any = None,
+                   loss: Optional[float] = None, log=print):
+        save_dir = os.path.join(self.workspace, f"ep{epoch:04d}")
+        save_pytree(os.path.join(save_dir, "model"), params)
+        if opt_state is not None:
+            save_pytree(os.path.join(save_dir, "opt_state"), opt_state)
+
+        latest = os.path.join(self.workspace, "model")
+        if os.path.islink(latest) or os.path.exists(latest):
+            if os.path.islink(latest):
+                os.unlink(latest)
+            else:
+                shutil.rmtree(latest)
+        os.symlink(os.path.join(f"ep{epoch:04d}", "model"), latest)
+
+        if loss is not None and loss < self.best_loss:
+            self.best_loss = loss
+            best = os.path.join(self.workspace, "best")
+            if os.path.exists(best):
+                shutil.rmtree(best)
+            shutil.copytree(os.path.join(save_dir, "model"), best)
+            log(f"[ckpt] new best loss {loss:.6f}")
+
+        self.old_dirs.append(save_dir)
+        if len(self.old_dirs) > self.keep:
+            victim = self.old_dirs.pop(0)
+            shutil.rmtree(victim, ignore_errors=True)
+
+
+def init_lmm_params(model, opt, rng):
+    """Random-initialize LMM params with dummy batch shapes."""
+    import jax.numpy as jnp
+
+    B = 1
+    if opt.cond_mode == "point":
+        conds = jnp.zeros((B, 32, 3))
+    elif opt.cond_mode == "point_latent":
+        conds = jnp.zeros((B, opt.point_latent_size, opt.point_latent_dim))
+    elif opt.cond_mode == "image":
+        conds = jnp.zeros((B, 224, 224, 3))
+    else:
+        conds = jnp.zeros((B, 0))
+    tokens = jnp.ones((B, 4), jnp.int32)
+    C = opt.num_cond_tokens
+    labels = jnp.full((B, C + 4), -100)
+    lengths = jnp.full((B,), C + 4, jnp.int32)
+    nf = jnp.full((B,), 100, jnp.int32)
+    return model.init({"params": rng, "nof": rng, "dropout": rng},
+                      conds, tokens, labels, nf, lengths)
+
+
+def load_params_for_inference(model, opt, rng):
+    """Init params, then tolerant-load opt.resume if given
+    (reference: infer.py:41-52)."""
+    params = init_lmm_params(model, opt, rng)
+    if opt.resume is not None:
+        ckpt = restore_pytree(opt.resume)
+        params = tolerant_merge(params, ckpt, align_posemb=opt.align_posemb)
+        print(f"[INFO] Loaded checkpoint from {opt.resume}")
+    else:
+        print("[WARN] model randomly initialized, are you sane?")
+    return params

@@ -1,0 +1,114 @@
+"""ArAE inference CLI (reference: infer.py:34-137).
+
+Usage:
+    python infer.py ArAE --test_path mesh.obj --resume ckpt_dir --workspace out/
+
+Conditioning:
+  * point: load mesh -> clean -> normalize 0.95 -> sample 8192 surface points
+  * image: load image -> recenter -> white bg (background removal is a host
+           preprocessing step; plug in any matting tool upstream)
+  * none:  unconditional
+
+Outputs {name}_{i}[_{nf}f].ply and _tokens.npy per repeat/face-count, printing
+wall time per mesh.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+
+import numpy as np
+
+import jax
+
+from edgerunner_tpu.config import parse_cli, validate
+from edgerunner_tpu.data import save_mesh
+from edgerunner_tpu.data.mesh_io import clean_mesh, load_mesh, normalize_mesh, save_mesh_file
+from edgerunner_tpu.generate import generate_tokens, trim_eos
+from edgerunner_tpu.models.lmm import LMM
+from edgerunner_tpu.ops.pointops import sample_surface_points
+from edgerunner_tpu.train.checkpoint import load_params_for_inference
+from edgerunner_tpu.utils import get_tokenizer
+
+
+def prepare_cond(opt, path: str, np_rng):
+    if opt.cond_mode == "point":
+        v, f = load_mesh(path)
+        v, f = clean_mesh(v, f)
+        v = normalize_mesh(v, bound=0.95)
+        points = sample_surface_points(v, f, opt.point_num, np_rng)
+        return points[None].astype(np.float32)  # [1, N, 3]
+    if opt.cond_mode == "image":
+        from edgerunner_tpu.data.image_io import load_image_cond
+
+        return load_image_cond(path)[None]  # [1, H, W, 3]
+    if opt.cond_mode == "none":
+        return np.zeros((1, 0), np.float32)
+    raise ValueError(f"cond_mode {opt.cond_mode} not supported by infer.py")
+
+
+def process(opt, model, params, tokenizer, path: str, rng):
+    name = os.path.splitext(os.path.basename(path))[0]
+    os.makedirs(opt.workspace, exist_ok=True)
+    np_rng = np.random.default_rng(opt.seed)
+
+    cond = prepare_cond(opt, path, np_rng)
+
+    if opt.cond_mode == "point":
+        save_mesh_file(
+            os.path.join(opt.workspace, f"{name}_pc.obj"),
+            cond[0], np.zeros((0, 3), np.int64))
+
+    resume_ids = None
+    if opt.test_resume_tokens:
+        resume_ids = np.load(opt.test_resume_tokens)[None] + 3
+
+    for i in range(opt.test_repeat):
+        for num_faces in opt.test_num_face:
+            t0 = time.time()
+            rng, sub = jax.random.split(rng)
+            tokens = generate_tokens(
+                model, params, cond,
+                num_faces=num_faces,
+                max_new_tokens=opt.test_max_seq_length,
+                resume_ids=resume_ids,
+                rng=sub,
+                use_grammar=opt.use_meto,
+            )[0]
+
+            filename = f"{name}_{i}"
+            if opt.use_num_face_cond:
+                filename += f"_{num_faces}f"
+            verts, faces = save_mesh(
+                tokens, opt, os.path.join(opt.workspace, filename + ".ply"),
+                tokenizer=tokenizer, clean=True, verbose=True)
+
+            out_tokens = trim_eos(tokens) - 3
+            np.save(os.path.join(opt.workspace, filename + "_tokens.npy"), out_tokens)
+
+            t1 = time.time()
+            print(f"[INFO] Processing {path} --> {filename}.ply "
+                  f"({faces.shape[0]} faces), time = {t1 - t0:.4f}s")
+
+
+def main():
+    opt = validate(parse_cli(prog="infer.py"))
+    rng = jax.random.PRNGKey(opt.seed)
+
+    tokenizer, vocab_size = get_tokenizer(opt)
+    model = LMM(opt)
+    params = load_params_for_inference(model, opt, rng)
+
+    assert opt.test_path is not None, "--test_path is required"
+    if os.path.isdir(opt.test_path):
+        paths = sorted(glob.glob(os.path.join(opt.test_path, "*")))
+    else:
+        paths = [opt.test_path]
+    for path in paths:
+        process(opt, model, params, tokenizer, path, rng)
+
+
+if __name__ == "__main__":
+    main()

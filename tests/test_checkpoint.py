@@ -1,0 +1,73 @@
+"""Checkpointing tests: orbax save/restore, tolerant merge, keep-2 policy."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from edgerunner_tpu.train.checkpoint import (
+    CheckpointManager,
+    _realign_posemb,
+    restore_pytree,
+    save_pytree,
+    tolerant_merge,
+)
+
+
+def test_save_restore_roundtrip(tmp_path):
+    tree = {"a": jnp.arange(6.0).reshape(2, 3), "b": {"c": jnp.ones((4,))}}
+    p = str(tmp_path / "ckpt")
+    save_pytree(p, tree)
+    out = restore_pytree(p)
+    np.testing.assert_array_equal(out["a"], tree["a"])
+    np.testing.assert_array_equal(out["b"]["c"], tree["b"]["c"])
+
+
+def test_tolerant_merge_matching_and_mismatching():
+    model = {"x": jnp.zeros((2, 2)), "y": jnp.zeros((3,)), "z": jnp.zeros((4,))}
+    ckpt = {"x": np.ones((2, 2)), "y": np.ones((5,))}  # y mismatched, z missing
+    merged = tolerant_merge(model, ckpt, log=lambda *a: None)
+    np.testing.assert_array_equal(merged["x"], np.ones((2, 2)))
+    np.testing.assert_array_equal(merged["y"], np.zeros((3,)))  # kept init
+    np.testing.assert_array_equal(merged["z"], np.zeros((4,)))
+
+
+def test_posemb_realignment():
+    ckpt = np.arange(12.0).reshape(4, 3)
+    model = np.zeros((6, 3))
+    right = _realign_posemb(ckpt, model, "right")
+    np.testing.assert_array_equal(right[2:], ckpt)
+    assert (right[:2] == 0).all()
+    left = _realign_posemb(ckpt, model, "left")
+    np.testing.assert_array_equal(left[:4], ckpt)
+    # shrink
+    small = np.zeros((2, 3))
+    np.testing.assert_array_equal(_realign_posemb(ckpt, small, "right"), ckpt[-2:])
+    np.testing.assert_array_equal(_realign_posemb(ckpt, small, "left"), ckpt[:2])
+
+
+def test_tolerant_merge_realignment_key():
+    model = {"model": {"embed_positions": {"embedding": jnp.zeros((6, 3))}}}
+    ckpt = {"model": {"embed_positions": {"embedding": np.ones((4, 3))}}}
+    merged = tolerant_merge(model, ckpt, align_posemb="right", log=lambda *a: None)
+    emb = np.asarray(merged["model"]["embed_positions"]["embedding"])
+    assert (emb[2:] == 1).all() and (emb[:2] == 0).all()
+
+
+def test_manager_policy(tmp_path):
+    ws = str(tmp_path / "ws")
+    mgr = CheckpointManager(ws, keep=2)
+    for ep, loss in enumerate([3.0, 1.0, 2.0]):
+        mgr.save_epoch(ep, {"w": jnp.full((2,), float(ep))}, loss=loss,
+                       log=lambda *a: None)
+    # keep-2: ep0 pruned
+    assert not os.path.exists(os.path.join(ws, "ep0000"))
+    assert os.path.exists(os.path.join(ws, "ep0001"))
+    assert os.path.exists(os.path.join(ws, "ep0002"))
+    # latest symlink points at ep2
+    latest = restore_pytree(os.path.join(ws, "model"))
+    np.testing.assert_array_equal(latest["w"], [2.0, 2.0])
+    # best is ep1 (loss 1.0)
+    best = restore_pytree(os.path.join(ws, "best"))
+    np.testing.assert_array_equal(best["w"], [1.0, 1.0])

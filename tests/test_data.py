@@ -1,0 +1,110 @@
+"""Data-layer tests: mesh IO, cleanup, (de)tokenization glue."""
+
+import numpy as np
+import pytest
+
+from edgerunner_tpu.config import Options
+from edgerunner_tpu.data.mesh_io import (
+    clean_mesh,
+    fix_normals,
+    load_mesh,
+    merge_vertices,
+    normalize_mesh,
+    remove_degenerate_faces,
+    save_obj,
+    save_ply,
+    unique_faces,
+)
+from edgerunner_tpu.data.tokenize import detokenize_mesh, save_mesh, tokenize_mesh
+from edgerunner_tpu.tokenizer import Engine
+
+from fixtures import fixture_zoo, icosphere
+
+
+def test_obj_ply_roundtrip(tmp_path):
+    v, f = icosphere(1)
+    v = normalize_mesh(v)
+    for ext, saver in (("obj", save_obj), ("ply", save_ply)):
+        p = str(tmp_path / f"m.{ext}")
+        saver(p, v, f)
+        v2, f2 = load_mesh(p)
+        np.testing.assert_allclose(v2, v, atol=1e-5)
+        np.testing.assert_array_equal(f2, f)
+
+
+def test_merge_vertices():
+    v = np.array([[0, 0, 0], [1, 0, 0], [0, 0, 0], [0, 1, 0]], float)
+    f = np.array([[0, 1, 3], [2, 1, 3]])
+    v2, f2 = merge_vertices(v, f)
+    assert len(v2) == 3
+    assert (f2[0] == f2[1]).all()  # both faces now reference the merged vertex
+
+
+def test_unique_and_degenerate_faces():
+    f = np.array([[0, 1, 2], [2, 1, 0], [1, 2, 0], [3, 3, 4], [0, 1, 3]])
+    f = remove_degenerate_faces(f)
+    assert len(f) == 4
+    f = unique_faces(f)
+    assert len(f) == 2  # rotations/flips of (0,1,2) deduped
+
+
+def test_fix_normals_consistency():
+    # two triangles sharing an edge with inconsistent winding
+    f = np.array([[0, 1, 2], [1, 3, 2]])  # consistent
+    v = np.zeros((4, 3))
+    out = fix_normals(v, f.copy())
+    np.testing.assert_array_equal(out, f)
+    f_bad = np.array([[0, 1, 2], [1, 2, 3]])  # second shares edge 1-2 same dir
+    out = fix_normals(v, f_bad.copy())
+    # after repair, shared edge traversed oppositely
+    dirs0 = {(out[0][i], out[0][(i + 1) % 3]) for i in range(3)}
+    dirs1 = {(out[1][i], out[1][(i + 1) % 3]) for i in range(3)}
+    shared = {(1, 2), (2, 1)}
+    assert len(dirs0 & shared) == 1 and len(dirs1 & shared) == 1
+    assert (dirs0 & shared) != (dirs1 & shared)
+
+
+def test_naive_tokenize_roundtrip():
+    opt = Options(use_meto=False, discrete_bins=512)
+    v, f = fixture_zoo()["cube"]
+    v = normalize_mesh(v.astype(np.float64))
+    tokens = tokenize_mesh(v, f, opt.discrete_bins, tokenizer=None)
+    assert len(tokens) == 9 * len(f)
+    assert tokens.min() >= 3
+    dv, df = detokenize_mesh(tokens, opt.discrete_bins, tokenizer=None)
+    assert df.shape == f.shape
+    # quantization error bounded by one bin
+    assert len(dv) == 9 * len(f) / 3
+
+
+def test_meto_tokenize_matches_engine():
+    eng = Engine(512, backend="LR_ABSCO")
+    v, f = fixture_zoo()["tetrahedron"]
+    tokens = tokenize_mesh(v.astype(np.float32), f, 512, tokenizer=eng)
+    raw, _, _ = eng.encode(v.astype(np.float32), f)
+    np.testing.assert_array_equal(tokens, raw + 3)
+    dv, df = detokenize_mesh(tokens, 512, tokenizer=eng)
+    assert df.shape[0] == f.shape[0]
+
+
+def test_save_mesh_trims_eos_and_cleans(tmp_path):
+    opt = Options(use_meto=True, meto_backend="LR_ABSCO", discrete_bins=512)
+    eng = Engine(512, backend="LR_ABSCO")
+    v, f = fixture_zoo()["tetrahedron"]
+    tokens = tokenize_mesh(v.astype(np.float32), f, 512, tokenizer=eng)
+    stream = np.concatenate([tokens, [opt.eos_token_id], [17, 18, 19]])  # junk after EOS
+    path = str(tmp_path / "out.ply")
+    verts, faces = save_mesh(stream, opt, path, tokenizer=eng, clean=True)
+    assert faces.shape[0] == f.shape[0]
+    v2, f2 = load_mesh(path)
+    assert f2.shape[0] == f.shape[0]
+    # cleaned: vertex count back to the original (duplicates merged)
+    assert verts.shape[0] == v.shape[0]
+
+
+def test_detokenize_garbage_is_safe():
+    opt = Options(use_meto=False, discrete_bins=512)
+    # non-multiple-of-9 with invalid (special) tokens sprinkled in
+    tokens = np.array([3, 4, 5, 0, 1, 2, 9, 9, 9, 9, 9])
+    dv, df = detokenize_mesh(tokens, opt.discrete_bins, tokenizer=None)
+    assert df.shape[0] == 0  # the only complete face contains specials -> dropped

@@ -1,0 +1,148 @@
+"""Generation-engine tests: on-device grammar FSM, sampling, decode loop."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from edgerunner_tpu.config import Options
+from edgerunner_tpu.generate import generate_tokens, round_up_bucket, trim_eos
+from edgerunner_tpu.models.lmm import LMM
+from edgerunner_tpu.ops import sampling as S
+
+RNG = jax.random.PRNGKey(0)
+
+
+def _grammar_valid(seq) -> bool:
+    """Host-side replica of the reference constraint (models.py:246-271)."""
+    counter, first = 0, True
+    for t in seq:
+        if first:
+            if t != S.BOM_ID:
+                return False
+            first = False
+        elif counter > 0:
+            if t < S.COORD_START:
+                return False
+        else:
+            if t not in (S.L_ID, S.R_ID, S.BOM_ID):
+                return False
+        counter = 9 if t == S.BOM_ID else (
+            3 if t in (S.L_ID, S.R_ID) else (counter - 1 if t >= S.COORD_START else counter))
+    return True
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    opt = Options(cond_mode="point", point_latent_size=16, num_cond_tokens=17,
+                  point_hidden_dim=32, point_num_heads=4, point_latent_dim=8,
+                  hidden_dim=64, num_layers=2, num_heads=4, max_seq_length=512,
+                  use_num_face_cond=True, checkpointing=False, decode_bucket=64,
+                  generate_mode="sample")
+    model = LMM(opt)
+    conds = jax.random.normal(RNG, (2, 32, 3))
+    tokens = jnp.array([[1, 6, 7, 8, 2]]).repeat(2, 0)
+    labels = jnp.concatenate([jnp.full((2, 18), -100), tokens[:, 1:]], axis=1)
+    params = model.init({"params": RNG, "nof": RNG, "dropout": RNG},
+                        conds, tokens, labels, jnp.array([100, 100]),
+                        jnp.array([23, 23], jnp.int32))
+    return model, params, np.asarray(conds)
+
+
+def test_grammar_mask_transitions():
+    st = S.grammar_init(1)
+    mask = S.grammar_mask(st, 20)
+    assert mask[0].tolist() == [i == S.BOM_ID for i in range(20)]  # first: BOM only
+    st = S.grammar_advance(st, jnp.array([S.BOM_ID]))
+    assert int(st.counter[0]) == 9
+    mask = S.grammar_mask(st, 20)
+    assert mask[0, S.COORD_START:].all() and not mask[0, :S.COORD_START].any()
+    for _ in range(9):
+        st = S.grammar_advance(st, jnp.array([7]))
+    assert int(st.counter[0]) == 0
+    mask = S.grammar_mask(st, 20)
+    allowed = {i for i in range(20) if mask[0, i]}
+    assert allowed == {S.EOS_ID, S.L_ID, S.R_ID, S.BOM_ID}
+    st = S.grammar_advance(st, jnp.array([S.L_ID]))
+    assert int(st.counter[0]) == 3
+
+
+def test_grammar_replay_matches_stepping():
+    toks = np.array([[S.BOM_ID, 7, 7, 7, 7, 7, 7, 7, 7, 7, S.L_ID, 8]])
+    st = S.grammar_replay(toks)
+    assert int(st.counter[0]) == 2
+    assert not bool(st.is_first[0])
+
+
+def test_generated_streams_are_grammar_valid(tiny_model):
+    model, params, conds = tiny_model
+    out = generate_tokens(model, params, conds, num_faces=10, rng=RNG)
+    assert out.shape[0] == 2
+    for b in range(out.shape[0]):
+        seq = trim_eos(out[b])
+        assert _grammar_valid(seq), seq[:20]
+        # pads only after EOS
+        tail = out[b][len(seq):]
+        assert np.all((tail == S.PAD_ID) | (tail == S.EOS_ID))
+
+
+def test_greedy_is_deterministic_and_rng_free(tiny_model):
+    model, params, conds = tiny_model
+    import dataclasses
+    gm = LMM(dataclasses.replace(model.opt, generate_mode="greedy"))
+    a = generate_tokens(gm, params, conds, num_faces=10, rng=jax.random.PRNGKey(1))
+    b = generate_tokens(gm, params, conds, num_faces=10, rng=jax.random.PRNGKey(2))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_sampling_respects_seed(tiny_model):
+    model, params, conds = tiny_model
+    a = generate_tokens(model, params, conds, num_faces=10, rng=jax.random.PRNGKey(3))
+    b = generate_tokens(model, params, conds, num_faces=10, rng=jax.random.PRNGKey(3))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_batch_rows_match_single_row_greedy(tiny_model):
+    """Batched decode must equal row-by-row decode (greedy, no RNG)."""
+    model, params, conds = tiny_model
+    import dataclasses
+    gm = LMM(dataclasses.replace(model.opt, generate_mode="greedy"))
+    both = generate_tokens(gm, params, conds, num_faces=10, rng=RNG)
+    one = generate_tokens(gm, params, conds[:1], num_faces=10, rng=RNG)
+    np.testing.assert_array_equal(both[0], one[0])
+
+
+def test_resume_ids(tiny_model):
+    model, params, conds = tiny_model
+    prefix = np.array([[S.BOM_ID, 7, 7, 7]], dtype=np.int32)
+    out = generate_tokens(model, params, conds[:1], num_faces=5,
+                          resume_ids=prefix, rng=RNG)
+    assert np.array_equal(out[0, :4], prefix[0])
+    seq = trim_eos(out[0])
+    assert _grammar_valid(seq)
+
+
+def test_top_k_sampling_only_picks_topk():
+    logits = jnp.array([[10.0, 9.0, 8.0, -5.0, -6.0, -7.0, -8.0, -9.0, -10.0, -11.0,
+                         -12.0, -13.0]])
+    picks = set()
+    for i in range(50):
+        t = S.sample_token(logits, jax.random.PRNGKey(i), top_k=3)
+        picks.add(int(t[0]))
+    assert picks <= {0, 1, 2}
+
+
+def test_round_up_bucket():
+    assert round_up_bucket(1, 1024) == 1024
+    assert round_up_bucket(1025, 1024) == 2048
+    assert round_up_bucket(2048, 1024) == 2048
+
+
+def test_naive_grammar_mask():
+    m0 = S.naive_grammar_mask(jnp.asarray(0), 1, 12)  # len incl BOS == 1 -> EOS ok
+    assert bool(m0[0, S.EOS_ID])
+    m1 = S.naive_grammar_mask(jnp.asarray(3), 1, 12)
+    assert not bool(m1[0, S.EOS_ID])
+    m9 = S.naive_grammar_mask(jnp.asarray(9), 1, 12)
+    assert bool(m9[0, S.EOS_ID])
+    assert m9[0, 3:].all()
