@@ -1,0 +1,101 @@
+"""Headline benchmark: point-conditioned 1000-face mesh generation throughput
+on one chip (meshes/min/chip), on the flagship ArAE configuration.
+
+Prints ONE JSON line:
+    {"metric": "gen_meshes_per_min_per_chip", "value": N, "unit": "meshes/min",
+     "vs_baseline": N / A100_REFERENCE_ESTIMATE}
+
+Method: batched grammar-constrained greedy decode of a fixed token budget
+(1000 faces x ~4 tokens/face as in the reference, models.py:284, plus seed
+overhead -> 4096-token bucket) with EOS masked out so every row decodes the
+full budget — measuring sustained decode throughput rather than how early a
+randomly-initialized model happens to emit EOS.
+
+Baseline: the reference publishes no per-mesh wall time (BASELINE.md). The
+A100 estimate used for vs_baseline is 50 tok/s for the reference HF decode
+loop (fp16 flash-attn decode of the 0.7B ShapeOPT with a per-step Python
+grammar callback forcing a device sync every token; typical HF
+generate-with-logits-processor rates for ~1B models), i.e. 4016 tokens/mesh
+-> ~80 s/mesh -> 0.75 meshes/min/chip.
+
+Flags: --tiny (CPU smoke), --batch N (default 8), --faces N (default 1000).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+
+import numpy as np
+
+A100_REF_MESHES_PER_MIN = 0.75  # see module docstring
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true", help="CPU smoke scale")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--faces", type=int, default=1000)
+    ap.add_argument("--repeats", type=int, default=2)
+    args = ap.parse_args()
+
+    import jax
+
+    from edgerunner_tpu.config import config_defaults
+    from edgerunner_tpu.generate import generate_tokens, round_up_bucket
+    from edgerunner_tpu.models.lmm import LMM
+    from edgerunner_tpu.train.checkpoint import init_lmm_params
+
+    opt = dataclasses.replace(config_defaults["ArAE"], generate_mode="greedy")
+    if args.tiny:
+        opt = dataclasses.replace(
+            opt, hidden_dim=64, num_layers=2, num_heads=4,
+            point_hidden_dim=32, point_num_heads=4, point_latent_size=16,
+            point_latent_dim=8, num_cond_tokens=17, max_seq_length=512,
+            point_num=128, checkpointing=False, decode_bucket=128)
+        args.faces = min(args.faces, 12)
+        args.batch = min(args.batch, 2)
+
+    model = LMM(opt)
+    rng = jax.random.PRNGKey(0)
+    params = init_lmm_params(model, opt, rng)
+
+    B = args.batch
+    conds = np.random.default_rng(0).normal(size=(B, opt.point_num, 3)).astype(np.float32)
+    token_budget = round_up_bucket(min(args.faces * 4 + 32, opt.max_seq_length),
+                                   opt.decode_bucket)
+
+    # warmup / compile
+    generate_tokens(model, params, conds, num_faces=args.faces, rng=rng,
+                    max_new_tokens=token_budget, bench_no_eos=True)
+
+    t0 = time.time()
+    for r in range(args.repeats):
+        out = generate_tokens(model, params, conds, num_faces=args.faces,
+                              rng=jax.random.fold_in(rng, r),
+                              max_new_tokens=token_budget, bench_no_eos=True)
+    dt = time.time() - t0
+
+    meshes = B * args.repeats
+    tokens_decoded = out.shape[1] * meshes
+    meshes_per_min = meshes / dt * 60.0
+    toks_per_s = tokens_decoded / dt
+
+    print(json.dumps({
+        "metric": "gen_meshes_per_min_per_chip",
+        "value": round(meshes_per_min, 3),
+        "unit": "meshes/min",
+        "vs_baseline": round(meshes_per_min / A100_REF_MESHES_PER_MIN, 3),
+        "detail": {
+            "batch": B,
+            "faces": args.faces,
+            "tokens_per_mesh": int(out.shape[1]),
+            "decode_tokens_per_s": round(toks_per_s, 1),
+            "backend": jax.default_backend(),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

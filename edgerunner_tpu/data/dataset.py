@@ -1,0 +1,342 @@
+"""Datasets, augmentation, collation and the host-side loader.
+
+Replaces the reference's S3-streaming torch Datasets + 64-process DataLoader
+(reference: core/provider.py:150-541) with a local-filesystem dataset and a
+thread-pool prefetch loader: the metok C++ encode releases the GIL, so
+threads give real host parallelism without fork overhead, and batches come
+out as numpy arrays ready for device put.
+
+XLA-specific: collate pads each batch's token length up to a *bucket*
+(multiple of opt.decode_bucket), so the train step compiles once per bucket
+instead of once per batch length (reference pads to the batch max,
+provider.py:477, which would recompile constantly under jit).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import numpy as np
+
+from edgerunner_tpu.config import Options
+from edgerunner_tpu.data.mesh_io import clean_mesh, load_mesh, normalize_mesh
+from edgerunner_tpu.data.tokenize import tokenize_mesh
+from edgerunner_tpu.ops.pointops import sample_surface_points
+
+
+# ------------------------------------------------------------ augmentation --
+
+def rotate_y(vertices: np.ndarray, azimuth_deg: float) -> np.ndarray:
+    a = np.radians(-azimuth_deg)
+    rot = np.array([
+        [np.cos(a), 0, np.sin(a)],
+        [0, 1, 0],
+        [-np.sin(a), 0, np.cos(a)],
+    ])
+    return vertices @ rot.T
+
+
+def decimate_vertex_cluster(vertices: np.ndarray, faces: np.ndarray,
+                            target_faces: int) -> tuple[np.ndarray, np.ndarray]:
+    """Lightweight decimation by uniform vertex clustering (stand-in for the
+    reference's quadric decimation aug, provider.py:258-263): search the grid
+    resolution whose clustering lands at or below target_faces."""
+    if len(faces) <= target_faces:
+        return vertices, faces
+    lo, hi = 2, 256
+    best = (vertices, faces)
+    while lo <= hi:
+        res = (lo + hi) // 2
+        vmin, vmax = vertices.min(0), vertices.max(0)
+        scale = (vmax - vmin).max() + 1e-9
+        cell = np.floor((vertices - vmin) / scale * res).astype(np.int64)
+        _, first, inverse = np.unique(cell, axis=0, return_index=True,
+                                      return_inverse=True)
+        new_faces = inverse[faces]
+        ok = (new_faces[:, 0] != new_faces[:, 1]) & \
+             (new_faces[:, 1] != new_faces[:, 2]) & \
+             (new_faces[:, 0] != new_faces[:, 2])
+        nf = int(ok.sum())
+        if nf > target_faces:
+            hi = res - 1
+        else:
+            best = (vertices[first], new_faces[ok])
+            lo = res + 1
+    v, f = best
+    return clean_mesh(v, f)
+
+
+# ----------------------------------------------------------------- dataset --
+
+class MeshFolderDataset:
+    """Meshes from a local directory tree (.obj/.ply), with the reference's
+    augmentations and per-sample retry-with-resample loop
+    (reference: provider.py:150-315)."""
+
+    def __init__(self, opt: Options, training: bool = True, tokenizer=None,
+                 root: Optional[str] = None):
+        self.opt = opt
+        self.training = training
+        self.tokenizer = tokenizer
+        root = root or opt.data_root
+
+        manifest = os.path.join(root, "manifest.json")
+        self.items: list[str] = []
+        if os.path.exists(manifest):
+            with open(manifest) as f:
+                meta = json.load(f)
+            for rel, nf in (meta.items() if isinstance(meta, dict) else meta):
+                if nf < opt.max_face_length:
+                    self.items.append(os.path.join(root, rel))
+        else:
+            for dirpath, _, files in os.walk(root):
+                for fn in sorted(files):
+                    if os.path.splitext(fn)[1].lower() in (".obj", ".ply"):
+                        self.items.append(os.path.join(dirpath, fn))
+
+        if training:
+            self.items = self.items[: -opt.testset_size] or self.items
+        else:
+            self.items = self.items[-opt.testset_size:]
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def __getitem__(self, idx: int) -> dict:
+        opt = self.opt
+        rng = np.random.default_rng()
+        path = self.items[idx]
+        for _ in range(64):  # resample on bad meshes (provider.py:300-304)
+            try:
+                if opt.use_scale_aug and self.training and opt.cond_mode != "image":
+                    bound = rng.uniform(0.75, 0.95)
+                else:
+                    bound = 0.95
+
+                azimuth = float(rng.choice(np.arange(0, 360, 30))) \
+                    if self.training else 0.0
+
+                v, f = load_mesh(path)
+                if f.shape[0] > opt.max_face_length:
+                    raise ValueError(f"{f.shape[0]} exceeds face limit")
+
+                if opt.use_decimate_aug and self.training and f.shape[0] >= 200 \
+                        and rng.random() < 0.5:
+                    target = rng.integers(max(100, f.shape[0] // 4), f.shape[0])
+                    v, f = decimate_vertex_cluster(v, f, int(target))
+
+                if azimuth != 0:
+                    v = rotate_y(v, azimuth)
+                v = normalize_mesh(v, bound=bound)
+
+                cond = np.zeros((0,), np.float32)
+                if opt.cond_mode == "point":
+                    pts = sample_surface_points(v, f, opt.point_num, rng)
+                    if self.training and rng.random() < 0.5:
+                        pts = pts + rng.normal(0, 0.01, pts.shape).astype(np.float32)
+                    cond = pts.astype(np.float32)
+
+                coords = tokenize_mesh(v, f, opt.discrete_bins, self.tokenizer)
+                if (coords - 3 < 0).any():
+                    raise ValueError("token out of coding range")
+                if coords.shape[0] > opt.max_seq_length:
+                    raise ValueError(f"{coords.shape[0]} exceeds token limit")
+
+                return {
+                    "cond": cond,
+                    "coords": coords.astype(np.int64),
+                    "len": coords.shape[0],
+                    "num_faces": f.shape[0],
+                    "azimuth": azimuth,
+                    "path": path,
+                }
+            except Exception:
+                idx = int(rng.integers(0, len(self.items)))
+                path = self.items[idx]
+        raise RuntimeError("dataset: too many consecutive bad samples")
+
+
+class SyntheticMeshDataset:
+    """Procedural meshes (jittered icospheres / boxes / fans) for tests and
+    benchmarking without any downloaded data."""
+
+    def __init__(self, opt: Options, size: int = 256, training: bool = True,
+                 tokenizer=None):
+        self.opt = opt
+        self.size = size
+        self.tokenizer = tokenizer
+        self.training = training
+
+    def __len__(self) -> int:
+        return self.size
+
+    def _make_mesh(self, rng: np.random.Generator):
+        import sys
+        kind = int(rng.integers(0, 3))
+        if kind == 0:
+            v, f = _icosphere(int(rng.integers(1, 3)))
+            v = v + rng.normal(0, 0.05, v.shape)
+        elif kind == 1:
+            v, f = _box_mesh()
+            v = v * rng.uniform(0.4, 1.0, (3,))
+        else:
+            v, f = _fan_mesh(rng, int(rng.integers(6, 24)))
+        return normalize_mesh(v, 0.95), f
+
+    def __getitem__(self, idx: int) -> dict:
+        opt = self.opt
+        rng = np.random.default_rng(idx if not self.training else None)
+        for _ in range(16):
+            try:
+                v, f = self._make_mesh(rng)
+                cond = np.zeros((0,), np.float32)
+                if opt.cond_mode == "point":
+                    cond = sample_surface_points(v, f, opt.point_num, rng)
+                coords = tokenize_mesh(v, f, opt.discrete_bins, self.tokenizer)
+                if (coords - 3 < 0).any() or coords.shape[0] > opt.max_seq_length:
+                    raise ValueError("bad tokens")
+                return {"cond": cond, "coords": coords.astype(np.int64),
+                        "len": coords.shape[0], "num_faces": f.shape[0],
+                        "azimuth": 0.0, "path": f"synthetic://{idx}"}
+            except Exception:
+                continue
+        raise RuntimeError("synthetic dataset failed to build a mesh")
+
+
+def _icosphere(sub):
+    from edgerunner_tpu.data._procgen import icosphere
+    return icosphere(sub)
+
+
+def _box_mesh():
+    v = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+                  [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]], float)
+    f = np.array([[0, 1, 2], [0, 2, 3], [0, 4, 5], [0, 5, 1], [1, 5, 6],
+                  [1, 6, 2], [2, 6, 7], [2, 7, 3], [3, 7, 4], [3, 4, 0],
+                  [4, 7, 6], [4, 6, 5]])
+    return v, f
+
+
+def _fan_mesh(rng, n):
+    angles = np.sort(rng.uniform(0, 2 * np.pi, n))
+    ring = np.stack([np.cos(angles), np.sin(angles),
+                     rng.uniform(-0.2, 0.2, n)], axis=1)
+    v = np.concatenate([np.zeros((1, 3)), ring], axis=0)
+    f = np.array([[0, 1 + i, 1 + (i + 1) % n] for i in range(n)])
+    return v, f
+
+
+# ----------------------------------------------------------------- collate --
+
+def collate(batch: list[dict], opt: Options, bucket: Optional[int] = None) -> dict:
+    """Pad/mask a list of samples into fixed arrays (reference:
+    provider.py:469-541), with bucketed lengths for XLA compile reuse.
+
+    Returns dict with: conds [B,...], tokens [B,1+L+1], labels [B,C+1+L+1],
+    lengths [B], num_faces [B], num_tokens [B], paths.
+    """
+    bucket = bucket or min(512, opt.max_seq_length)
+    C = opt.num_cond_tokens
+    max_len = max(item["len"] for item in batch)
+    max_len = min(-(-max_len // bucket) * bucket, opt.max_seq_length)
+
+    tokens, labels, lengths, num_tokens = [], [], [], []
+    for item in batch:
+        L = item["len"]
+        if max_len >= L:
+            pad = max_len - L
+            tokens.append(np.concatenate([
+                [opt.bos_token_id], item["coords"], [opt.eos_token_id],
+                np.full(pad, opt.pad_token_id)]))
+            labels.append(np.concatenate([
+                np.full(C + 1, -100), item["coords"], [opt.eos_token_id],
+                np.full(pad, -100)]))
+            lengths.append(C + 1 + L + 1)
+            num_tokens.append(C + 1 + L + 1)
+        else:
+            # truncate; EOS dropped (reference: provider.py:514-529)
+            tokens.append(np.concatenate([
+                [opt.bos_token_id], item["coords"][:max_len], [opt.pad_token_id]]))
+            labels.append(np.concatenate([
+                np.full(C + 1, -100), item["coords"][:max_len], [-100]]))
+            lengths.append(C + 1 + max_len)
+            num_tokens.append(C + 1 + max_len)
+
+    out = {
+        "conds": np.stack([i["cond"] for i in batch]).astype(np.float32),
+        "tokens": np.stack(tokens).astype(np.int32),
+        "labels": np.stack(labels).astype(np.int32),
+        "lengths": np.asarray(lengths, np.int32),
+        "num_tokens": np.asarray(num_tokens, np.int32),
+        "num_faces": np.asarray([i["num_faces"] for i in batch], np.int32),
+        "paths": [i["path"] for i in batch],
+    }
+    return out
+
+
+# ------------------------------------------------------------------ loader --
+
+class DataLoader:
+    """Thread-pool prefetching loader: shuffled epochs, drop_last, bounded
+    prefetch queue. Threads suffice because mesh IO + metok encode release
+    the GIL (ctypes FFI)."""
+
+    def __init__(self, dataset, opt: Options, batch_size: int,
+                 shuffle: bool = True, num_workers: Optional[int] = None,
+                 drop_last: bool = True, seed: int = 0,
+                 bucket: Optional[int] = None):
+        self.dataset = dataset
+        self.opt = opt
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.bucket = bucket
+        self.num_workers = max(1, num_workers if num_workers is not None
+                               else min(opt.num_workers, os.cpu_count() or 8))
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset) // self.batch_size
+        if not self.drop_last and len(self.dataset) % self.batch_size:
+            n += 1
+        return n
+
+    def __iter__(self) -> Iterator[dict]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.seed + self.epoch).shuffle(order)
+        self.epoch += 1
+
+        batches = [order[i:i + self.batch_size]
+                   for i in range(0, len(order), self.batch_size)]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        q: queue.Queue = queue.Queue(maxsize=4)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for idxs in batches:
+                    if stop.is_set():
+                        break
+                    items = list(pool.map(self.dataset.__getitem__, idxs))
+                    q.put(collate(items, self.opt, self.bucket))
+            q.put(None)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()

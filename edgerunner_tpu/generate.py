@@ -36,8 +36,8 @@ _DECODE_CACHE: dict = {}
 
 
 def _get_decode_fn(model: LMM, *, num_new: int, max_len: int, mode: str,
-                   use_grammar: bool, top_k: int = 10):
-    key = (id(model), num_new, max_len, mode, use_grammar, top_k)
+                   use_grammar: bool, top_k: int = 10, no_eos: bool = False):
+    key = (id(model), num_new, max_len, mode, use_grammar, top_k, no_eos)
     if key in _DECODE_CACHE:
         return _DECODE_CACHE[key]
 
@@ -65,6 +65,10 @@ def _get_decode_fn(model: LMM, *, num_new: int, max_len: int, mode: str,
                 mask = S.grammar_mask(gstate, vocab)
             else:
                 mask = S.naive_grammar_mask(i, B, vocab)
+            if no_eos:
+                # benchmarking: decode the full budget, never stop
+                ids = jax.lax.broadcasted_iota(jnp.int32, mask.shape, 1)
+                mask = mask & (ids != S.EOS_ID)
             logits = S.apply_mask(logits, mask)
 
             rng, sub = jax.random.split(rng)
@@ -102,6 +106,7 @@ def generate_tokens(
     max_new_tokens: Optional[int] = None,
     rng: Optional[jax.Array] = None,
     use_grammar: bool = True,
+    bench_no_eos: bool = False,
 ):
     """Generate mesh token streams (reference: LMM.generate, models.py:204-303).
 
@@ -135,7 +140,7 @@ def generate_tokens(
     nf = jnp.full((B,), num_faces, jnp.int32)
     decode = _get_decode_fn(
         model, num_new=int(num_new), max_len=int(max_len),
-        mode=opt.generate_mode, use_grammar=use_grammar)
+        mode=opt.generate_mode, use_grammar=use_grammar, no_eos=bench_no_eos)
     tokens, n = decode(params, jnp.asarray(conds), nf, jnp.asarray(prompt),
                        init_state, rng)
     tokens = np.asarray(tokens)

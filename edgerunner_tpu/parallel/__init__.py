@@ -1,0 +1,3 @@
+from .mesh import batch_sharding, make_mesh, param_shardings, replicated
+
+__all__ = ["make_mesh", "batch_sharding", "param_shardings", "replicated"]

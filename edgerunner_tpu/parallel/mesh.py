@@ -1,0 +1,93 @@
+"""Device mesh + sharding rules.
+
+The reference's only distribution strategy is torch-DDP data parallelism
+(reference: main.py:43-47, acc_configs/gpu8.yaml). Here distribution is a
+first-class mesh: a ('dp', 'tp') jax.sharding.Mesh where
+  * dp  — batch axis; gradients are reduced by XLA-inserted psum over ICI
+    (replaces the NCCL allreduce)
+  * tp  — tensor parallelism: attention qkv/out and MLP kernels sharded over
+    heads/ffn dims (Megatron layout), exceeding reference capability
+
+Param shardings are assigned by path-regex rules and handed to jit as
+NamedShardings; XLA GSPMD inserts the collectives.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp_size: int = -1, tp_size: int = 1,
+              devices: Optional[list] = None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if dp_size == -1:
+        assert n % tp_size == 0, f"{n} devices not divisible by tp={tp_size}"
+        dp_size = n // tp_size
+    assert dp_size * tp_size == n, (
+        f"dp({dp_size}) x tp({tp_size}) != devices({n})")
+    arr = np.asarray(devices).reshape(dp_size, tp_size)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) dim split over dp, everything else replicated."""
+    return NamedSharding(mesh, P("dp"))
+
+
+# Megatron-style tensor-parallel layout for this framework's modules.
+# Keys are regexes over the flattened param path; values are PartitionSpecs
+# for the *kernel* ([in, out] for Dense, [vocab, dim] for Embed).
+TP_RULES: list[tuple[str, P]] = [
+    # attention: shard heads — qkv output dim, out-proj input dim
+    (r".*(self_attn|att)/(q_proj|k_proj|v_proj|qkv_proj)/kernel", P(None, "tp")),
+    (r".*(self_attn|att)/(q_proj|k_proj|v_proj|qkv_proj)/bias", P("tp")),
+    (r".*(self_attn|att)/out_proj/kernel", P("tp", None)),
+    # decoder MLP: fc1 column-parallel, fc2 row-parallel
+    (r".*/fc1/kernel", P(None, "tp")),
+    (r".*/fc1/bias", P("tp")),
+    (r".*/fc2/kernel", P("tp", None)),
+    # GEGLU feed-forward
+    (r".*/fc_in/kernel", P(None, "tp")),
+    (r".*/fc_in/bias", P("tp")),
+    (r".*/fc_out/kernel", P("tp", None)),
+    # embeddings / lm head: shard the vocab/feature-out dim
+    (r".*/lm_head/kernel", P(None, "tp")),
+]
+
+
+def _spec_for(path: str, use_tp: bool) -> P:
+    if use_tp:
+        for pattern, spec in TP_RULES:
+            if re.fullmatch(pattern, path):
+                return spec
+    return P()
+
+
+def param_shardings(params: Any, mesh: Mesh) -> Any:
+    """NamedSharding pytree matching `params`; applies TP rules when the mesh
+    has a non-trivial tp axis, otherwise fully replicated."""
+    use_tp = mesh.shape.get("tp", 1) > 1
+
+    def one(kp, leaf):
+        path = jax.tree_util.keystr(kp, simple=True, separator="/")
+        spec = _spec_for(path, use_tp)
+        # never shard a dim that doesn't divide evenly
+        if use_tp and spec != P():
+            tp = mesh.shape["tp"]
+            for axis, name in enumerate(spec):
+                if name == "tp" and leaf.shape[axis] % tp != 0:
+                    spec = P()
+                    break
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(one, params)

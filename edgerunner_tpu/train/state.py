@@ -1,0 +1,99 @@
+"""Train state, optimizer and LR schedule.
+
+Optimizer parity with the reference: AdamW(lr, betas=(0.9, 0.95), wd=0.01)
+(reference: main.py:133), global-norm gradient clipping (main.py:181-182),
+cosine schedule with linear warmup and a 0.1 min-LR floor (main.py:136-142),
+gradient accumulation via optax.MultiSteps (main.py:168).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def cosine_warmup_schedule(base_lr: float, total_steps: int,
+                           warmup_ratio: float = 0.01,
+                           min_ratio: float = 0.1,
+                           num_cycles: float = 0.5) -> Callable:
+    """Reference _lr_lambda (main.py:136-141), as an optax schedule."""
+
+    def schedule(step):
+        progress = step / max(1, total_steps)
+        warm = progress / max(warmup_ratio, 1e-9)
+        prog2 = (progress - warmup_ratio) / (1 - warmup_ratio)
+        cos = min_ratio + (1 - min_ratio) * 0.5 * (
+            1.0 + jnp.cos(jnp.pi * num_cycles * 2.0 * prog2))
+        factor = jnp.where(
+            (warmup_ratio > 0) & (progress < warmup_ratio), warm,
+            jnp.maximum(min_ratio, cos))
+        return base_lr * factor
+
+    return schedule
+
+
+def make_optimizer(opt, total_steps: int) -> tuple[optax.GradientTransformation, Callable]:
+    schedule = cosine_warmup_schedule(
+        opt.lr, total_steps, warmup_ratio=opt.warmup_ratio)
+    tx = optax.chain(
+        optax.clip_by_global_norm(opt.gradient_clip),
+        optax.adamw(schedule, b1=0.9, b2=0.95, weight_decay=0.01),
+    )
+    if opt.gradient_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=opt.gradient_accumulation_steps)
+    return tx, schedule
+
+
+def create_train_state(params, tx) -> TrainState:
+    return TrainState(params=params, opt_state=tx.init(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(model, tx):
+    """Build the jittable DP train step. Batch layout (from collate):
+    conds, tokens, labels, num_faces, lengths — all [B, ...]."""
+
+    def train_step(state: TrainState, batch, rng):
+        nof_rng, drop_rng = jax.random.split(jax.random.fold_in(rng, state.step))
+
+        def loss_fn(params):
+            out = model.apply(
+                params, batch["conds"], batch["tokens"], batch["labels"],
+                batch["num_faces"], batch["lengths"], train=True,
+                rngs={"nof": nof_rng, "dropout": drop_rng})
+            return out["loss"], out
+
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss,
+            "loss_ce": out["loss_ce"],
+            "grad_norm": optax.global_norm(grads),
+        }
+        if "loss_kl" in out:
+            metrics["loss_kl"] = out["loss_kl"]
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
+def make_eval_step(model):
+    def eval_step(params, batch):
+        out = model.apply(
+            params, batch["conds"], batch["tokens"], batch["labels"],
+            batch["num_faces"], batch["lengths"], train=False)
+        return {"loss": out["loss"], "loss_ce": out["loss_ce"],
+                "logits": out["logits"]}
+
+    return eval_step

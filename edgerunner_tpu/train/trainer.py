@@ -1,0 +1,111 @@
+"""Training harness (reference: main.py:34-299, main_dit.py:33-238).
+
+pjit data-parallel (optionally tensor-parallel) training over a
+jax.sharding.Mesh: params live on the mesh with TP rules, batches are split
+over dp, and XLA inserts the gradient psum that torch-DDP did with NCCL.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from edgerunner_tpu.parallel import batch_sharding, make_mesh, param_shardings, replicated
+from edgerunner_tpu.train.state import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+    make_optimizer,
+)
+
+
+def _device_batch(batch: dict, sharding) -> dict:
+    """Move collated numpy arrays onto the mesh (paths stay on host)."""
+    out = {}
+    for k, v in batch.items():
+        if k == "paths":
+            continue
+        out[k] = jax.device_put(np.asarray(v), sharding)
+    return out
+
+
+class Trainer:
+    def __init__(self, model, opt, total_steps: int, logger=None):
+        self.model = model
+        self.opt = opt
+        self.logger = logger
+        self.mesh = make_mesh(opt.dp_size, opt.tp_size)
+        dp = self.mesh.shape["dp"]
+        assert opt.batch_size % dp == 0, (
+            f"batch_size ({opt.batch_size}) must be divisible by the dp axis "
+            f"({dp} devices); raise batch_size or set --dp_size")
+        self.tx, self.schedule = make_optimizer(opt, total_steps)
+        self._train_step = None
+        self._eval_step = None
+        self.state: Optional[TrainState] = None
+
+    # ------------------------------------------------------------------ log --
+    def log(self, msg: str):
+        if self.logger is not None:
+            self.logger.info(msg)
+        else:
+            print(msg)
+
+    # ---------------------------------------------------------------- setup --
+    def init_state(self, params):
+        shardings = param_shardings(params, self.mesh)
+        params = jax.tree.map(
+            lambda x, s: jax.device_put(x, s), params, shardings)
+        self.state = create_train_state(params, self.tx)
+        self._param_shardings = shardings
+
+        step_fn = make_train_step(self.model, self.tx)
+        self._train_step = jax.jit(step_fn, donate_argnums=(0,))
+        self._eval_step = jax.jit(make_eval_step(self.model))
+        return self.state
+
+    # ------------------------------------------------------------ one epoch --
+    def train_epoch(self, loader, epoch: int, rng) -> float:
+        assert self.state is not None, "call init_state first"
+        bsh = batch_sharding(self.mesh)
+        total_loss, n = 0.0, 0
+        t_start = time.time()
+        num_batches = len(loader)
+        for i, batch in enumerate(loader):
+            dev_batch = _device_batch(batch, bsh)
+            self.state, metrics = self._train_step(self.state, dev_batch, rng)
+            loss = float(metrics["loss"])
+            total_loss += loss
+            n += 1
+            if i % 10 == 0:
+                lr = float(self.schedule(int(self.state.step)))
+                log = (f"{epoch:03d}:{i}/{num_batches} "
+                       f"lr: {lr:.7f} loss: {loss:.6f}")
+                if "loss_ce" in metrics:
+                    log += f" loss_ce: {float(metrics['loss_ce']):.6f}"
+                if "loss_kl" in metrics:
+                    log += f" loss_kl: {float(metrics['loss_kl']):.6f}"
+                self.log(log)
+        dt = (time.time() - t_start) / 60
+        avg = total_loss / max(n, 1)
+        self.log(f"Train epoch: {epoch} loss: {avg:.6f} time: {dt:.2f}min")
+        return avg
+
+    def eval_epoch(self, loader, epoch: int) -> float:
+        assert self.state is not None
+        bsh = batch_sharding(self.mesh)
+        total_loss, n = 0.0, 0
+        for batch in loader:
+            dev_batch = _device_batch(batch, bsh)
+            out = self._eval_step(self.state.params, dev_batch)
+            total_loss += float(out["loss"])
+            n += 1
+        avg = total_loss / max(n, 1)
+        self.log(f"Eval epoch: {epoch} loss: {avg:.6f}")
+        return avg

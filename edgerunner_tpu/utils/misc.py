@@ -11,6 +11,7 @@ import numpy as np
 def init_logger(filename: str) -> logging.Logger:
     logger = logging.getLogger("edgerunner_tpu")
     logger.setLevel(logging.DEBUG)
+    logger.propagate = False
     logger.handlers.clear()
     fmt = logging.Formatter("%(asctime)s [%(levelname)s] %(message)s")
     fh = logging.FileHandler(filename, mode="w")

@@ -1,0 +1,102 @@
+"""ArAE training CLI (reference: main.py:34-299).
+
+Usage:
+    python main.py ArAE --data_root ./data --workspace ./workspace [--flags]
+
+Data: local directory of .obj/.ply meshes (optional manifest.json with face
+counts); falls back to the synthetic procedural dataset when data_root does
+not exist (smoke-training without any download).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+from edgerunner_tpu.config import parse_cli, validate
+from edgerunner_tpu.data import save_mesh
+from edgerunner_tpu.data.dataset import DataLoader, MeshFolderDataset, SyntheticMeshDataset
+from edgerunner_tpu.train.checkpoint import (
+    CheckpointManager,
+    init_lmm_params,
+    restore_pytree,
+    tolerant_merge,
+)
+from edgerunner_tpu.train.trainer import Trainer
+from edgerunner_tpu.models.lmm import LMM
+from edgerunner_tpu.utils import get_tokenizer, init_logger
+
+
+def main():
+    opt = validate(parse_cli(prog="main.py"))
+
+    os.makedirs(opt.workspace, exist_ok=True)
+    logger = init_logger(os.path.join(opt.workspace, "log.txt"))
+    logger.info(str(opt))
+
+    tokenizer, vocab_size = get_tokenizer(opt)
+    model = LMM(opt)
+    rng = jax.random.PRNGKey(opt.seed)
+
+    # data
+    if os.path.isdir(opt.data_root):
+        train_dataset = MeshFolderDataset(opt, training=True, tokenizer=tokenizer)
+        test_dataset = MeshFolderDataset(opt, training=False, tokenizer=tokenizer)
+    else:
+        logger.warning(f"data_root {opt.data_root} not found; using synthetic data")
+        train_dataset = SyntheticMeshDataset(opt, size=256, training=True,
+                                             tokenizer=tokenizer)
+        test_dataset = SyntheticMeshDataset(opt, size=16, training=False,
+                                            tokenizer=tokenizer)
+    logger.info(f"train dataset size: {len(train_dataset)}")
+    logger.info(f"test dataset size: {len(test_dataset)}")
+
+    train_loader = DataLoader(train_dataset, opt, opt.batch_size, shuffle=True,
+                              seed=opt.seed)
+    test_loader = DataLoader(test_dataset, opt, opt.batch_size, shuffle=False,
+                             drop_last=False, seed=opt.seed)
+
+    total_steps = opt.num_epochs * len(train_loader) // opt.gradient_accumulation_steps
+    trainer = Trainer(model, opt, total_steps, logger=logger)
+
+    # init + resume
+    params = init_lmm_params(model, opt, rng)
+    if opt.resume is not None:
+        ckpt = restore_pytree(opt.resume)
+        params = tolerant_merge(params, ckpt, align_posemb=opt.align_posemb,
+                                log=logger.warning)
+    num_params = sum(x.size for x in jax.tree.leaves(params))
+    logger.info(f"total param count: {num_params/1e6:.3f} M")
+
+    trainer.init_state(params)
+    manager = CheckpointManager(opt.workspace, keep=2)
+
+    for epoch in range(opt.num_epochs):
+        if not opt.debug_eval:
+            avg_loss = trainer.train_epoch(train_loader, epoch, rng)
+            manager.save_epoch(epoch, trainer.state.params, loss=avg_loss,
+                               log=logger.info)
+        else:
+            logger.info(f"epoch: {epoch} skip training for debug !!!")
+
+        if opt.eval_mode == "loss":
+            trainer.eval_epoch(test_loader, epoch)
+        elif opt.eval_mode == "generate":
+            from edgerunner_tpu.generate import generate_tokens
+
+            for i, batch in enumerate(test_loader):
+                tokens = generate_tokens(
+                    model, trainer.state.params, batch["conds"][:1],
+                    num_faces=int(opt.test_num_face[0]))
+                out_path = os.path.join(
+                    opt.workspace, f"testgen_ep{epoch}_{i}.obj")
+                save_mesh(tokens[0], opt, out_path, tokenizer=tokenizer)
+                if i >= 3:
+                    break
+            logger.info(f"Eval epoch: {epoch} generated meshes saved.")
+
+
+if __name__ == "__main__":
+    main()

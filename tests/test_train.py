@@ -1,0 +1,191 @@
+"""Training-layer tests: mesh/shardings, optimizer schedule, DP/TP train step,
+dataset/collate/loader."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from edgerunner_tpu.config import Options
+from edgerunner_tpu.data.dataset import (
+    DataLoader,
+    SyntheticMeshDataset,
+    collate,
+    decimate_vertex_cluster,
+)
+from edgerunner_tpu.models.lmm import LMM
+from edgerunner_tpu.parallel import batch_sharding, make_mesh, param_shardings
+from edgerunner_tpu.train.checkpoint import init_lmm_params
+from edgerunner_tpu.train.state import (
+    cosine_warmup_schedule,
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+)
+from edgerunner_tpu.utils import get_tokenizer
+
+RNG = jax.random.PRNGKey(0)
+
+
+def tiny_opt(**kw):
+    base = dict(
+        cond_mode="point", point_latent_size=16, num_cond_tokens=17,
+        point_hidden_dim=32, point_num_heads=4, point_latent_dim=8,
+        hidden_dim=64, num_layers=2, num_heads=4, max_seq_length=256,
+        use_num_face_cond=True, checkpointing=False, point_num=64,
+        batch_size=8, num_workers=2, testset_size=4,
+    )
+    base.update(kw)
+    return Options(**base)
+
+
+def test_mesh_shapes():
+    m = make_mesh(-1, 1)
+    assert m.shape["dp"] == 8 and m.shape["tp"] == 1
+    m = make_mesh(-1, 2)
+    assert m.shape["dp"] == 4 and m.shape["tp"] == 2
+    with pytest.raises(AssertionError):
+        make_mesh(3, 2)
+
+
+def test_tp_param_shardings():
+    opt = tiny_opt()
+    model = LMM(opt)
+    params = init_lmm_params(model, opt, RNG)
+    mesh = make_mesh(-1, 2)
+    sh = param_shardings(params, mesh)
+    flat = {jax.tree_util.keystr(kp, simple=True, separator="/"): s
+            for kp, s in jax.tree_util.tree_flatten_with_path(sh)[0]}
+    # decoder attention sharded over heads, mlp over ffn dim
+    qkv = [v for k, v in flat.items() if "q_proj/kernel" in k]
+    assert all("tp" in str(s.spec) for s in qkv)
+    fc1 = [v for k, v in flat.items() if "fc1/kernel" in k]
+    assert all("tp" in str(s.spec) for s in fc1)
+    # layernorms replicated
+    lns = [v for k, v in flat.items() if "layer_norm" in k]
+    assert all(s.spec == jax.sharding.PartitionSpec() for s in lns)
+
+
+def test_cosine_schedule_matches_reference_lambda():
+    total = 1000
+    sched = cosine_warmup_schedule(1.0, total, warmup_ratio=0.1, min_ratio=0.1)
+
+    def ref(step, warmup_ratio=0.1, num_cycles=0.5, min_ratio=0.1):
+        progress = step / total
+        if warmup_ratio > 0 and progress < warmup_ratio:
+            return progress / warmup_ratio
+        progress = (progress - warmup_ratio) / (1 - warmup_ratio)
+        return max(min_ratio, min_ratio + (1 - min_ratio) * 0.5 *
+                   (1.0 + math.cos(math.pi * num_cycles * 2.0 * progress)))
+
+    for step in [0, 50, 100, 200, 500, 900, 999]:
+        np.testing.assert_allclose(float(sched(step)), ref(step), rtol=1e-5)
+
+
+def _make_batch(opt, B=8, M=12):
+    C = opt.num_cond_tokens
+    rng = np.random.default_rng(0)
+    return {
+        "conds": rng.normal(size=(B, opt.point_num, 3)).astype(np.float32),
+        "tokens": np.concatenate([np.full((B, 1), 1), np.full((B, M), 7),
+                                  np.full((B, 1), 2)], 1).astype(np.int32),
+        "labels": np.concatenate([np.full((B, C + 1), -100), np.full((B, M), 7),
+                                  np.full((B, 1), 2)], 1).astype(np.int32),
+        "lengths": np.full((B,), C + 1 + M + 1, np.int32),
+        "num_faces": np.full((B,), 500, np.int32),
+    }
+
+
+@pytest.mark.parametrize("tp", [1, 2])
+def test_sharded_train_step_runs_and_reduces_loss(tp):
+    opt = tiny_opt(tp_size=tp, dp_size=-1)
+    model = LMM(opt)
+    mesh = make_mesh(opt.dp_size, opt.tp_size)
+    params = init_lmm_params(model, opt, RNG)
+    sh = param_shardings(params, mesh)
+    params = jax.tree.map(lambda x, s: jax.device_put(x, s), params, sh)
+
+    tx, _ = make_optimizer(opt, total_steps=50)
+    state = create_train_state(params, tx)
+    step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
+
+    bsh = batch_sharding(mesh)
+    batch = {k: jax.device_put(v, bsh) for k, v in _make_batch(opt).items()}
+    losses = []
+    for i in range(5):
+        state, metrics = step(state, batch, RNG)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+
+
+def test_dp_tp_equivalence():
+    """The same step on dp8 and dp4xtp2 meshes must produce the same loss."""
+    losses = {}
+    for tp in (1, 2):
+        opt = tiny_opt(tp_size=tp)
+        model = LMM(opt)
+        mesh = make_mesh(-1, tp)
+        params = init_lmm_params(model, opt, RNG)
+        sh = param_shardings(params, mesh)
+        params = jax.tree.map(lambda x, s: jax.device_put(x, s), params, sh)
+        tx, _ = make_optimizer(opt, total_steps=50)
+        state = create_train_state(params, tx)
+        step = jax.jit(make_train_step(model, tx))
+        batch = {k: jax.device_put(v, batch_sharding(mesh))
+                 for k, v in _make_batch(opt).items()}
+        _, metrics = step(state, batch, RNG)
+        losses[tp] = float(metrics["loss"])
+    np.testing.assert_allclose(losses[1], losses[2], rtol=1e-4)
+
+
+def test_synthetic_dataset_and_collate():
+    opt = tiny_opt()
+    tok, _ = get_tokenizer(opt)
+    ds = SyntheticMeshDataset(opt, size=8, training=False, tokenizer=tok)
+    items = [ds[i] for i in range(4)]
+    assert all(i["coords"].min() >= 3 for i in items)
+    batch = collate(items, opt, bucket=64)
+    B = 4
+    assert batch["tokens"].shape[0] == B
+    # bucketed: (token len - 2) divisible by 64 (or == max_seq)
+    L = batch["tokens"].shape[1] - 2
+    assert L % 64 == 0 or L == opt.max_seq_length
+    C = opt.num_cond_tokens
+    assert batch["labels"].shape[1] == batch["tokens"].shape[1] + C
+    # labels: -100 on cond+BOS, then coords
+    assert (batch["labels"][:, :C + 1] == -100).all()
+    for b in range(B):
+        n = batch["lengths"][b]
+        assert batch["labels"][b, C + 1 + items[b]["len"]] == opt.eos_token_id
+
+
+def test_collate_truncation():
+    opt = tiny_opt(max_seq_length=8)
+    item = {"cond": np.zeros((4, 3), np.float32), "coords": np.arange(20) + 6,
+            "len": 20, "num_faces": 3, "azimuth": 0, "path": "x"}
+    batch = collate([item], opt, bucket=8)
+    assert batch["tokens"].shape[1] == 1 + 8 + 1
+    # no EOS label when truncated
+    assert opt.eos_token_id not in batch["labels"][0].tolist()
+
+
+def test_loader_shuffles_and_drops_last():
+    opt = tiny_opt()
+    tok, _ = get_tokenizer(opt)
+    ds = SyntheticMeshDataset(opt, size=10, training=False, tokenizer=tok)
+    loader = DataLoader(ds, opt, batch_size=4, shuffle=True, num_workers=2,
+                        drop_last=True, seed=1)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert all(b["tokens"].shape[0] == 4 for b in batches)
+
+
+def test_decimate_vertex_cluster_reduces_faces():
+    from edgerunner_tpu.data._procgen import icosphere
+    v, f = icosphere(3)
+    v2, f2 = decimate_vertex_cluster(v, f, target_faces=300)
+    assert 0 < len(f2) <= 300
+    assert len(v2) < len(v)
