@@ -289,7 +289,8 @@ class DataLoader:
     def __init__(self, dataset, opt: Options, batch_size: int,
                  shuffle: bool = True, num_workers: Optional[int] = None,
                  drop_last: bool = True, seed: int = 0,
-                 bucket: Optional[int] = None):
+                 bucket: Optional[int] = None, collate_fn=None):
+        self.collate_fn = collate_fn or collate
         self.dataset = dataset
         self.opt = opt
         self.batch_size = batch_size
@@ -327,7 +328,7 @@ class DataLoader:
                     if stop.is_set():
                         break
                     items = list(pool.map(self.dataset.__getitem__, idxs))
-                    q.put(collate(items, self.opt, self.bucket))
+                    q.put(self.collate_fn(items, self.opt, self.bucket))
             q.put(None)
 
         t = threading.Thread(target=produce, daemon=True)

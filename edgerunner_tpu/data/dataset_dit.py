@@ -1,0 +1,97 @@
+"""DiT dataset: (image cond, surface points) pairs
+(reference: core/provider_dit.py:39-166).
+
+Local-filesystem version: each mesh file may have a sibling render
+``{stem}.png``; when none exists, a synthetic point-splat render (orthographic
+z-shaded projection of the sampled surface points) is used so the image is
+genuinely correlated with the geometry — keeping the full pipeline trainable
+with meshes alone.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from edgerunner_tpu.config import Options
+from edgerunner_tpu.data.dataset import MeshFolderDataset, SyntheticMeshDataset, rotate_y
+from edgerunner_tpu.data.mesh_io import load_mesh, normalize_mesh
+from edgerunner_tpu.ops.pointops import sample_surface_points
+
+
+def render_points_image(points: np.ndarray, size: int = 224) -> np.ndarray:
+    """Orthographic point-splat render with z-shading -> [size, size, 3] in [0,1]."""
+    img = np.ones((size, size), np.float32)
+    xy = ((points[:, :2] * 0.45 + 0.5) * (size - 1)).astype(np.int64)
+    z = points[:, 2]
+    order = np.argsort(z)  # far to near; near splats overwrite
+    shade = 0.25 + 0.5 * (z - z.min()) / max(z.ptp(), 1e-6)
+    xs = np.clip(xy[order, 0], 0, size - 1)
+    ys = np.clip(size - 1 - xy[order, 1], 0, size - 1)
+    img[ys, xs] = shade[order]
+    return np.stack([img] * 3, axis=-1)
+
+
+class DiTMeshDataset:
+    """Wraps a mesh source; emits {'image': [H,W,3], 'points': [N,3]}."""
+
+    def __init__(self, opt: Options, training: bool = True, image_size: int = 224,
+                 root: Optional[str] = None):
+        self.opt = opt
+        self.training = training
+        self.image_size = image_size
+        root = root or opt.data_root
+        if os.path.isdir(root):
+            base = MeshFolderDataset(opt, training=training, tokenizer=None, root=root)
+            self.items = base.items
+            self.synthetic = None
+        else:
+            self.items = []
+            self.synthetic = SyntheticMeshDataset(opt, size=256 if training else 16,
+                                                  training=training)
+
+    def __len__(self) -> int:
+        return len(self.items) if self.synthetic is None else len(self.synthetic)
+
+    def __getitem__(self, idx: int) -> dict:
+        opt = self.opt
+        rng = np.random.default_rng(None if self.training else idx)
+        for _ in range(64):
+            try:
+                if self.synthetic is None:
+                    path = self.items[idx]
+                    v, f = load_mesh(path)
+                    azimuth = float(rng.choice(np.arange(0, 360, 30))) \
+                        if self.training else 0.0
+                    if azimuth:
+                        v = rotate_y(v, azimuth)
+                    v = normalize_mesh(v, 0.95)
+                    points = sample_surface_points(v, f, opt.point_num, rng)
+                    img_path = os.path.splitext(path)[0] + ".png"
+                else:
+                    v, f = self.synthetic._make_mesh(rng)
+                    points = sample_surface_points(v, f, opt.point_num, rng)
+                    img_path, path = None, f"synthetic://{idx}"
+
+                if img_path is not None and os.path.exists(img_path):
+                    from edgerunner_tpu.data.image_io import load_image_cond
+                    image = load_image_cond(img_path, size=self.image_size)
+                else:
+                    image = render_points_image(points, self.image_size)
+
+                return {"image": image.astype(np.float32),
+                        "points": points.astype(np.float32),
+                        "path": path}
+            except Exception:
+                idx = int(rng.integers(0, max(len(self), 1)))
+        raise RuntimeError("DiT dataset: too many bad samples")
+
+
+def collate_dit(batch: list[dict], opt: Options, bucket=None) -> dict:
+    return {
+        "images": np.stack([b["image"] for b in batch]),
+        "points": np.stack([b["points"] for b in batch]),
+        "paths": [b["path"] for b in batch],
+    }

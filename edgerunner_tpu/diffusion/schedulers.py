@@ -1,0 +1,93 @@
+"""Diffusion noise schedules + DDIM sampler (jittable, functional).
+
+JAX re-implementation of the scheduler behavior the reference pulls from
+diffusers (reference: core/models_dit.py:80-101): DDPM for training
+(add_noise / velocity targets / SNR) and DDIM for sampling, configured as
+scaled_linear betas 0.00085..0.012 over 1000 steps, v-prediction, "leading"
+timestep spacing, set_alpha_to_one=False, steps_offset=1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffusionSchedule:
+    num_train_timesteps: int = 1000
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
+    prediction_type: str = "v_prediction"  # or "epsilon"
+
+    @property
+    def alphas_cumprod(self) -> jnp.ndarray:
+        # scaled_linear: betas are linear in sqrt space
+        betas = np.linspace(self.beta_start**0.5, self.beta_end**0.5,
+                            self.num_train_timesteps, dtype=np.float64) ** 2
+        return jnp.asarray(np.cumprod(1.0 - betas), jnp.float32)
+
+    # ------------------------------------------------------------- training --
+    def add_noise(self, x0, noise, t):
+        """q(x_t | x_0): sqrt(a_t) x0 + sqrt(1-a_t) eps. t: [B] ints."""
+        a = self.alphas_cumprod[t]
+        while a.ndim < x0.ndim:
+            a = a[..., None]
+        return jnp.sqrt(a) * x0 + jnp.sqrt(1 - a) * noise
+
+    def get_velocity(self, x0, noise, t):
+        """v-prediction target (diffusers get_velocity)."""
+        a = self.alphas_cumprod[t]
+        while a.ndim < x0.ndim:
+            a = a[..., None]
+        return jnp.sqrt(a) * noise - jnp.sqrt(1 - a) * x0
+
+    def snr(self, t):
+        """Signal-to-noise ratio per timestep (diffusers compute_snr)."""
+        a = self.alphas_cumprod[t]
+        return a / (1 - a)
+
+    def min_snr_weight(self, t, gamma: float):
+        """min-SNR-gamma loss weights (reference: models_dit.py:168-173)."""
+        snr = self.snr(t)
+        w = jnp.minimum(snr, gamma)
+        if self.prediction_type == "epsilon":
+            return w / snr
+        return w / (snr + 1)
+
+
+def ddim_timesteps(schedule: DiffusionSchedule, num_inference_steps: int,
+                   steps_offset: int = 1) -> np.ndarray:
+    """'leading' spacing (diffusers): descending timesteps + offset."""
+    ratio = schedule.num_train_timesteps // num_inference_steps
+    ts = (np.arange(0, num_inference_steps) * ratio).round()[::-1].astype(np.int64)
+    return ts + steps_offset
+
+
+def ddim_step(schedule: DiffusionSchedule, model_out, t, sample,
+              num_inference_steps: int):
+    """One deterministic DDIM update (eta=0), set_alpha_to_one=False.
+
+    t may be a traced scalar; all indexing is gather-based so the whole
+    sampling loop stays inside one jit.
+    """
+    ac = schedule.alphas_cumprod
+    prev_t = t - schedule.num_train_timesteps // num_inference_steps
+    a_t = ac[t]
+    # set_alpha_to_one=False -> final alpha is alphas_cumprod[0]
+    a_prev = jnp.where(prev_t >= 0, ac[jnp.maximum(prev_t, 0)], ac[0])
+
+    if schedule.prediction_type == "v_prediction":
+        x0 = jnp.sqrt(a_t) * sample - jnp.sqrt(1 - a_t) * model_out
+        eps = jnp.sqrt(a_t) * model_out + jnp.sqrt(1 - a_t) * sample
+    elif schedule.prediction_type == "epsilon":
+        eps = model_out
+        x0 = (sample - jnp.sqrt(1 - a_t) * eps) / jnp.sqrt(a_t)
+    else:
+        raise ValueError(schedule.prediction_type)
+
+    return jnp.sqrt(a_prev) * x0 + jnp.sqrt(1 - a_prev) * eps

@@ -1,0 +1,132 @@
+"""DiT denoiser over point latents (flax).
+
+Re-design of the reference's PixArtAlpha-style DiT (reference:
+core/transformer/dit.py:100-196): adaLN-single conditioning
+(scale_shift_table + per-timestep 6-way modulation), self-attention over the
+latent sequence, cross-attention on CLIP image features, GEGLU feed-forward.
+
+Faithful quirk: the residual base after each modulated LayerNorm is the
+*modulated* stream, exactly as in the reference layer (dit.py:128-139) — not
+the PixArt paper's pre-norm residual.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from edgerunner_tpu.models.layers import CrossAttention, Dense, FeedForward, SelfAttention
+
+
+def timestep_embedding(t: jax.Array, dim: int = 256, max_period: float = 10000.0):
+    """Sinusoidal timestep features [B, dim] (reference: dit.py:45-76,
+    flip_sin_to_cos=False, downscale_freq_shift=0)."""
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    freqs = jnp.exp(exponent)
+    ang = t.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class TimestepEmbedding(nn.Module):
+    """MLP over sinusoidal features (reference: dit.py:79-96)."""
+
+    dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, emb):
+        emb = Dense(self.dim, dtype=self.dtype, name="linear_1")(emb.astype(self.dtype))
+        emb = jax.nn.silu(emb)
+        return Dense(self.dim, dtype=self.dtype, name="linear_2")(emb)
+
+
+class DiTLayer(nn.Module):
+    """adaLN-single transformer block (reference: dit.py:100-140)."""
+
+    dim: int
+    num_heads: int
+    dtype: Any = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, c, t_adaln):
+        # x: [B, N, C]; c: [B, M, C]; t_adaln: [B, 6, C]
+        def body(mdl, x, c, t_adaln):
+            table = mdl.param(
+                "scale_shift_table",
+                nn.initializers.normal(stddev=mdl.dim**-0.5), (6, mdl.dim))
+            mods = (table[None] + t_adaln.astype(jnp.float32))
+            (shift_msa, scale_msa, gate_msa,
+             shift_mlp, scale_mlp, gate_mlp) = [
+                m.astype(mdl.dtype) for m in jnp.split(mods, 6, axis=1)]
+
+            x = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False,
+                             name="norm1")(x).astype(mdl.dtype)
+            x = x * (1 + scale_msa) + shift_msa
+            x = x + gate_msa * SelfAttention(
+                mdl.dim, mdl.num_heads, dtype=mdl.dtype, name="attn1")(x)
+
+            x = x + CrossAttention(
+                mdl.dim, mdl.num_heads, dtype=mdl.dtype, name="attn2")(x, c)
+
+            x = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False,
+                             name="norm2")(x).astype(mdl.dtype)
+            x = x * (1 + scale_mlp) + shift_mlp
+            x = x + gate_mlp * FeedForward(mdl.dim, dtype=mdl.dtype, name="ff")(x)
+            return x
+
+        if self.remat:
+            return nn.remat(body)(self, x, c, t_adaln)
+        return body(self, x, c, t_adaln)
+
+
+class DiT(nn.Module):
+    """Latent denoiser (reference: dit.py:143-196)."""
+
+    hidden_dim: int = 1024
+    num_heads: int = 16
+    latent_size: int = 2048
+    latent_dim: int = 64
+    num_layers: int = 24
+    dtype: Any = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, c, t):
+        # x: [B, N, latent_dim]; c: [B, M, hidden]; t: [B]
+        B = x.shape[0]
+        x = Dense(self.hidden_dim, dtype=self.dtype, name="proj_in")(
+            x.astype(self.dtype))
+
+        pos = self.param("pos_embed",
+                         nn.initializers.normal(stddev=self.hidden_dim**-0.5),
+                         (1, self.latent_size, self.hidden_dim))
+        x = x + pos.astype(self.dtype)
+
+        t_emb = TimestepEmbedding(self.hidden_dim, dtype=self.dtype,
+                                  name="timestep_proj")(timestep_embedding(t))
+        t_adaln = Dense(self.hidden_dim * 6, dtype=self.dtype,
+                        name="adaln_linear")(jax.nn.silu(t_emb))
+        t_adaln = t_adaln.reshape(B, 6, self.hidden_dim)
+
+        for i in range(self.num_layers):
+            x = DiTLayer(self.hidden_dim, self.num_heads, dtype=self.dtype,
+                         remat=self.remat, name=f"layers_{i}")(x, c, t_adaln)
+
+        table = self.param("scale_shift_table",
+                           nn.initializers.normal(stddev=self.hidden_dim**-0.5),
+                           (2, self.hidden_dim))
+        mods = table[None] + t_emb[:, None].astype(jnp.float32)
+        shift, scale = [m.astype(self.dtype) for m in jnp.split(mods, 2, axis=1)]
+        x = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False,
+                         name="norm_out")(x).astype(self.dtype)
+        x = x * (1 + scale) + shift
+        return Dense(self.latent_dim, dtype=self.dtype, name="proj_out")(x)

@@ -1,0 +1,171 @@
+"""MDiT — latent-diffusion top model: image -> point-latent denoising.
+
+Re-design of the reference MDiT (reference: core/models_dit.py:33-229):
+frozen CLIP ViT-H image conditioner, frozen on-the-fly point encoder
+producing latent targets, DiT denoiser trained with v-prediction +
+min-SNR-gamma weighting and 10% CFG cond dropout; DDIM sampling with CFG
+scale 7.5 (the 100-step loop is a single lax.fori_loop under jit).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from edgerunner_tpu.config import Options
+from edgerunner_tpu.diffusion import DiffusionSchedule, ddim_step, ddim_timesteps
+from edgerunner_tpu.models.clip_vit import CLIPVisionTower, preprocess_images
+from edgerunner_tpu.models.dit import DiT
+from edgerunner_tpu.models.layers import Dense
+from edgerunner_tpu.models.point_encoder import PointEncoderEmbed, PointEncoderFPS
+
+
+class MDiT(nn.Module):
+    opt: Options
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        opt = self.opt
+        self.dit = DiT(
+            hidden_dim=opt.dit_hidden_dim,
+            num_heads=opt.dit_num_heads,
+            latent_size=opt.point_latent_size,
+            latent_dim=opt.point_latent_dim,
+            num_layers=opt.dit_num_layers,
+            dtype=self.dtype,
+            remat=opt.checkpointing,
+            name="dit",
+        )
+        self.image_encoder = CLIPVisionTower(name="image_encoder")
+        self.proj_cond = Dense(opt.dit_hidden_dim, dtype=self.dtype, name="proj_cond")
+        self.norm_cond = nn.LayerNorm(name="norm_cond")
+
+        enc_cls = PointEncoderEmbed if opt.point_encoder_mode == "embed" else PointEncoderFPS
+        # frozen, pretrained from the ArAE checkpoint (reference:
+        # models_dit.py:62-75); stop_gradient enforces freezing
+        self.point_encoder = enc_cls(
+            hidden_dim=opt.point_hidden_dim,
+            num_heads=opt.point_num_heads,
+            latent_size=opt.point_latent_size,
+            latent_dim=opt.point_latent_dim,
+            dtype=self.dtype,
+            remat=False,
+            name="point_encoder",
+        )
+
+        self.schedule = DiffusionSchedule(
+            prediction_type=opt.noise_scheduler_predtype)
+
+    def get_cond(self, images):
+        """images [B, H, W, 3] in [0,1] -> [B, 257, dit_hidden]
+        (reference: models_dit.py:104-115)."""
+        feats = jax.lax.stop_gradient(self.image_encoder(preprocess_images(images)))
+        return self.norm_cond(self.proj_cond(feats)).astype(self.dtype)
+
+    def encode_points(self, points):
+        return jax.lax.stop_gradient(self.point_encoder(points))
+
+    def __call__(self, images, points, *, train: bool = False):
+        """Training step (reference: models_dit.py:119-181).
+        images: [B, H, W, 3]; points: [B, N, 3]. Returns dict(loss)."""
+        opt = self.opt
+        B = points.shape[0]
+        cond = self.get_cond(images)
+
+        if train:
+            keep = jax.random.uniform(
+                self.make_rng("cfg"), (B, 1, 1), dtype=cond.dtype) >= 0.1
+            cond = cond * keep
+
+        latents = jnp.nan_to_num(self.encode_points(points))
+        noise = jax.random.normal(self.make_rng("noise"), latents.shape,
+                                  jnp.float32)
+        t = jax.random.randint(self.make_rng("time"), (B,), 0,
+                               self.schedule.num_train_timesteps)
+        noisy = self.schedule.add_noise(latents.astype(jnp.float32), noise, t)
+
+        pred = self.dit(noisy.astype(self.dtype), cond, t)
+
+        if self.schedule.prediction_type == "epsilon":
+            target = noise
+        else:
+            target = self.schedule.get_velocity(latents.astype(jnp.float32), noise, t)
+
+        err = jnp.square(pred.astype(jnp.float32) - target)
+        if opt.snr_gamma is None:
+            loss = err.mean()
+        else:
+            w = self.schedule.min_snr_weight(t, opt.snr_gamma)
+            loss = (err.mean(axis=tuple(range(1, err.ndim))) * w).mean()
+        return {"loss": loss}
+
+    def denoise_step(self, latents, cond_cat, t, guidance_scale: float,
+                     num_inference_steps: int):
+        """One CFG DDIM update; cond_cat = [uncond; cond] stacked on batch."""
+        latent_in = jnp.concatenate([latents, latents], axis=0)
+        t_in = jnp.full((latent_in.shape[0],), t, jnp.int32)
+        pred = self.dit(latent_in.astype(self.dtype), cond_cat, t_in)
+        pred = pred.astype(jnp.float32)
+        uncond, cond = jnp.split(pred, 2, axis=0)
+        guided = uncond + guidance_scale * (cond - uncond)
+        return ddim_step(self.schedule, guided, t, latents, num_inference_steps)
+
+    def prepare_cond_cfg(self, images):
+        cond = self.get_cond(images)
+        return jnp.concatenate([jnp.zeros_like(cond), cond], axis=0)
+
+
+_SAMPLER_CACHE: dict = {}
+
+
+def run_mdit(model: MDiT, params, images, *, num_inference_steps: int = 100,
+             guidance_scale: float = 7.5, num_repeat: int = 1,
+             latents: Optional[jax.Array] = None, strength: float = 0.5,
+             rng: Optional[jax.Array] = None):
+    """DDIM sampling loop (reference: MDiT.run, models_dit.py:184-229).
+    Returns final latents [B*num_repeat, latent_size, latent_dim]."""
+    opt = model.opt
+    if rng is None:
+        rng = jax.random.PRNGKey(opt.seed)
+
+    schedule = DiffusionSchedule(prediction_type=opt.noise_scheduler_predtype)
+    ts = jnp.asarray(ddim_timesteps(schedule, num_inference_steps), jnp.int32)
+
+    key = (id(model), num_inference_steps, float(guidance_scale), num_repeat,
+           latents is None, float(strength))
+    if key in _SAMPLER_CACHE:
+        sample = _SAMPLER_CACHE[key]
+        return sample(params, jnp.asarray(images), rng,
+                      None if latents is None else jnp.asarray(latents))
+
+    def sample(params, images, rng, init_latents):
+        B = images.shape[0]
+        cond_cat = model.apply(params, images, method=MDiT.prepare_cond_cfg)
+        if num_repeat > 1:
+            cond_cat = jnp.repeat(cond_cat, num_repeat, axis=0)
+
+        if init_latents is None:
+            lat = jax.random.normal(
+                rng, (B * num_repeat, opt.point_latent_size, opt.point_latent_dim),
+                jnp.float32)
+            init_step = 0
+        else:
+            init_step = int(num_inference_steps * strength)
+            noise = jax.random.normal(rng, init_latents.shape, jnp.float32)
+            lat = schedule.add_noise(init_latents, noise, ts[init_step])
+
+        def body(i, lat):
+            t = ts[i]
+            return model.apply(
+                params, lat, cond_cat, t, guidance_scale, num_inference_steps,
+                method=MDiT.denoise_step)
+
+        return jax.lax.fori_loop(init_step, num_inference_steps, body, lat)
+
+    sample = jax.jit(sample)
+    _SAMPLER_CACHE[key] = sample
+    return sample(params, jnp.asarray(images), rng,
+                  None if latents is None else jnp.asarray(latents))

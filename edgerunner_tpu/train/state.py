@@ -88,6 +88,37 @@ def make_train_step(model, tx):
     return train_step
 
 
+def make_dit_train_step(model, tx):
+    """Train step for MDiT: batch = {images, points}."""
+
+    def train_step(state: TrainState, batch, rng):
+        base = jax.random.fold_in(rng, state.step)
+        rngs = dict(zip(("cfg", "noise", "time"), jax.random.split(base, 3)))
+
+        def loss_fn(params):
+            out = model.apply(params, batch["images"], batch["points"],
+                              train=True, rngs=rngs)
+            return out["loss"], out
+
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
+def make_dit_eval_step(model):
+    def eval_step(params, batch, rng):
+        rngs = dict(zip(("cfg", "noise", "time"), jax.random.split(rng, 3)))
+        out = model.apply(params, batch["images"], batch["points"],
+                          train=False, rngs=rngs)
+        return {"loss": out["loss"]}
+
+    return eval_step
+
+
 def make_eval_step(model):
     def eval_step(params, batch):
         out = model.apply(

@@ -36,10 +36,16 @@ def _device_batch(batch: dict, sharding) -> dict:
 
 
 class Trainer:
-    def __init__(self, model, opt, total_steps: int, logger=None):
+    def __init__(self, model, opt, total_steps: int, logger=None,
+                 step_builder: Callable = make_train_step,
+                 eval_builder: Callable = make_eval_step,
+                 eval_needs_rng: bool = False):
         self.model = model
         self.opt = opt
         self.logger = logger
+        self._step_builder = step_builder
+        self._eval_builder = eval_builder
+        self._eval_needs_rng = eval_needs_rng
         self.mesh = make_mesh(opt.dp_size, opt.tp_size)
         dp = self.mesh.shape["dp"]
         assert opt.batch_size % dp == 0, (
@@ -65,9 +71,9 @@ class Trainer:
         self.state = create_train_state(params, self.tx)
         self._param_shardings = shardings
 
-        step_fn = make_train_step(self.model, self.tx)
+        step_fn = self._step_builder(self.model, self.tx)
         self._train_step = jax.jit(step_fn, donate_argnums=(0,))
-        self._eval_step = jax.jit(make_eval_step(self.model))
+        self._eval_step = jax.jit(self._eval_builder(self.model))
         return self.state
 
     # ------------------------------------------------------------ one epoch --
@@ -97,13 +103,16 @@ class Trainer:
         self.log(f"Train epoch: {epoch} loss: {avg:.6f} time: {dt:.2f}min")
         return avg
 
-    def eval_epoch(self, loader, epoch: int) -> float:
+    def eval_epoch(self, loader, epoch: int, rng=None) -> float:
         assert self.state is not None
         bsh = batch_sharding(self.mesh)
         total_loss, n = 0.0, 0
         for batch in loader:
             dev_batch = _device_batch(batch, bsh)
-            out = self._eval_step(self.state.params, dev_batch)
+            if self._eval_needs_rng:
+                out = self._eval_step(self.state.params, dev_batch, rng)
+            else:
+                out = self._eval_step(self.state.params, dev_batch)
             total_loss += float(out["loss"])
             n += 1
         avg = total_loss / max(n, 1)

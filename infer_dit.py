@@ -1,0 +1,97 @@
+"""Full-pipeline inference CLI: image -> DiT -> point latent -> ArAE -> mesh
+(reference: infer_dit.py:34-144).
+
+Usage:
+    python infer_dit.py ArAE --test_path img.png --resume arae_ckpt
+        --resume2 dit_ckpt --workspace out/
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+import time
+
+import jax
+import numpy as np
+
+from edgerunner_tpu.config import parse_cli
+from edgerunner_tpu.data import save_mesh
+from edgerunner_tpu.data.image_io import load_image_cond
+from edgerunner_tpu.generate import generate_tokens, trim_eos
+from edgerunner_tpu.models.lmm import LMM
+from edgerunner_tpu.models.mdit import MDiT, run_mdit
+from edgerunner_tpu.train.checkpoint import (
+    init_lmm_params,
+    restore_pytree,
+    tolerant_merge,
+)
+from edgerunner_tpu.utils import get_tokenizer
+
+
+def main():
+    opt = parse_cli(prog="infer_dit.py")
+    # the LMM consumes externally-produced latents (reference: infer_dit.py:55)
+    opt = dataclasses.replace(opt, cond_mode="point_latent")
+
+    rng = jax.random.PRNGKey(opt.seed)
+    tokenizer, _ = get_tokenizer(opt)
+
+    model = LMM(opt)
+    params = init_lmm_params(model, opt, rng)
+    if opt.resume is not None:
+        params = tolerant_merge(params, restore_pytree(opt.resume),
+                                align_posemb=opt.align_posemb)
+        print(f"[INFO] Loaded ArAE checkpoint from {opt.resume}")
+    else:
+        print("[WARN] ArAE randomly initialized, are you sane?")
+
+    model_dit = MDiT(opt)
+    from main_dit import init_mdit_params
+
+    params_dit = init_mdit_params(model_dit, opt, rng)
+    if opt.resume2 is not None:
+        params_dit = tolerant_merge(params_dit, restore_pytree(opt.resume2),
+                                    align_posemb=opt.align_posemb)
+        print(f"[INFO] Loaded DiT checkpoint from {opt.resume2}")
+    else:
+        print("[WARN] DiT randomly initialized, are you sane?")
+
+    os.makedirs(opt.workspace, exist_ok=True)
+
+    assert opt.test_path is not None, "--test_path is required"
+    paths = (sorted(glob.glob(os.path.join(opt.test_path, "*")))
+             if os.path.isdir(opt.test_path) else [opt.test_path])
+
+    for path in paths:
+        name = os.path.splitext(os.path.basename(path))[0]
+        image = load_image_cond(path)[None]  # [1, H, W, 3]
+
+        for i in range(opt.test_repeat):
+            for num_faces in opt.test_num_face:
+                t0 = time.time()
+                rng, r1, r2 = jax.random.split(rng, 3)
+                latents = run_mdit(model_dit, params_dit, image,
+                                   num_inference_steps=100,
+                                   guidance_scale=7.5, rng=r1)
+                tokens = generate_tokens(
+                    model, params, np.asarray(latents),
+                    num_faces=num_faces,
+                    max_new_tokens=opt.test_max_seq_length, rng=r2,
+                    use_grammar=opt.use_meto)[0]
+
+                filename = f"{name}_{i}"
+                if opt.use_num_face_cond:
+                    filename += f"_{num_faces}f"
+                verts, faces = save_mesh(
+                    tokens, opt, os.path.join(opt.workspace, filename + ".obj"),
+                    tokenizer=tokenizer, clean=True, verbose=True)
+                np.save(os.path.join(opt.workspace, filename + "_tokens.npy"),
+                        trim_eos(tokens) - 3)
+                print(f"[INFO] {path} --> {filename}.obj ({faces.shape[0]} faces), "
+                      f"time = {time.time() - t0:.4f}s")
+
+
+if __name__ == "__main__":
+    main()

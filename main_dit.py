@@ -1,0 +1,88 @@
+"""DiT training CLI (reference: main_dit.py:33-238).
+
+Usage:
+    python main_dit.py DiT --data_root ./data --workspace ./workspace_dit
+        [--resume arae_ckpt]   # loads the (frozen) point encoder weights
+        [--resume2 dit_ckpt]   # resumes the MDiT itself
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+from edgerunner_tpu.config import parse_cli
+from edgerunner_tpu.data.dataset import DataLoader
+from edgerunner_tpu.data.dataset_dit import DiTMeshDataset, collate_dit
+from edgerunner_tpu.models.mdit import MDiT
+from edgerunner_tpu.train.checkpoint import (
+    CheckpointManager,
+    restore_pytree,
+    tolerant_merge,
+)
+from edgerunner_tpu.train.state import make_dit_eval_step, make_dit_train_step
+from edgerunner_tpu.train.trainer import Trainer
+from edgerunner_tpu.utils import init_logger
+
+
+def init_mdit_params(model, opt, rng):
+    import jax.numpy as jnp
+
+    B = 1
+    images = jnp.zeros((B, 224, 224, 3))
+    points = jnp.zeros((B, opt.point_num, 3))
+    rngs = {"params": rng, "cfg": rng, "noise": rng, "time": rng}
+    return model.init(rngs, images, points, train=True)
+
+
+def main():
+    opt = parse_cli(prog="main_dit.py")
+
+    os.makedirs(opt.workspace, exist_ok=True)
+    logger = init_logger(os.path.join(opt.workspace, "log.txt"))
+    logger.info(str(opt))
+
+    model = MDiT(opt)
+    rng = jax.random.PRNGKey(opt.seed)
+
+    train_dataset = DiTMeshDataset(opt, training=True)
+    test_dataset = DiTMeshDataset(opt, training=False)
+    logger.info(f"train dataset size: {len(train_dataset)}")
+
+    train_loader = DataLoader(train_dataset, opt, opt.batch_size, shuffle=True,
+                              seed=opt.seed, collate_fn=collate_dit)
+    test_loader = DataLoader(test_dataset, opt, opt.batch_size, shuffle=False,
+                             drop_last=False, seed=opt.seed, collate_fn=collate_dit)
+
+    total_steps = opt.num_epochs * len(train_loader) // opt.gradient_accumulation_steps
+    trainer = Trainer(model, opt, total_steps, logger=logger,
+                      step_builder=make_dit_train_step,
+                      eval_builder=make_dit_eval_step, eval_needs_rng=True)
+
+    params = init_mdit_params(model, opt, rng)
+    # resume: ArAE checkpoint carries the pretrained point encoder
+    # (reference: main_dit.py:55-88 loads both --resume and --resume2)
+    for path in (opt.resume, opt.resume2):
+        if path is not None:
+            ckpt = restore_pytree(path)
+            params = tolerant_merge(params, ckpt, align_posemb=opt.align_posemb,
+                                    log=logger.warning)
+
+    num_params = sum(x.size for x in jax.tree.leaves(params))
+    logger.info(f"total param count: {num_params/1e6:.3f} M")
+
+    trainer.init_state(params)
+    manager = CheckpointManager(opt.workspace, keep=2)
+
+    for epoch in range(opt.num_epochs):
+        if not opt.debug_eval:
+            avg_loss = trainer.train_epoch(train_loader, epoch, rng)
+            manager.save_epoch(epoch, trainer.state.params, loss=avg_loss,
+                               log=logger.info)
+        if opt.eval_mode == "loss":
+            trainer.eval_epoch(test_loader, epoch, rng=rng)
+
+
+if __name__ == "__main__":
+    main()

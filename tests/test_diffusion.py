@@ -1,0 +1,221 @@
+"""Diffusion tests: scheduler parity vs diffusers, DiT/MDiT forward+sampling."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from edgerunner_tpu.config import Options
+from edgerunner_tpu.diffusion import DiffusionSchedule, ddim_step, ddim_timesteps
+from edgerunner_tpu.models.dit import DiT, timestep_embedding
+from edgerunner_tpu.models.mdit import MDiT, run_mdit
+
+RNG = jax.random.PRNGKey(0)
+
+
+def tiny_opt(**kw):
+    base = dict(
+        cond_mode="point", point_latent_size=16, num_cond_tokens=17,
+        point_hidden_dim=32, point_num_heads=4, point_latent_dim=8,
+        dit_hidden_dim=32, dit_num_heads=4, dit_num_layers=2,
+        hidden_dim=64, num_layers=2, num_heads=4, point_num=64,
+        use_num_face_cond=True, checkpointing=False,
+    )
+    base.update(kw)
+    return Options(**base)
+
+
+# ------------------------------------------------------- scheduler parity --
+# (diffusers is not in the image; parity tests run wherever it is available,
+# self-consistency tests below always run)
+
+diffusers = pytest.importorskip if False else None
+try:
+    import diffusers  # noqa: F401
+    HAS_DIFFUSERS = True
+except ImportError:
+    HAS_DIFFUSERS = False
+
+needs_diffusers = pytest.mark.skipif(not HAS_DIFFUSERS, reason="diffusers not installed")
+
+
+def _ref_schedulers():
+    from diffusers import DDIMScheduler, DDPMScheduler
+
+    kw = dict(prediction_type="v_prediction", num_train_timesteps=1000,
+              beta_schedule="scaled_linear", beta_start=0.00085, beta_end=0.012,
+              clip_sample=False, thresholding=False, timestep_spacing="leading")
+    ddpm = DDPMScheduler(**kw)
+    ddim = DDIMScheduler(**kw, set_alpha_to_one=False, steps_offset=1)
+    return ddpm, ddim
+
+
+@needs_diffusers
+def test_alphas_cumprod_match_diffusers():
+    ddpm, _ = _ref_schedulers()
+    ours = np.asarray(DiffusionSchedule().alphas_cumprod)
+    ref = ddpm.alphas_cumprod.numpy()
+    np.testing.assert_allclose(ours, ref, rtol=2e-5)
+
+
+@needs_diffusers
+def test_add_noise_and_velocity_match_diffusers():
+    import torch
+
+    ddpm, _ = _ref_schedulers()
+    sched = DiffusionSchedule()
+    rng = np.random.default_rng(0)
+    x0 = rng.normal(size=(2, 8, 4)).astype(np.float32)
+    noise = rng.normal(size=(2, 8, 4)).astype(np.float32)
+    t = np.array([17, 900])
+
+    ours_noisy = np.asarray(sched.add_noise(jnp.asarray(x0), jnp.asarray(noise),
+                                            jnp.asarray(t)))
+    ref_noisy = ddpm.add_noise(torch.tensor(x0), torch.tensor(noise),
+                               torch.tensor(t)).numpy()
+    np.testing.assert_allclose(ours_noisy, ref_noisy, rtol=1e-4, atol=1e-5)
+
+    ours_v = np.asarray(sched.get_velocity(jnp.asarray(x0), jnp.asarray(noise),
+                                           jnp.asarray(t)))
+    ref_v = ddpm.get_velocity(torch.tensor(x0), torch.tensor(noise),
+                              torch.tensor(t)).numpy()
+    np.testing.assert_allclose(ours_v, ref_v, rtol=1e-4, atol=1e-5)
+
+
+@needs_diffusers
+def test_snr_matches_diffusers():
+    import torch
+    from diffusers.training_utils import compute_snr
+
+    ddpm, _ = _ref_schedulers()
+    sched = DiffusionSchedule()
+    t = np.array([0, 10, 500, 999])
+    ours = np.asarray(sched.snr(jnp.asarray(t)))
+    ref = compute_snr(ddpm, torch.tensor(t)).numpy()
+    np.testing.assert_allclose(ours, ref, rtol=2e-4)
+
+
+@needs_diffusers
+def test_ddim_timesteps_and_step_match_diffusers():
+    import torch
+
+    _, ddim = _ref_schedulers()
+    sched = DiffusionSchedule()
+    n = 10
+    ddim.set_timesteps(n)
+    ours_ts = ddim_timesteps(sched, n)
+    np.testing.assert_array_equal(ours_ts, ddim.timesteps.numpy())
+
+    rng = np.random.default_rng(1)
+    sample = rng.normal(size=(1, 8, 4)).astype(np.float32)
+    model_out = rng.normal(size=(1, 8, 4)).astype(np.float32)
+    for t in ours_ts[[0, 4, 9]]:
+        ours = np.asarray(ddim_step(sched, jnp.asarray(model_out), int(t),
+                                    jnp.asarray(sample), n))
+        ref = ddim.step(torch.tensor(model_out), int(t),
+                        torch.tensor(sample)).prev_sample.numpy()
+        np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=1e-5)
+
+
+# ------------------------------------------------------------- DiT / MDiT --
+
+def test_timestep_embedding_shape():
+    emb = timestep_embedding(jnp.array([0, 10, 999]), 256)
+    assert emb.shape == (3, 256)
+    # t=0: sin part zero, cos part one
+    np.testing.assert_allclose(np.asarray(emb[0, :128]), 0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(emb[0, 128:]), 1, atol=1e-6)
+
+
+def test_dit_forward_shape():
+    dit = DiT(hidden_dim=32, num_heads=4, latent_size=16, latent_dim=8,
+              num_layers=2)
+    x = jax.random.normal(RNG, (2, 16, 8))
+    c = jax.random.normal(RNG, (2, 5, 32))
+    t = jnp.array([3, 500])
+    params = dit.init(RNG, x, c, t)
+    out = dit.apply(params, x, c, t)
+    assert out.shape == (2, 16, 8)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.fixture(scope="module")
+def mdit_setup():
+    opt = tiny_opt()
+    model = MDiT(opt)
+    images = jax.random.uniform(RNG, (2, 32, 32, 3))
+    points = jax.random.normal(RNG, (2, opt.point_num, 3))
+    rngs = {"params": RNG, "cfg": RNG, "noise": RNG, "time": RNG}
+    params = model.init(rngs, images, points, train=True)
+    return opt, model, params, images, points
+
+
+def test_mdit_training_loss(mdit_setup):
+    opt, model, params, images, points = mdit_setup
+    out = model.apply(params, images, points, train=True,
+                      rngs={"cfg": RNG, "noise": RNG, "time": RNG})
+    assert np.isfinite(float(out["loss"]))
+
+
+def test_mdit_sampling_loop(mdit_setup):
+    opt, model, params, images, points = mdit_setup
+    latents = run_mdit(model, params, np.asarray(images[:1]),
+                       num_inference_steps=4, rng=RNG)
+    assert latents.shape == (1, opt.point_latent_size, opt.point_latent_dim)
+    assert np.isfinite(np.asarray(latents)).all()
+
+
+def test_mdit_img2img_strength(mdit_setup):
+    opt, model, params, images, points = mdit_setup
+    init = np.zeros((1, opt.point_latent_size, opt.point_latent_dim), np.float32)
+    latents = run_mdit(model, params, np.asarray(images[:1]),
+                       num_inference_steps=4, latents=init, strength=0.5, rng=RNG)
+    assert latents.shape == init.shape
+
+
+# ----------------------------------------------- scheduler self-consistency --
+
+def test_schedule_math_identities():
+    sched = DiffusionSchedule()
+    ac = np.asarray(sched.alphas_cumprod)
+    assert ac.shape == (1000,)
+    assert np.all(np.diff(ac) < 0) and ac[0] < 1 and ac[-1] > 0
+    rng = np.random.default_rng(0)
+    x0 = rng.normal(size=(2, 4, 3)).astype(np.float32)
+    eps = rng.normal(size=(2, 4, 3)).astype(np.float32)
+    t = np.array([5, 700])
+    xt = np.asarray(sched.add_noise(jnp.asarray(x0), jnp.asarray(eps), jnp.asarray(t)))
+    v = np.asarray(sched.get_velocity(jnp.asarray(x0), jnp.asarray(eps), jnp.asarray(t)))
+    a = ac[t][:, None, None]
+    # identity: sqrt(a)*xt - sqrt(1-a)*v == x0
+    np.testing.assert_allclose(np.sqrt(a) * xt - np.sqrt(1 - a) * v, x0,
+                               rtol=1e-4, atol=1e-5)
+    # and sqrt(a)*v + sqrt(1-a)*xt == eps
+    np.testing.assert_allclose(np.sqrt(a) * v + np.sqrt(1 - a) * xt, eps,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_ddim_step_recovers_x0_with_true_v():
+    """With the exact v as model output, DDIM at the last step returns x0-ish."""
+    sched = DiffusionSchedule()
+    rng = np.random.default_rng(1)
+    x0 = rng.normal(size=(1, 4, 3)).astype(np.float32)
+    eps = rng.normal(size=(1, 4, 3)).astype(np.float32)
+    n = 10
+    ts = ddim_timesteps(sched, n)
+    t = int(ts[-1])  # smallest timestep
+    xt = sched.add_noise(jnp.asarray(x0), jnp.asarray(eps), jnp.asarray([t]))
+    v = sched.get_velocity(jnp.asarray(x0), jnp.asarray(eps), jnp.asarray([t]))
+    prev = np.asarray(ddim_step(sched, v, t, xt, n))
+    ac = np.asarray(sched.alphas_cumprod)
+    # prev = sqrt(ac[0])*x0 + sqrt(1-ac[0])*eps (set_alpha_to_one=False)
+    want = np.sqrt(ac[0]) * x0 + np.sqrt(1 - ac[0]) * eps
+    np.testing.assert_allclose(prev, want, rtol=1e-4, atol=1e-5)
+
+
+def test_min_snr_weight():
+    sched = DiffusionSchedule()
+    t = jnp.array([10, 990])
+    w = np.asarray(sched.min_snr_weight(t, 5.0))
+    snr = np.asarray(sched.snr(t))
+    np.testing.assert_allclose(w, np.minimum(snr, 5.0) / (snr + 1), rtol=1e-5)
