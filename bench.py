@@ -57,9 +57,14 @@ def main():
         args.faces = min(args.faces, 12)
         args.batch = min(args.batch, 2)
 
-    model = LMM(opt)
+    import jax.numpy as jnp
+    from edgerunner_tpu.utils import cast_params
+
+    # bf16 end-to-end for inference (reference runs .half(), infer.py:56);
+    # also halves the KV cache, the HBM bound at 43k positions
+    model = LMM(opt, dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
-    params = init_lmm_params(model, opt, rng)
+    params = cast_params(init_lmm_params(model, opt, rng), jnp.bfloat16)
 
     B = args.batch
     conds = np.random.default_rng(0).normal(size=(B, opt.point_num, 3)).astype(np.float32)

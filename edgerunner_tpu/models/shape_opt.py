@@ -162,14 +162,8 @@ class ShapeOPTDecoder(nn.Module):
             c.max_position_embeddings, c.hidden_dim,
             embedding_init=nn.initializers.normal(stddev=c.init_std),
             name="embed_positions")
-        layer_cls = OPTDecoderLayer
-        if c.remat:
-            layer_cls = nn.remat(
-                OPTDecoderLayer,
-                static_argnums=(),
-                prevent_cse=False,
-            )
-        self.layers = [layer_cls(c, name=f"layers_{i}") for i in range(c.num_hidden_layers)]
+        self.layers = [OPTDecoderLayer(c, name=f"layers_{i}")
+                       for i in range(c.num_hidden_layers)]
 
     def embed_tokens(self, ids):
         return self.embd(ids).astype(self.cfg.dtype)
@@ -186,7 +180,16 @@ class ShapeOPTDecoder(nn.Module):
         T = inputs_embeds.shape[1]
         h = inputs_embeds.astype(self.cfg.dtype) + self._pos(0, T)[None]
         for layer in self.layers:
-            h = layer(h, lengths=lengths, deterministic=deterministic)
+            if self.cfg.remat:
+                # rematerialize each layer; static flags are closed over, not
+                # traced (gradient checkpointing, reference: modeling_opt.py:385)
+                h = nn.remat(
+                    lambda mdl, x: mdl(x, lengths=lengths,
+                                       deterministic=deterministic),
+                    prevent_cse=False,
+                )(layer, h)
+            else:
+                h = layer(h, lengths=lengths, deterministic=deterministic)
         return h
 
     def prefill(self, inputs_embeds, max_len: int):

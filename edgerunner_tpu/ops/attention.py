@@ -116,7 +116,6 @@ def attention(
         and N >= _MIN_FLASH_SEQ
         and N == M
         and kv_offset == 0
-        and D % 128 == 0
     )
     if use_flash:
         from .flash_attention import flash_attention

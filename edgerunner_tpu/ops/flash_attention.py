@@ -1,0 +1,377 @@
+"""Pallas TPU flash attention (forward + backward), the framework's hot op.
+
+Replaces the reference's flash-attn CUDA kernels (reference:
+core/transformer/attention.py:20-21,46,81-89). Differences by design:
+
+* ragged batches are expressed as per-row *prefix lengths* (kv_len [B]) —
+  masks computed from broadcasted iota inside the kernel — instead of the
+  reference's unpad/cu_seqlens varlen scheme (TPU wants static shapes)
+* online-softmax forward with log-sum-exp residuals; two backward kernels
+  (dq and dkv passes) recomputing probabilities from the lse, all in fp32
+* grid is (B, H, q_blocks, kv_blocks) with the kv axis innermost; causal
+  blocks strictly above the diagonal are predicated off
+* head_dim is zero-padded to the 128-lane boundary in the wrapper (ArAE uses
+  head_dim 96), sequence lengths padded to the block size with length masks
+
+Public entry: flash_attention(q, k, v, causal=..., q_len=..., kv_len=...)
+with q/k/v [B, N, H, D], differentiable via jax.custom_vjp.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 512
+
+
+def _interpret() -> bool:
+    # run kernels in interpreter mode off-TPU (CPU tests / virtual meshes)
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------- forward --
+
+def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                acc_ref, m_ref, l_ref, *, scale, causal, block_q, block_k):
+    b = pl.program_id(0)
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ik == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q_start = iq * block_q
+    kv_start = ik * block_k
+
+    run = True
+    if causal:
+        run = kv_start <= q_start + block_q - 1
+
+    @pl.when(run)
+    def _():
+        q = q_ref[0, 0].astype(jnp.float32)  # [BQ, D]
+        k = k_ref[0, 0].astype(jnp.float32)  # [BK, D]
+        v = v_ref[0, 0].astype(jnp.float32)  # [BK, D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [BQ, BK]
+
+        cols = kv_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        valid = cols < len_ref[b]
+        if causal:
+            rows = q_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            valid = valid & (cols <= rows)
+        s = jnp.where(valid, s, NEG_INF)
+
+        m_old = m_ref[:, :1]                       # [BQ, 1]
+        m_blk = jnp.max(s, axis=1, keepdims=True)  # [BQ, 1]
+        m_new = jnp.maximum(m_old, m_blk)
+        p = jnp.exp(s - m_new)                     # [BQ, BK]
+        alpha = jnp.exp(m_old - m_new)             # [BQ, 1]
+
+        l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_ref[:, :1] = m_new
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(ik == nk - 1)
+    def _():
+        l = l_ref[:, :1]
+        safe_l = jnp.where(l > 0, l, 1.0)
+        o_ref[0, 0] = (acc_ref[:] / safe_l).astype(o_ref.dtype)
+        lse_ref[0, 0] = m_ref[:, :1] + jnp.log(safe_l)
+
+
+def _fwd(q, k, v, kv_len, *, causal, block_q, block_k, d_orig):
+    """q/k/v: [B, H, N, D] (padded); kv_len: [B] int32.
+    Returns (o [B,H,N,D], lse [B,H,N])."""
+    B, H, N, D = q.shape
+    M = k.shape[2]
+    nq = N // block_q
+    nk = M // block_k
+    scale = 1.0 / np.sqrt(d_orig)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, H, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, iq, ik, *_: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, iq, ik, *_: (b, h, ik, 0)),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, iq, ik, *_: (b, h, ik, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, iq, ik, *_: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, iq, ik, *_: (b, h, iq, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, D), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, causal=causal,
+        block_q=block_q, block_k=block_k)
+    o, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, N, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, N, 1), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(kv_len, q, k, v)
+    return o, lse
+
+
+# --------------------------------------------------------------- backward --
+
+def _bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                   dq_ref, dq_acc, *, scale, causal, block_q, block_k):
+    b = pl.program_id(0)
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ik == 0)
+    def _():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    q_start = iq * block_q
+    kv_start = ik * block_k
+    run = True
+    if causal:
+        run = kv_start <= q_start + block_q - 1
+
+    @pl.when(run)
+    def _():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0]      # [BQ, 1]
+        delta = delta_ref[0, 0]  # [BQ, 1]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        cols = kv_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        valid = cols < len_ref[b]
+        if causal:
+            rows = q_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            valid = valid & (cols <= rows)
+        p = jnp.where(valid, jnp.exp(s - lse), 0.0)       # [BQ, BK]
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)                              # [BQ, BK]
+        dq_acc[:] = dq_acc[:] + scale * jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(ik == nk - 1)
+    def _():
+        dq_ref[0, 0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, dk_acc, dv_acc,
+                    *, scale, causal, block_q, block_k):
+    b = pl.program_id(0)
+    ik = pl.program_id(2)   # kv block outer
+    iq = pl.program_id(3)   # q block inner
+    nq = pl.num_programs(3)
+
+    @pl.when(iq == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q_start = iq * block_q
+    kv_start = ik * block_k
+    run = True
+    if causal:
+        run = kv_start <= q_start + block_q - 1
+
+    @pl.when(run)
+    def _():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0]
+        delta = delta_ref[0, 0]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [BQ, BK]
+        cols = kv_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        valid = cols < len_ref[b]
+        if causal:
+            rows = q_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            valid = valid & (cols <= rows)
+        p = jnp.where(valid, jnp.exp(s - lse), 0.0)
+
+        # dv += P^T dO
+        dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)  # [BQ, BK]
+        # dk += dS^T Q * scale
+        dk_acc[:] = dk_acc[:] + scale * jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(iq == nq - 1)
+    def _():
+        dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _bwd(q, k, v, do, o, lse, kv_len, *, causal, block_q, block_k, d_orig):
+    B, H, N, D = q.shape
+    M = k.shape[2]
+    nq = N // block_q
+    nk = M // block_k
+    scale = 1.0 / np.sqrt(d_orig)
+
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1, keepdims=True)  # [B,H,N,1]
+
+    common_in = [
+        pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j, *_: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j, *_: (b, h, j, 0)),
+        pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j, *_: (b, h, j, 0)),
+        pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j, *_: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j, *_: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j, *_: (b, h, i, 0)),
+    ]
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, causal=causal,
+                          block_q=block_q, block_k=block_k),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, H, nq, nk),
+            in_specs=common_in,
+            out_specs=[pl.BlockSpec((1, 1, block_q, D),
+                                    lambda b, h, i, j, *_: (b, h, i, 0))],
+            scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((B, H, N, D), q.dtype)],
+        interpret=_interpret(),
+    )(kv_len, q, k, v, do, lse, delta)[0]
+
+    # dkv pass: kv blocks outer, q blocks inner
+    dkv_in = [
+        pl.BlockSpec((1, 1, block_q, D), lambda b, h, j, i, *_: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, block_k, D), lambda b, h, j, i, *_: (b, h, j, 0)),
+        pl.BlockSpec((1, 1, block_k, D), lambda b, h, j, i, *_: (b, h, j, 0)),
+        pl.BlockSpec((1, 1, block_q, D), lambda b, h, j, i, *_: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, block_q, 1), lambda b, h, j, i, *_: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, block_q, 1), lambda b, h, j, i, *_: (b, h, i, 0)),
+    ]
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, causal=causal,
+                          block_q=block_q, block_k=block_k),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, H, nk, nq),
+            in_specs=dkv_in,
+            out_specs=[
+                pl.BlockSpec((1, 1, block_k, D), lambda b, h, j, i, *_: (b, h, j, 0)),
+                pl.BlockSpec((1, 1, block_k, D), lambda b, h, j, i, *_: (b, h, j, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_k, D), jnp.float32),
+                pltpu.VMEM((block_k, D), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, M, D), k.dtype),
+            jax.ShapeDtypeStruct((B, H, M, D), v.dtype),
+        ],
+        interpret=_interpret(),
+    )(kv_len, q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
+# ------------------------------------------------------- differentiable op --
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_core(q, k, v, kv_len, causal, block_q, block_k, d_orig):
+    o, _ = _fwd(q, k, v, kv_len, causal=causal, block_q=block_q,
+                block_k=block_k, d_orig=d_orig)
+    return o
+
+
+def _flash_core_fwd(q, k, v, kv_len, causal, block_q, block_k, d_orig):
+    o, lse = _fwd(q, k, v, kv_len, causal=causal, block_q=block_q,
+                  block_k=block_k, d_orig=d_orig)
+    return o, (q, k, v, o, lse, kv_len)
+
+
+def _flash_core_bwd(causal, block_q, block_k, d_orig, res, g):
+    q, k, v, o, lse, kv_len = res
+    dq, dk, dv = _bwd(q, k, v, g, o, lse, kv_len, causal=causal,
+                      block_q=block_q, block_k=block_k, d_orig=d_orig)
+    return dq, dk, dv, np.zeros(kv_len.shape, jax.dtypes.float0)
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    q_len: Optional[jax.Array] = None,
+    kv_len: Optional[jax.Array] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jax.Array:
+    """q: [B, N, H, D]; k/v: [B, M, H, D]; prefix length masks [B].
+    Returns [B, N, H, D]; rows beyond q_len are zeroed."""
+    B, N, H, D = q.shape
+    M = k.shape[1]
+
+    block_q = min(block_q, _round_up(N, 128))
+    block_k = min(block_k, _round_up(M, 128))
+    Np = _round_up(N, block_q)
+    Mp = _round_up(M, block_k)
+    Dp = _round_up(D, 128)
+
+    if kv_len is None:
+        kv_len = jnp.full((B,), M, jnp.int32)
+    kv_len = kv_len.astype(jnp.int32)
+
+    def prep(x, L, Lp):
+        x = jnp.transpose(x, (0, 2, 1, 3))  # [B, H, L, D]
+        return jnp.pad(x, ((0, 0), (0, 0), (0, Lp - L), (0, Dp - D)))
+
+    qp = prep(q, N, Np)
+    kp = prep(k, M, Mp)
+    vp = prep(v, M, Mp)
+
+    o = _flash_core(qp, kp, vp, kv_len, causal, block_q, block_k, D)
+    o = jnp.transpose(o[:, :, :N, :D], (0, 2, 1, 3))
+    if q_len is not None:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1) < q_len[:, None]
+        o = jnp.where(rows[:, :, None, None], o, 0)
+    return o

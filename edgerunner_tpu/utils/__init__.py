@@ -1,3 +1,10 @@
-from .misc import get_tokenizer, init_logger, quantize_num_faces
+from .misc import (
+    cast_params,
+    compute_dtype,
+    get_tokenizer,
+    init_logger,
+    quantize_num_faces,
+)
 
-__all__ = ["get_tokenizer", "init_logger", "quantize_num_faces"]
+__all__ = ["cast_params", "compute_dtype", "get_tokenizer", "init_logger",
+           "quantize_num_faces"]

@@ -4,8 +4,21 @@ from __future__ import annotations
 
 import logging
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def compute_dtype(opt):
+    """Training/inference compute dtype from the mixed_precision option."""
+    return jnp.bfloat16 if opt.mixed_precision == "bf16" else jnp.float32
+
+
+def cast_params(params, dtype):
+    """Cast float params (inference-time .half() equivalent, infer.py:56)."""
+    return jax.tree.map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        params)
 
 
 def init_logger(filename: str) -> logging.Logger:

@@ -97,9 +97,14 @@ def main():
     opt = validate(parse_cli(prog="infer.py"))
     rng = jax.random.PRNGKey(opt.seed)
 
+    import jax.numpy as jnp
+
+    from edgerunner_tpu.utils import cast_params
+
     tokenizer, vocab_size = get_tokenizer(opt)
-    model = LMM(opt)
-    params = load_params_for_inference(model, opt, rng)
+    # bf16 inference (reference: model.half(), infer.py:56)
+    model = LMM(opt, dtype=jnp.bfloat16)
+    params = cast_params(load_params_for_inference(model, opt, rng), jnp.bfloat16)
 
     assert opt.test_path is not None, "--test_path is required"
     if os.path.isdir(opt.test_path):

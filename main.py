@@ -36,8 +36,10 @@ def main():
     logger = init_logger(os.path.join(opt.workspace, "log.txt"))
     logger.info(str(opt))
 
+    from edgerunner_tpu.utils import compute_dtype
+
     tokenizer, vocab_size = get_tokenizer(opt)
-    model = LMM(opt)
+    model = LMM(opt, dtype=compute_dtype(opt))
     rng = jax.random.PRNGKey(opt.seed)
 
     # data

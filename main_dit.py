@@ -43,7 +43,9 @@ def main():
     logger = init_logger(os.path.join(opt.workspace, "log.txt"))
     logger.info(str(opt))
 
-    model = MDiT(opt)
+    from edgerunner_tpu.utils import compute_dtype
+
+    model = MDiT(opt, dtype=compute_dtype(opt))
     rng = jax.random.PRNGKey(opt.seed)
 
     train_dataset = DiTMeshDataset(opt, training=True)

@@ -1,0 +1,95 @@
+"""Pallas flash attention vs the fused-softmax reference (interpret mode on
+CPU; the same kernels compile natively on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from edgerunner_tpu.ops.attention import attention_reference
+from edgerunner_tpu.ops.flash_attention import flash_attention
+
+RNG = jax.random.PRNGKey(0)
+
+
+def _rand(B, N, H, D, key=0):
+    ks = jax.random.split(jax.random.PRNGKey(key), 3)
+    q = jax.random.normal(ks[0], (B, N, H, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, N, H, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, N, H, D), jnp.float32)
+    return q, k, v
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_forward_matches_reference(causal):
+    q, k, v = _rand(2, 256, 2, 64)
+    out = flash_attention(q, k, v, causal=causal, block_q=128, block_k=128)
+    ref = attention_reference(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_forward_with_kv_len():
+    q, k, v = _rand(2, 256, 2, 64)
+    kv_len = jnp.array([100, 256], jnp.int32)
+    out = flash_attention(q, k, v, causal=True, q_len=kv_len, kv_len=kv_len,
+                          block_q=128, block_k=128)
+    ref = attention_reference(q, k, v, causal=True, q_len=kv_len, kv_len=kv_len)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_forward_unaligned_seq_and_headdim():
+    # N=200 (pads to block), D=96 (pads to 128) — the ArAE head_dim case
+    q, k, v = _rand(1, 200, 2, 96)
+    out = flash_attention(q, k, v, causal=True, block_q=128, block_k=128)
+    ref = attention_reference(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_gradients_match_reference(causal):
+    q, k, v = _rand(1, 256, 2, 64, key=3)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=causal,
+                                       block_q=128, block_k=128) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_reference(q, k, v, causal=causal) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4, err_msg=f"d{name}")
+
+
+def test_gradients_with_kv_len():
+    q, k, v = _rand(2, 128, 2, 64, key=4)
+    kv_len = jnp.array([70, 128], jnp.int32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=True, q_len=kv_len,
+                                       kv_len=kv_len, block_q=128, block_k=128) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_reference(q, k, v, causal=True, q_len=kv_len,
+                                           kv_len=kv_len) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4, err_msg=f"d{name}")
+
+
+def test_bfloat16_inputs():
+    q, k, v = _rand(1, 128, 2, 64, key=5)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    out = flash_attention(qb, kb, vb, causal=True, block_q=128, block_k=128)
+    assert out.dtype == jnp.bfloat16
+    ref = attention_reference(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
+                               rtol=0.05, atol=0.05)
