@@ -231,6 +231,30 @@ def _fan_mesh(rng, n):
     return v, f
 
 
+class MixedDataset:
+    """Concatenation of several mesh datasets (reference: MixedDataset,
+    provider.py:435-466). Pass roots via opt.data_root as a colon-separated
+    list, e.g. --data_root dir_a:dir_b."""
+
+    def __init__(self, opt: Options, training: bool = True, tokenizer=None):
+        roots = [r for r in opt.data_root.split(":") if r]
+        self.datasets = [
+            MeshFolderDataset(opt, training=training, tokenizer=tokenizer, root=r)
+            for r in roots
+        ]
+        self.lens = [len(d) for d in self.datasets]
+
+    def __len__(self) -> int:
+        return sum(self.lens)
+
+    def __getitem__(self, idx: int) -> dict:
+        for d in self.datasets:
+            if idx < len(d):
+                return d[idx]
+            idx -= len(d)
+        raise IndexError(idx)
+
+
 # ----------------------------------------------------------------- collate --
 
 def collate(batch: list[dict], opt: Options, bucket: Optional[int] = None) -> dict:

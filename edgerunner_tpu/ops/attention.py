@@ -113,9 +113,9 @@ def attention(
     M = k.shape[1]
     use_flash = (
         jax.default_backend() == "tpu"
-        and N >= _MIN_FLASH_SEQ
-        and N == M
         and kv_offset == 0
+        and (not causal or N == M)          # causal diag needs square layout
+        and (N >= _MIN_FLASH_SEQ or N * M >= 1024 * 1024)
     )
     if use_flash:
         from .flash_attention import flash_attention

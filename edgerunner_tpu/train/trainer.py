@@ -77,22 +77,36 @@ class Trainer:
         return self.state
 
     # ------------------------------------------------------------ one epoch --
-    def train_epoch(self, loader, epoch: int, rng) -> float:
+    def train_epoch(self, loader, epoch: int, rng, profile_dir=None,
+                    on_step=None) -> float:
+        """profile_dir: capture a jax.profiler trace of steps 10-14 of epoch 0
+        (the reference has no profiler at all; SURVEY §5). on_step: optional
+        callback(step, metrics) for external metric sinks (wandb)."""
         assert self.state is not None, "call init_state first"
         bsh = batch_sharding(self.mesh)
         total_loss, n = 0.0, 0
         t_start = time.time()
+        t_step = time.time()
         num_batches = len(loader)
         for i, batch in enumerate(loader):
+            if profile_dir and epoch == 0 and i == 10:
+                jax.profiler.start_trace(profile_dir)
             dev_batch = _device_batch(batch, bsh)
             self.state, metrics = self._train_step(self.state, dev_batch, rng)
             loss = float(metrics["loss"])
+            if profile_dir and epoch == 0 and i == 14:
+                jax.profiler.stop_trace()
+                self.log(f"[profiler] trace written to {profile_dir}")
             total_loss += loss
             n += 1
+            if on_step is not None:
+                on_step(int(self.state.step), metrics)
             if i % 10 == 0:
                 lr = float(self.schedule(int(self.state.step)))
+                dt_step = (time.time() - t_step) / 10 if i else time.time() - t_step
+                t_step = time.time()
                 log = (f"{epoch:03d}:{i}/{num_batches} "
-                       f"lr: {lr:.7f} loss: {loss:.6f}")
+                       f"lr: {lr:.7f} loss: {loss:.6f} ({dt_step:.2f}s/it)")
                 if "loss_ce" in metrics:
                     log += f" loss_ce: {float(metrics['loss_ce']):.6f}"
                 if "loss_kl" in metrics:

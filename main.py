@@ -17,7 +17,12 @@ import numpy as np
 
 from edgerunner_tpu.config import parse_cli, validate
 from edgerunner_tpu.data import save_mesh
-from edgerunner_tpu.data.dataset import DataLoader, MeshFolderDataset, SyntheticMeshDataset
+from edgerunner_tpu.data.dataset import (
+    DataLoader,
+    MeshFolderDataset,
+    MixedDataset,
+    SyntheticMeshDataset,
+)
 from edgerunner_tpu.train.checkpoint import (
     CheckpointManager,
     init_lmm_params,
@@ -42,10 +47,16 @@ def main():
     model = LMM(opt, dtype=compute_dtype(opt))
     rng = jax.random.PRNGKey(opt.seed)
 
-    # data
-    if os.path.isdir(opt.data_root):
-        train_dataset = MeshFolderDataset(opt, training=True, tokenizer=tokenizer)
-        test_dataset = MeshFolderDataset(opt, training=False, tokenizer=tokenizer)
+    # data ('objxl' = multiple roots mixed, reference: MixedDataset)
+    first_root = opt.data_root.split(":")[0]
+    if os.path.isdir(first_root):
+        if opt.dataset == "objxl" and ":" in opt.data_root:
+            train_dataset = MixedDataset(opt, training=True, tokenizer=tokenizer)
+        else:
+            train_dataset = MeshFolderDataset(opt, training=True, tokenizer=tokenizer,
+                                              root=first_root)
+        test_dataset = MeshFolderDataset(opt, training=False, tokenizer=tokenizer,
+                                         root=first_root)
     else:
         logger.warning(f"data_root {opt.data_root} not found; using synthetic data")
         train_dataset = SyntheticMeshDataset(opt, size=256, training=True,
@@ -75,11 +86,33 @@ def main():
     trainer.init_state(params)
     manager = CheckpointManager(opt.workspace, keep=2)
 
+    on_step = None
+    if opt.use_wandb:
+        import wandb
+
+        wandb.init(project="lmm", name=os.path.basename(opt.workspace),
+                   config=vars(opt))
+
+        def on_step(step, metrics):
+            if step % 10 == 0:
+                wandb.log({k: float(v) for k, v in metrics.items()}, step=step)
+
+    profile_dir = os.path.join(opt.workspace, "profile")
+
     for epoch in range(opt.num_epochs):
         if not opt.debug_eval:
-            avg_loss = trainer.train_epoch(train_loader, epoch, rng)
-            manager.save_epoch(epoch, trainer.state.params, loss=avg_loss,
-                               log=logger.info)
+            avg_loss = trainer.train_epoch(train_loader, epoch, rng,
+                                           profile_dir=profile_dir,
+                                           on_step=on_step)
+            # also persist optimizer state: resumable training, which the
+            # reference lacks (weights-only resume; SURVEY §5)
+            manager.save_epoch(epoch, trainer.state.params,
+                               opt_state=trainer.state.opt_state,
+                               loss=avg_loss, log=logger.info)
+            if opt.use_wandb:
+                import wandb
+
+                wandb.log({"train_loss": avg_loss})
         else:
             logger.info(f"epoch: {epoch} skip training for debug !!!")
 

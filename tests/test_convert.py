@@ -1,0 +1,132 @@
+"""Checkpoint-converter tests: reference-named torch tensors -> flax params.
+
+Builds synthetic state_dicts with the reference's parameter names/shapes and
+checks (a) the converted pytree merges losslessly into a real model's params
+and (b) torch<->flax linear conventions (transpose) produce identical math.
+"""
+
+import sys, os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from convert_reference_ckpt import convert_lmm, convert_mdit  # noqa: E402
+
+from edgerunner_tpu.config import Options
+from edgerunner_tpu.models.lmm import LMM
+from edgerunner_tpu.train.checkpoint import init_lmm_params, tolerant_merge
+
+RNG = jax.random.PRNGKey(0)
+
+
+def _tiny_opt():
+    return Options(cond_mode="point", point_latent_size=16, num_cond_tokens=17,
+                   point_hidden_dim=32, point_num_heads=4, point_latent_dim=8,
+                   hidden_dim=64, num_layers=2, num_heads=4, max_seq_length=64,
+                   use_num_face_cond=True, checkpointing=False)
+
+
+def _fake_reference_lmm_sd(opt) -> dict:
+    """State_dict with the reference's names (models.py / modeling_opt.py /
+    point.py) at tiny shapes."""
+    r = np.random.default_rng(0)
+    H, P = opt.hidden_dim, opt.point_hidden_dim
+    vocab = opt.discrete_bins + 6
+    maxpos = opt.max_seq_length + opt.num_cond_tokens + 10
+
+    def lin(i, o):
+        return {"weight": r.normal(size=(o, i)).astype(np.float32),
+                "bias": r.normal(size=(o,)).astype(np.float32)}
+
+    sd = {}
+
+    def put(prefix, d):
+        for k, v in d.items():
+            sd[f"{prefix}.{k}"] = v
+
+    # point encoder (PointEncoderEmbed, point.py:172-205)
+    sd["point_encoder.query_embed"] = r.normal(
+        size=(1, opt.point_latent_size, P)).astype(np.float32)
+    put("point_encoder.point_embed.mlp", lin(51, P))
+    put("point_encoder.ln", {"weight": np.ones(P, np.float32),
+                             "bias": np.zeros(P, np.float32)})
+    for ln in ("ln1", "ln2"):
+        put(f"point_encoder.cross_att.{ln}",
+            {"weight": np.ones(P, np.float32), "bias": np.zeros(P, np.float32)})
+    for pr in ("q_proj", "k_proj", "v_proj", "out_proj"):
+        put(f"point_encoder.cross_att.att.{pr}", lin(P, P))
+    put("point_encoder.cross_att.mlp.net.0", lin(P, P * 8))
+    put("point_encoder.cross_att.mlp.net.2", lin(P * 4, P))
+    put("point_encoder.linear", lin(P, opt.point_latent_dim))
+
+    put("proj_cond", lin(opt.point_latent_dim, H))
+    put("norm_cond", {"weight": np.ones(H, np.float32), "bias": np.zeros(H, np.float32)})
+    sd["embed_num_face.weight"] = r.normal(size=(10, H)).astype(np.float32)
+
+    # decoder (modeling_opt.py)
+    sd["mesh_decoder.model.embd.weight"] = r.normal(size=(vocab, H)).astype(np.float32)
+    sd["mesh_decoder.model.embed_positions.weight"] = r.normal(
+        size=(maxpos, H)).astype(np.float32)
+    for i in range(opt.num_layers):
+        lp = f"mesh_decoder.model.layers.{i}"
+        for pr in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            put(f"{lp}.self_attn.{pr}", lin(H, H))
+        put(f"{lp}.self_attn_layer_norm",
+            {"weight": np.ones(H, np.float32), "bias": np.zeros(H, np.float32)})
+        put(f"{lp}.fc1", lin(H, H * 4))
+        put(f"{lp}.fc2", lin(H * 4, H))
+        put(f"{lp}.final_layer_norm",
+            {"weight": np.ones(H, np.float32), "bias": np.zeros(H, np.float32)})
+    sd["mesh_decoder.lm_head.weight"] = r.normal(size=(vocab, H)).astype(np.float32)
+    return sd
+
+
+def test_convert_lmm_merges_fully():
+    opt = _tiny_opt()
+    sd = _fake_reference_lmm_sd(opt)
+    tree = convert_lmm(sd)
+
+    model = LMM(opt)
+    params = init_lmm_params(model, opt, RNG)
+
+    mismatches = []
+    merged = tolerant_merge(params, tree,
+                            log=lambda m: mismatches.append(m))
+    problems = [m for m in mismatches
+                if "mismatch" in m or "unexpected" in m or "missing" in m]
+    assert not problems, problems
+
+    # spot-check a weight made it through with the transpose applied
+    got = np.asarray(merged["params"]["mesh_decoder"]["lm_head"]["kernel"])
+    want = sd["mesh_decoder.lm_head.weight"].T
+    np.testing.assert_array_equal(got, want)
+
+    # and that the model runs with converted weights
+    tokens = jnp.array([[1, 6, 7, 8, 2]])
+    C = opt.num_cond_tokens
+    labels = jnp.concatenate([jnp.full((1, C + 1), -100), tokens[:, 1:]], axis=1)
+    out = model.apply(merged, jnp.zeros((1, 32, 3)), tokens, labels,
+                      jnp.array([100]), jnp.array([C + 5], jnp.int32))
+    assert np.isfinite(float(out["loss"]))
+
+
+def test_linear_convention_matches_torch():
+    """torch Linear(x) == flax Dense with converted kernel."""
+    torch = __import__("torch")
+    lin = torch.nn.Linear(6, 4)
+    x = np.random.default_rng(1).normal(size=(2, 6)).astype(np.float32)
+    want = lin(torch.tensor(x)).detach().numpy()
+
+    import flax.linen as nn
+
+    sd = {"l.weight": lin.weight.detach().numpy(), "l.bias": lin.bias.detach().numpy()}
+    from convert_reference_ckpt import linear
+
+    p = linear(sd, "l")
+    dense = nn.Dense(4)
+    got = dense.apply({"params": {"kernel": jnp.asarray(p["kernel"]),
+                                  "bias": jnp.asarray(p["bias"])}}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)

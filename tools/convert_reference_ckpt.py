@@ -1,0 +1,212 @@
+"""Convert a reference (torch) EdgeRunner checkpoint into edgerunner-tpu params.
+
+Maps the reference LMM / MDiT state_dict names (reference: core/models.py,
+core/models_dit.py, core/transformer/*) onto this framework's flax pytrees
+and writes an orbax checkpoint loadable via --resume.
+
+Usage:
+    python tools/convert_reference_ckpt.py model.safetensors out_ckpt \
+        --model lmm --preset ArAE [--flag value ...]
+
+Accepts .safetensors (via safetensors) or torch .pt/.bin files.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def load_torch_state_dict(path: str) -> dict:
+    if path.endswith(".safetensors"):
+        from safetensors import safe_open
+
+        out = {}
+        with safe_open(path, framework="np") as f:
+            for k in f.keys():
+                out[k] = f.get_tensor(k)
+        return out
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(ckpt, dict) and "state_dict" in ckpt:
+        ckpt = ckpt["state_dict"]
+    return {k: v.numpy() for k, v in ckpt.items()}
+
+
+# ------------------------------------------------------------- converters --
+
+def _arr(x):
+    return np.asarray(x, dtype=np.float32)
+
+
+def linear(sd, prefix):
+    out = {"kernel": _arr(sd[prefix + ".weight"]).T}
+    if prefix + ".bias" in sd:
+        out["bias"] = _arr(sd[prefix + ".bias"])
+    return out
+
+
+def layernorm(sd, prefix):
+    return {"scale": _arr(sd[prefix + ".weight"]),
+            "bias": _arr(sd[prefix + ".bias"])}
+
+
+def embedding(sd, prefix):
+    return {"embedding": _arr(sd[prefix + ".weight"])}
+
+
+def res_cross_att_block(sd, prefix):
+    """reference ResCrossAttBlock (point.py:108-126) -> layers.ResCrossAttBlock."""
+    return {
+        "ln1": layernorm(sd, prefix + ".ln1"),
+        "ln2": layernorm(sd, prefix + ".ln2"),
+        "att": {
+            "q_proj": linear(sd, prefix + ".att.q_proj"),
+            "k_proj": linear(sd, prefix + ".att.k_proj"),
+            "v_proj": linear(sd, prefix + ".att.v_proj"),
+            "out_proj": linear(sd, prefix + ".att.out_proj"),
+        },
+        "mlp": {
+            "fc_in": linear(sd, prefix + ".mlp.net.0"),
+            "fc_out": linear(sd, prefix + ".mlp.net.2"),
+        },
+    }
+
+
+def point_encoder(sd, prefix="point_encoder"):
+    out = {
+        "point_embed": {"mlp": linear(sd, prefix + ".point_embed.mlp")},
+        "ln": layernorm(sd, prefix + ".ln"),
+        "cross_att": res_cross_att_block(sd, prefix + ".cross_att"),
+        "linear": linear(sd, prefix + ".linear"),
+    }
+    if prefix + ".query_embed" in sd:
+        out["query_embed"] = _arr(sd[prefix + ".query_embed"])
+    return out
+
+
+def shape_opt(sd, prefix="mesh_decoder"):
+    model = {
+        "embd": embedding(sd, prefix + ".model.embd"),
+        "embed_positions": embedding(sd, prefix + ".model.embed_positions"),
+    }
+    i = 0
+    while f"{prefix}.model.layers.{i}.fc1.weight" in sd:
+        lp = f"{prefix}.model.layers.{i}"
+        model[f"layers_{i}"] = {
+            "self_attn": {
+                "q_proj": linear(sd, lp + ".self_attn.q_proj"),
+                "k_proj": linear(sd, lp + ".self_attn.k_proj"),
+                "v_proj": linear(sd, lp + ".self_attn.v_proj"),
+                "out_proj": linear(sd, lp + ".self_attn.out_proj"),
+            },
+            "self_attn_layer_norm": layernorm(sd, lp + ".self_attn_layer_norm"),
+            "fc1": linear(sd, lp + ".fc1"),
+            "fc2": linear(sd, lp + ".fc2"),
+            "final_layer_norm": layernorm(sd, lp + ".final_layer_norm"),
+        }
+        i += 1
+    return {"model": model, "lm_head": linear(sd, prefix + ".lm_head")}
+
+
+def self_attention_fused(sd, prefix):
+    return {"qkv_proj": linear(sd, prefix + ".qkv_proj"),
+            "out_proj": linear(sd, prefix + ".out_proj")}
+
+
+def cross_attention(sd, prefix):
+    return {"q_proj": linear(sd, prefix + ".q_proj"),
+            "k_proj": linear(sd, prefix + ".k_proj"),
+            "v_proj": linear(sd, prefix + ".v_proj"),
+            "out_proj": linear(sd, prefix + ".out_proj")}
+
+
+def dit(sd, prefix="dit"):
+    out = {
+        "proj_in": linear(sd, prefix + ".proj_in"),
+        "pos_embed": _arr(sd[prefix + ".pos_embed"]),
+        "timestep_proj": {
+            "linear_1": linear(sd, prefix + ".timestep_proj.linear_1"),
+            "linear_2": linear(sd, prefix + ".timestep_proj.linear_2"),
+        },
+        "adaln_linear": linear(sd, prefix + ".adaln_linear"),
+        "scale_shift_table": _arr(sd[prefix + ".scale_shift_table"]),
+        "proj_out": linear(sd, prefix + ".proj_out"),
+    }
+    i = 0
+    while f"{prefix}.layers.{i}.scale_shift_table" in sd:
+        lp = f"{prefix}.layers.{i}"
+        out[f"layers_{i}"] = {
+            "attn1": self_attention_fused(sd, lp + ".attn1"),
+            "attn2": cross_attention(sd, lp + ".attn2"),
+            "ff": {"fc_in": linear(sd, lp + ".ff.net.0"),
+                   "fc_out": linear(sd, lp + ".ff.net.2")},
+            "scale_shift_table": _arr(sd[lp + ".scale_shift_table"]),
+        }
+        i += 1
+    return out
+
+
+def convert_lmm(sd) -> dict:
+    """Reference LMM state_dict -> flax params['params'] pytree."""
+    params: dict = {}
+    if "point_encoder.ln.weight" in sd:
+        params["point_encoder"] = point_encoder(sd)
+    if "proj_cond.weight" in sd:
+        params["proj_cond"] = linear(sd, "proj_cond")
+        params["norm_cond"] = layernorm(sd, "norm_cond")
+    if "embed_num_face.weight" in sd:
+        params["embed_num_face"] = embedding(sd, "embed_num_face")
+    if "image_encoder.vision_model.pre_layrnorm.weight" in sd:
+        from edgerunner_tpu.models.clip_vit import convert_hf_clip_params
+
+        clip_sd = {k[len("image_encoder."):]: v for k, v in sd.items()
+                   if k.startswith("image_encoder.")}
+        params["image_encoder"] = convert_hf_clip_params(clip_sd)
+    params["mesh_decoder"] = shape_opt(sd)
+    return {"params": params}
+
+
+def convert_mdit(sd) -> dict:
+    params: dict = {"dit": dit(sd)}
+    if "proj_cond.weight" in sd:
+        params["proj_cond"] = linear(sd, "proj_cond")
+        params["norm_cond"] = layernorm(sd, "norm_cond")
+    if "point_encoder.ln.weight" in sd:
+        params["point_encoder"] = point_encoder(sd)
+    if "image_encoder.vision_model.pre_layrnorm.weight" in sd:
+        from edgerunner_tpu.models.clip_vit import convert_hf_clip_params
+
+        clip_sd = {k[len("image_encoder."):]: v for k, v in sd.items()
+                   if k.startswith("image_encoder.")}
+        params["image_encoder"] = convert_hf_clip_params(clip_sd)
+    return {"params": params}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("src", help="reference checkpoint (.safetensors/.pt)")
+    ap.add_argument("dst", help="output orbax checkpoint dir")
+    ap.add_argument("--model", choices=["lmm", "mdit"], default="lmm")
+    args = ap.parse_args()
+
+    sd = load_torch_state_dict(args.src)
+    print(f"[convert] loaded {len(sd)} tensors from {args.src}")
+    tree = convert_lmm(sd) if args.model == "lmm" else convert_mdit(sd)
+
+    from edgerunner_tpu.train.checkpoint import save_pytree
+
+    save_pytree(args.dst, tree)
+    n = sum(np.asarray(x).size for x in
+            __import__("jax").tree.leaves(tree))
+    print(f"[convert] wrote {args.dst} ({n/1e6:.2f} M params)")
+
+
+if __name__ == "__main__":
+    main()
