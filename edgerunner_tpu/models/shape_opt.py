@@ -84,26 +84,36 @@ class OPTAttention(nn.Module):
         B, N, _ = h.shape
         return self.out_proj(o.reshape(B, N, -1))
 
-    def prefill(self, h, max_len: int):
-        """Full causal attention over the prompt; KV padded to max_len."""
+    def prefill(self, h):
+        """Full causal attention over the prompt.
+
+        Returns (out, k_flat, v_flat) with k/v kept flattened [B, P, H*Dh]:
+        the KV cache stores the packed layout so its last dim (hidden_dim,
+        a multiple of 128) tiles without lane padding — head_dim 96 stored
+        as [., H, 96] would waste 1.33x HBM under (8,128) tiling."""
         B, P, _ = h.shape
+        kf = self.k_proj(h)
+        vf = self.v_proj(h)
         q = self._heads(self.q_proj(h))
-        k = self._heads(self.k_proj(h))
-        v = self._heads(self.v_proj(h))
-        o = attention(q, k, v, causal=True)
+        o = attention(q, self._heads(kf), self._heads(vf), causal=True)
         out = self.out_proj(o.reshape(B, P, -1))
-        pad = [(0, 0), (0, max_len - P), (0, 0), (0, 0)]
-        return out, jnp.pad(k, pad), jnp.pad(v, pad)
+        return out, kf, vf
 
     def step(self, h, k_cache, v_cache, index):
-        """h: [B, 1, C]; caches [B, L, H, Dh]; index: scalar position."""
-        B = h.shape[0]
+        """h: [B, 1, C]; caches [B, L, H*Dh] (packed); index: position."""
+        B, L = k_cache.shape[:2]
+        c = self.cfg
         q = self._heads(self.q_proj(h))
-        k = self._heads(self.k_proj(h))
-        v = self._heads(self.v_proj(h))
-        k_cache = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype), (0, index, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype), (0, index, 0, 0))
-        o = decode_attention(q, k_cache, v_cache, index + 1)
+        kf = self.k_proj(h)
+        vf = self.v_proj(h)
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, kf.astype(k_cache.dtype), (0, index, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, vf.astype(v_cache.dtype), (0, index, 0))
+        # contiguous head split: a free bitcast, not a copy
+        kh = k_cache.reshape(B, L, c.num_attention_heads, c.head_dim)
+        vh = v_cache.reshape(B, L, c.num_attention_heads, c.head_dim)
+        o = decode_attention(q, kh, vh, index + 1)
         return self.out_proj(o.reshape(B, 1, -1)), k_cache, v_cache
 
 
@@ -132,8 +142,8 @@ class OPTDecoderLayer(nn.Module):
         h = self.self_attn_layer_norm(h + a).astype(self.cfg.dtype)
         return self._mlp(h, deterministic)
 
-    def prefill(self, h, max_len: int):
-        a, k, v = self.self_attn.prefill(h, max_len)
+    def prefill(self, h):
+        a, k, v = self.self_attn.prefill(h)
         h = self.self_attn_layer_norm(h + a).astype(self.cfg.dtype)
         return self._mlp(h, True), k, v
 
@@ -193,18 +203,25 @@ class ShapeOPTDecoder(nn.Module):
         return h
 
     def prefill(self, inputs_embeds, max_len: int):
-        """Run the prompt; returns (hidden [B,P,C], k_cache, v_cache [L,B,max,H,Dh])."""
-        P = inputs_embeds.shape[1]
-        h = inputs_embeds.astype(self.cfg.dtype) + self._pos(0, P)[None]
-        ks, vs = [], []
-        for layer in self.layers:
-            h, k, v = layer.prefill(h, max_len)
-            ks.append(k)
-            vs.append(v)
-        return h, jnp.stack(ks), jnp.stack(vs)
+        """Run the prompt; returns (hidden [B,P,C], k_cache, v_cache) with
+        caches preallocated [num_layers, B, max_len, hidden] (packed heads)
+        and filled in place — no per-layer stack doubling peak HBM."""
+        B, P, _ = inputs_embeds.shape
+        c = self.cfg
+        h = inputs_embeds.astype(c.dtype) + self._pos(0, P)[None]
+        k_cache = jnp.zeros((c.num_hidden_layers, B, max_len, c.hidden_dim),
+                            c.dtype)
+        v_cache = jnp.zeros_like(k_cache)
+        for i, layer in enumerate(self.layers):
+            h, k, v = layer.prefill(h)
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, k.astype(c.dtype)[None], (i, 0, 0, 0))
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, v.astype(c.dtype)[None], (i, 0, 0, 0))
+        return h, k_cache, v_cache
 
     def step(self, token_ids, k_cache, v_cache, index):
-        """token_ids: [B, 1]; caches: [L, B, max, H, Dh]; index: scalar."""
+        """token_ids: [B, 1]; caches: [L, B, max, hidden]; index: scalar."""
         h = self.embed_tokens(token_ids)
         pos = self.embed_positions(jnp.asarray(index, jnp.int32).reshape(1))
         h = h + pos[None].astype(self.cfg.dtype)

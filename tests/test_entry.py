@@ -1,0 +1,58 @@
+"""Driver entry-point tests: dryrun_multichip on the 8-device CPU mesh and a
+tiny-scale analogue of entry()."""
+
+import importlib.util
+import os
+
+import jax
+import numpy as np
+
+
+def _load_entry():
+    path = os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py")
+    spec = importlib.util.spec_from_file_location("graft_entry", path)
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def test_dryrun_multichip_8():
+    m = _load_entry()
+    m.dryrun_multichip(8)  # asserts internally on finite loss
+
+
+def test_dryrun_multichip_odd():
+    m = _load_entry()
+    m.dryrun_multichip(1)
+
+
+def test_entry_shape_tiny():
+    """entry() with the tiny config mirrors the flagship wiring."""
+    m = _load_entry()
+    import dataclasses
+    import jax.numpy as jnp
+
+    from edgerunner_tpu.models.lmm import LMM
+
+    opt = m._flagship_opt(tiny=True)
+    model = LMM(opt)
+    rng = jax.random.PRNGKey(0)
+    B, M, C = 1, 16, opt.num_cond_tokens
+    conds = jnp.zeros((B, opt.point_num, 3))
+    tokens = jnp.concatenate([
+        jnp.full((B, 1), 1, jnp.int32), jnp.full((B, M), 7, jnp.int32),
+        jnp.full((B, 1), 2, jnp.int32)], axis=1)
+    labels = jnp.concatenate([jnp.full((B, C + 1), -100, jnp.int32),
+                              tokens[:, 1:]], axis=1)
+    lengths = jnp.full((B,), C + 1 + M + 1, jnp.int32)
+    nf = jnp.full((B,), 100, jnp.int32)
+    params = model.init({"params": rng, "nof": rng, "dropout": rng},
+                        conds, tokens, labels, nf, lengths)
+
+    def fn(params, conds, tokens, labels, nf, lengths):
+        out = model.apply(params, conds, tokens, labels, nf, lengths)
+        return out["loss"], out["logits"]
+
+    loss, logits = jax.jit(fn)(params, conds, tokens, labels, nf, lengths)
+    assert np.isfinite(float(loss))
+    assert logits.shape == (B, C + 1 + M + 1, 518)
