@@ -135,7 +135,10 @@ def generate_tokens(
         budget = limit
     num_new = round_up_bucket(budget, opt.decode_bucket)
     num_new = min(num_new, round_up_bucket(limit, opt.decode_bucket))
-    max_len = prompt.shape[1] + opt.num_cond_tokens + num_new
+    # cache length rounded to the pallas decode block so the fused
+    # decode-attention kernel applies (512-aligned)
+    max_len = round_up_bucket(
+        prompt.shape[1] + opt.num_cond_tokens + num_new, 512)
 
     nf = jnp.full((B,), num_faces, jnp.int32)
     decode = _get_decode_fn(

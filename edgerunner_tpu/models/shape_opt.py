@@ -103,18 +103,32 @@ class OPTAttention(nn.Module):
         """h: [B, 1, C]; caches [B, L, H*Dh] (packed); index: position."""
         B, L = k_cache.shape[:2]
         c = self.cfg
-        q = self._heads(self.q_proj(h))
+        qf = self.q_proj(h)
         kf = self.k_proj(h)
         vf = self.v_proj(h)
         k_cache = jax.lax.dynamic_update_slice(
             k_cache, kf.astype(k_cache.dtype), (0, index, 0))
         v_cache = jax.lax.dynamic_update_slice(
             v_cache, vf.astype(v_cache.dtype), (0, index, 0))
-        # contiguous head split: a free bitcast, not a copy
-        kh = k_cache.reshape(B, L, c.num_attention_heads, c.head_dim)
-        vh = v_cache.reshape(B, L, c.num_attention_heads, c.head_dim)
-        o = decode_attention(q, kh, vh, index + 1)
-        return self.out_proj(o.reshape(B, 1, -1)), k_cache, v_cache
+
+        from edgerunner_tpu.ops.decode_attention_pallas import (
+            DEFAULT_BLOCK,
+            fused_decode_attention,
+        )
+
+        if jax.default_backend() == "tpu" and L % DEFAULT_BLOCK == 0:
+            # pallas path: reads only cache[:index+1], keeps the HBM layout
+            of = fused_decode_attention(
+                qf.reshape(B, -1), k_cache, v_cache, index,
+                num_heads=c.num_attention_heads)
+            o = of.reshape(B, 1, -1)
+        else:
+            q = self._heads(qf)
+            # contiguous head split: a free bitcast, not a copy
+            kh = k_cache.reshape(B, L, c.num_attention_heads, c.head_dim)
+            vh = v_cache.reshape(B, L, c.num_attention_heads, c.head_dim)
+            o = decode_attention(q, kh, vh, index + 1).reshape(B, 1, -1)
+        return self.out_proj(o), k_cache, v_cache
 
 
 class OPTDecoderLayer(nn.Module):

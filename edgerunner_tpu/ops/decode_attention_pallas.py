@@ -1,0 +1,154 @@
+"""Single-token decode attention over a live KV-cache prefix (Pallas).
+
+The decode hot loop's cost is HBM traffic: weights + KV cache reads per
+token. The plain XLA path (ops/attention.py:decode_attention) reads the FULL
+static cache every step and lets XLA pick cache layouts (observed: extra
+whole-cache layout copies inside the decode while_loop). This kernel fixes
+both:
+
+  * the cache stays in HBM in its packed [B, L, hidden] layout; the kernel
+    manually DMAs only ceil((index+1)/BK) blocks per step — O(live prefix)
+    traffic instead of O(max_len), double-buffered. (The new token's k/v rows
+    are written by the caller with an in-place dynamic_update_slice *before*
+    the call: Mosaic DMA can't address single rows of an (8,128)-tiled dim.)
+  * reading via ANY/HBM refs pins the cache to its natural layout — no
+    whole-cache relayout copies inside the decode loop
+  * heads stay packed: per-head logits come from one MXU matmul against a
+    block-diagonal expansion of q (E-matrix trick), so no [L, H, 96] reshape
+    (head_dim 96 would also lane-pad 1.33x)
+
+Math per kv block (head h, packed dim j = 96*h + d):
+    S = K_blk @ Qdiag           Qdiag[j, h] = q[j] * E[j, h],  E = block onehot
+    online softmax over blocks on [BK, H]
+    acc += (P @ E^T) * V_blk    (per-head prob broadcast back to packed dim)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+DEFAULT_BLOCK = 512
+
+
+def _kernel(index_ref, q_ref, ko_hbm, vo_hbm,
+            out_ref,
+            kbuf, vbuf, sems, *, num_heads, head_dim, block, scale):
+    b = pl.program_id(0)
+    index = index_ref[0]
+    hd = num_heads * head_dim
+
+    # block-diagonal q expansion and head-broadcast matrices
+    j_ids = jax.lax.broadcasted_iota(jnp.int32, (hd, num_heads), 0)
+    h_ids = jax.lax.broadcasted_iota(jnp.int32, (hd, num_heads), 1)
+    E = (j_ids // head_dim == h_ids).astype(jnp.float32)       # [hd, H]
+    q = q_ref[0, 0, :].astype(jnp.float32)                     # [hd]
+    qdiag = q[:, None] * E * scale                             # [hd, H]
+
+    nblocks = (index + 1 + block - 1) // block
+
+    def get_dma(slot, blk):
+        return pltpu.make_async_copy(
+            ko_hbm.at[pl.ds(b, 1), pl.ds(blk * block, block), :],
+            kbuf.at[pl.ds(slot, 1)], sems.at[0])
+
+    def get_dma_v(slot, blk):
+        return pltpu.make_async_copy(
+            vo_hbm.at[pl.ds(b, 1), pl.ds(blk * block, block), :],
+            vbuf.at[pl.ds(slot, 1)], sems.at[1])
+
+    get_dma(0, 0).start()
+    get_dma_v(0, 0).start()
+
+    def body(i, carry):
+        m, l, acc = carry  # [1, H], [1, H], [1, hd] fp32
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < nblocks)
+        def _():
+            get_dma(nxt, i + 1).start()
+            get_dma_v(nxt, i + 1).start()
+
+        get_dma(slot, i).wait()
+        get_dma_v(slot, i).wait()
+
+        kb = kbuf[slot].astype(jnp.float32)   # [BK, hd]
+        vb = vbuf[slot].astype(jnp.float32)   # [BK, hd]
+
+        s = jax.lax.dot_general(kb, qdiag, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # [BK, H]
+        t_ids = i * block + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        s = jnp.where(t_ids <= index, s, NEG_INF)
+
+        m_blk = jnp.max(s, axis=0, keepdims=True)          # [1, H]
+        m_new = jnp.maximum(m, m_blk)
+        p = jnp.exp(s - m_new)                             # [BK, H]
+        alpha = jnp.exp(m - m_new)                         # [1, H]
+        l = l * alpha + jnp.sum(p, axis=0, keepdims=True)
+
+        # broadcast per-head probabilities back to the packed dim
+        p_exp = jax.lax.dot_general(p, E, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)  # [BK, hd]
+        alpha_exp = jax.lax.dot_general(alpha, E, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)  # [1, hd]
+        acc = acc * alpha_exp + jnp.sum(p_exp * vb, axis=0, keepdims=True)
+        return m_new, l, acc
+
+    m0 = jnp.full((1, num_heads), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((1, num_heads), jnp.float32)
+    acc0 = jnp.zeros((1, hd), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, nblocks, body, (m0, l0, acc0))
+
+    l_exp = jax.lax.dot_general(jnp.where(l > 0, l, 1.0), E,
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # [1, hd]
+    out_ref[0, 0, :] = (acc / l_exp)[0].astype(out_ref.dtype)
+
+
+def fused_decode_attention(q, k_cache, v_cache, index,
+                           *, num_heads: int, block: int = DEFAULT_BLOCK):
+    """q: [B, hidden]; caches: [B, L, hidden] (L % block == 0) ALREADY holding
+    the new token's k/v at row `index`; index: scalar int32 position.
+
+    Returns out [B, hidden], attending over cache[:index+1] only.
+    """
+    B, L, hd = k_cache.shape
+    assert L % block == 0, f"cache length {L} not a multiple of block {block}"
+    head_dim = hd // num_heads
+    scale = 1.0 / np.sqrt(head_dim)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 1, hd), lambda b, *_: (b, 0, 0)),  # q
+            pl.BlockSpec(memory_space=pltpu.ANY),          # k_cache (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),          # v_cache (HBM)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, hd), lambda b, *_: (b, 0, 0)),  # out
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, block, hd), k_cache.dtype),
+            pltpu.VMEM((2, block, hd), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel, num_heads=num_heads, head_dim=head_dim, block=block,
+        scale=scale)
+    (out,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, 1, hd), q.dtype)],
+        interpret=jax.default_backend() != "tpu",
+    )(jnp.asarray(index, jnp.int32).reshape(1), q.reshape(B, 1, hd),
+      k_cache, v_cache)
+    return out.reshape(B, hd)

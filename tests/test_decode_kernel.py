@@ -1,0 +1,54 @@
+"""Fused decode-attention kernel vs the einsum reference (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from edgerunner_tpu.ops.attention import decode_attention
+from edgerunner_tpu.ops.decode_attention_pallas import fused_decode_attention
+
+
+@pytest.mark.parametrize("index", [0, 1, 70, 127, 128, 200, 255])
+def test_matches_einsum_reference(index):
+    B, L, H, Dh = 2, 256, 4, 96
+    hd = H * Dh
+    rng = np.random.default_rng(0)
+    k_cache = jnp.asarray(rng.normal(size=(B, L, hd)).astype(np.float32))
+    v_cache = jnp.asarray(rng.normal(size=(B, L, hd)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(B, hd)).astype(np.float32))
+
+    out = fused_decode_attention(q, k_cache, v_cache, index, num_heads=H,
+                                 block=128)
+    ref = decode_attention(
+        q.reshape(B, 1, H, Dh), k_cache.reshape(B, L, H, Dh),
+        v_cache.reshape(B, L, H, Dh), index + 1).reshape(B, hd)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_prefix_only_is_used():
+    """Garbage beyond index must not affect the output."""
+    B, L, H, Dh = 1, 256, 2, 64
+    hd = H * Dh
+    rng = np.random.default_rng(1)
+    k = rng.normal(size=(B, L, hd)).astype(np.float32)
+    v = rng.normal(size=(B, L, hd)).astype(np.float32)
+    idx = 100
+    k2 = k.copy()
+    v2 = v.copy()
+    k2[:, idx + 1:] = 1e6  # poison the dead region
+    v2[:, idx + 1:] = -1e6
+    q = jnp.asarray(rng.normal(size=(B, hd)).astype(np.float32))
+    a = fused_decode_attention(q, jnp.asarray(k), jnp.asarray(v), idx,
+                               num_heads=H, block=128)
+    b = fused_decode_attention(q, jnp.asarray(k2), jnp.asarray(v2), idx,
+                               num_heads=H, block=128)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_asserts_block_alignment():
+    with pytest.raises(AssertionError):
+        fused_decode_attention(jnp.zeros((1, 128)), jnp.zeros((1, 100, 128)),
+                               jnp.zeros((1, 100, 128)), 0, num_heads=2,
+                               block=128)
