@@ -44,12 +44,16 @@ def _get_decode_fn(model: LMM, *, num_new: int, max_len: int, mode: str,
     opt = model.opt
     vocab = vocab_size_for(opt)
 
-    def decode(params, conds, num_faces, prompt_ids, init_state, rng):
-        """Returns (tokens [B, num_new] with PAD after EOS, num_generated)."""
-        B = prompt_ids.shape[0]
-        next_logits, k_cache, v_cache, plen = model.apply(
-            params, conds, num_faces, prompt_ids, max_len, method=LMM.prefill)
+    # prefill and the decode loop are separate jits with the caches donated
+    # into the loop: inside one program XLA double-buffers the while carry
+    # against the prefill value (2x cache HBM, OOMs the flagship at B=8)
+    def prefill(params, conds, num_faces, prompt_ids):
+        return model.apply(params, conds, num_faces, prompt_ids, max_len,
+                           method=LMM.prefill)
 
+    def loop(params, next_logits, k_cache, v_cache, plen, init_state, rng):
+        """Returns (tokens [B, num_new] with PAD after EOS, num_generated)."""
+        B = next_logits.shape[0]
         tokens0 = jnp.zeros((B, num_new), jnp.int32)
         done0 = jnp.zeros((B,), bool)
 
@@ -91,9 +95,17 @@ def _get_decode_fn(model: LMM, *, num_new: int, max_len: int, mode: str,
         i, tokens, *_ = jax.lax.while_loop(cond_fn, body_fn, carry)
         return tokens, i
 
-    fn = jax.jit(decode)
-    _DECODE_CACHE[key] = fn
-    return fn
+    prefill_jit = jax.jit(prefill)
+    loop_jit = jax.jit(loop, donate_argnums=(2, 3))
+
+    def decode(params, conds, num_faces, prompt_ids, init_state, rng):
+        next_logits, k_cache, v_cache, plen = prefill_jit(
+            params, conds, num_faces, prompt_ids)
+        return loop_jit(params, next_logits, k_cache, v_cache, plen,
+                        init_state, rng)
+
+    _DECODE_CACHE[key] = decode
+    return decode
 
 
 def generate_tokens(

@@ -1,3 +1,10 @@
-from .mesh import batch_sharding, make_mesh, param_shardings, replicated
+from .mesh import (
+    batch_sharding,
+    make_mesh,
+    maybe_initialize_distributed,
+    param_shardings,
+    replicated,
+)
 
-__all__ = ["make_mesh", "batch_sharding", "param_shardings", "replicated"]
+__all__ = ["make_mesh", "batch_sharding", "param_shardings", "replicated",
+           "maybe_initialize_distributed"]

@@ -22,6 +22,19 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_initialize_distributed():
+    """Multi-host bring-up: call jax.distributed.initialize when launched
+    under a multi-process coordinator (TPU pods / GKE set these envs).
+    Single-host runs are a no-op. Replaces the reference's accelerate/slurm
+    process-group setup (reference: acc_configs/, readme.md:49)."""
+    import os
+
+    if os.environ.get("COORDINATOR_ADDRESS") or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+        return True
+    return False
+
+
 def make_mesh(dp_size: int = -1, tp_size: int = 1,
               devices: Optional[list] = None) -> Mesh:
     devices = devices if devices is not None else jax.devices()

@@ -118,6 +118,27 @@ def main():
 
         if opt.eval_mode == "loss":
             trainer.eval_epoch(test_loader, epoch)
+            # qualitative dumps: GT + argmax-pred meshes from one batch
+            # (reference: main.py:253-264; meto streams may be invalid early
+            # in training — save_mesh tolerates that)
+            try:
+                batch = next(iter(test_loader))
+                out = trainer._eval_step(
+                    trainer.state.params,
+                    {k: v for k, v in batch.items() if k != "paths"})
+                import numpy as np
+
+                C = opt.num_cond_tokens
+                labels = np.asarray(batch["labels"][0])
+                n_tok = int(batch["num_tokens"][0])
+                coords = labels[C + 1:n_tok - 1]
+                pred = np.asarray(out["logits"][0].argmax(-1))[C:n_tok - 2]
+                save_mesh(coords, opt, os.path.join(
+                    opt.workspace, f"test_ep{epoch}_gt.obj"), tokenizer=tokenizer)
+                save_mesh(pred, opt, os.path.join(
+                    opt.workspace, f"test_ep{epoch}.obj"), tokenizer=tokenizer)
+            except Exception as e:
+                logger.warning(f"failed to save validation mesh: {e}")
         elif opt.eval_mode == "generate":
             from edgerunner_tpu.generate import generate_tokens
 

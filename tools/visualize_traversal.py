@@ -1,0 +1,95 @@
+"""Tokenizer traversal visualization (software replacement for the
+reference's nvdiffrast GUI, meto/tests/gui.py).
+
+Exports a PLY with per-face colors encoding either the traversal order
+(--mode order: blue -> red) or the op type (--mode type: L/R/BOM), plus an
+optional step cutoff to inspect partial traversals.
+
+Usage:
+    python tools/visualize_traversal.py mesh.obj out.ply [--mode order|type]
+        [--backend LR_ABSCO] [--bins 512] [--steps N] [--decode]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from edgerunner_tpu.data.mesh_io import load_mesh, normalize_mesh  # noqa: E402
+from edgerunner_tpu.tokenizer import Engine  # noqa: E402
+
+OP_COLORS = {
+    0: (66, 135, 245),   # L: blue
+    1: (245, 167, 66),   # R: orange
+    2: (235, 64, 52),    # BOM/E: red
+    4: (52, 235, 140),   # S (CLERS): green
+}
+
+
+def save_ply_face_colors(path, verts, faces, colors):
+    with open(path, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\n")
+        f.write(f"element vertex {len(verts)}\n".encode())
+        f.write(b"property float x\nproperty float y\nproperty float z\n")
+        f.write(f"element face {len(faces)}\n".encode())
+        f.write(b"property list uchar int vertex_indices\n")
+        f.write(b"property uchar red\nproperty uchar green\nproperty uchar blue\n")
+        f.write(b"end_header\n")
+        f.write(np.ascontiguousarray(verts, "<f4").tobytes())
+        for face, col in zip(np.asarray(faces, "<i4"), colors):
+            f.write(bytes([3]) + face.tobytes() + bytes(col))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mesh")
+    ap.add_argument("output")
+    ap.add_argument("--mode", choices=["order", "type"], default="order")
+    ap.add_argument("--backend", default="LR_ABSCO")
+    ap.add_argument("--bins", type=int, default=512)
+    ap.add_argument("--steps", type=int, default=-1,
+                    help="show only the first N traversal steps")
+    ap.add_argument("--decode", action="store_true",
+                    help="visualize the decoded mesh instead of the input")
+    args = ap.parse_args()
+
+    v, f = load_mesh(args.mesh)
+    v = normalize_mesh(v, 0.95)
+    eng = Engine(args.bins, backend=args.backend)
+    tokens, face_order, face_type = eng.encode(v, f)
+    print(f"[viz] {len(f)} faces -> {len(tokens)} tokens "
+          f"(ratio {100 * len(tokens) / (9 * len(f)):.1f}% of naive)")
+
+    if args.decode:
+        v, f, face_type = eng.decode(tokens)
+        face_order = np.arange(len(f))
+        order_pos = np.arange(len(f))
+    else:
+        order_pos = np.full(len(f), -1)
+        for step, fi in enumerate(face_order):
+            order_pos[fi] = step
+
+    n_show = len(face_order) if args.steps < 0 else min(args.steps, len(face_order))
+    colors = []
+    for fi in range(len(f)):
+        step = order_pos[fi]
+        if step < 0 or step >= n_show:
+            colors.append((90, 90, 90))
+        elif args.mode == "order":
+            t = step / max(n_show - 1, 1)
+            colors.append((int(255 * t), 60, int(255 * (1 - t))))
+        else:
+            op = int(face_type[step]) if step < len(face_type) else 2
+            colors.append(OP_COLORS.get(op, (200, 200, 200)))
+
+    save_ply_face_colors(args.output, v, f, colors)
+    print(f"[viz] wrote {args.output} ({args.mode} coloring, {n_show} steps)")
+
+
+if __name__ == "__main__":
+    main()
