@@ -92,8 +92,12 @@ def _get_decode_fn(model: LMM, *, num_new: int, max_len: int, mode: str,
 
         carry = (jnp.asarray(0), tokens0, next_logits, k_cache, v_cache,
                  init_state, done0, rng)
-        i, tokens, *_ = jax.lax.while_loop(cond_fn, body_fn, carry)
-        return tokens, i
+        i, tokens, _, k_cache, v_cache, *_ = jax.lax.while_loop(
+            cond_fn, body_fn, carry)
+        # caches are returned (and discarded by the caller) solely so the
+        # donated input buffers can alias the outputs — that is what lets the
+        # while carry run in place instead of double-buffering 7GB of cache
+        return tokens, i, k_cache, v_cache
 
     prefill_jit = jax.jit(prefill)
     loop_jit = jax.jit(loop, donate_argnums=(2, 3))
@@ -101,8 +105,9 @@ def _get_decode_fn(model: LMM, *, num_new: int, max_len: int, mode: str,
     def decode(params, conds, num_faces, prompt_ids, init_state, rng):
         next_logits, k_cache, v_cache, plen = prefill_jit(
             params, conds, num_faces, prompt_ids)
-        return loop_jit(params, next_logits, k_cache, v_cache, plen,
-                        init_state, rng)
+        tokens, i, _, _ = loop_jit(params, next_logits, k_cache, v_cache, plen,
+                                   init_state, rng)
+        return tokens, i
 
     _DECODE_CACHE[key] = decode
     return decode

@@ -6,7 +6,8 @@ core/transformer/modeling_opt.py:86-550) for TPU/XLA:
 * three statically-shaped execution modes instead of HF's dynamic KV tuples:
   - ``__call__``   full-sequence teacher forcing (training/eval)
   - ``prefill``    run the conditioning prefix once, emit a *preallocated*
-                   [L, B, max_len, H, Dh] KV cache
+                   KV cache: per-layer tuples of packed [B, max_len, hidden]
+                   buffers (see ShapeOPTDecoder.prefill for why)
   - ``step``       single-token decode writing into the cache at a given index
 * learned absolute position embeddings (table size max_position_embeddings)
 * post-LN OPT block: LN(x + attn(x)); LN(x + fc2(relu(fc1(x))))
@@ -217,25 +218,27 @@ class ShapeOPTDecoder(nn.Module):
         return h
 
     def prefill(self, inputs_embeds, max_len: int):
-        """Run the prompt; returns (hidden [B,P,C], k_cache, v_cache) with
-        caches preallocated [num_layers, B, max_len, hidden] (packed heads)
-        and filled in place — no per-layer stack doubling peak HBM."""
+        """Run the prompt; returns (hidden [B,P,C], k_cache, v_cache).
+
+        Caches are per-layer TUPLES of [B, max_len, hidden] buffers (packed
+        heads). Keeping layers as separate arrays — not one stacked
+        [L, B, max, hidden] — lets every step's dynamic_update_slice and the
+        decode kernel operate on each layer's own buffer in place; a stacked
+        cache forces XLA to materialize 156MB slice copies per layer per
+        step (observed: 48 such temps = 7.3GB)."""
         B, P, _ = inputs_embeds.shape
         c = self.cfg
         h = inputs_embeds.astype(c.dtype) + self._pos(0, P)[None]
-        k_cache = jnp.zeros((c.num_hidden_layers, B, max_len, c.hidden_dim),
-                            c.dtype)
-        v_cache = jnp.zeros_like(k_cache)
-        for i, layer in enumerate(self.layers):
+        pad = ((0, 0), (0, max_len - P), (0, 0))
+        ks, vs = [], []
+        for layer in self.layers:
             h, k, v = layer.prefill(h)
-            k_cache = jax.lax.dynamic_update_slice(
-                k_cache, k.astype(c.dtype)[None], (i, 0, 0, 0))
-            v_cache = jax.lax.dynamic_update_slice(
-                v_cache, v.astype(c.dtype)[None], (i, 0, 0, 0))
-        return h, k_cache, v_cache
+            ks.append(jnp.pad(k.astype(c.dtype), pad))
+            vs.append(jnp.pad(v.astype(c.dtype), pad))
+        return h, tuple(ks), tuple(vs)
 
     def step(self, token_ids, k_cache, v_cache, index):
-        """token_ids: [B, 1]; caches: [L, B, max, hidden]; index: scalar."""
+        """token_ids: [B, 1]; caches: per-layer tuples of [B, max, hidden]."""
         h = self.embed_tokens(token_ids)
         pos = self.embed_positions(jnp.asarray(index, jnp.int32).reshape(1))
         h = h + pos[None].astype(self.cfg.dtype)
@@ -244,7 +247,7 @@ class ShapeOPTDecoder(nn.Module):
             h, k, v = layer.step(h, k_cache[i], v_cache[i], index)
             new_k.append(k)
             new_v.append(v)
-        return h, jnp.stack(new_k), jnp.stack(new_v)
+        return h, tuple(new_k), tuple(new_v)
 
 
 class ShapeOPT(nn.Module):
