@@ -114,7 +114,8 @@ def _fwd(q, k, v, kv_len, *, causal, block_q, block_k, d_orig):
         ],
         out_specs=[
             pl.BlockSpec((1, 1, block_q, D), lambda b, h, iq, ik, *_: (b, h, iq, 0)),
-            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, iq, ik, *_: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, block_q, 1),
+                         lambda b, h, iq, ik, *_: (b, h, iq, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, D), jnp.float32),
@@ -134,7 +135,11 @@ def _fwd(q, k, v, kv_len, *, causal, block_q, block_k, d_orig):
         ],
         interpret=_interpret(),
     )(kv_len, q, k, v)
-    return o, lse
+    # squeeze the residual dense: a [B,H,N,1] f32 buffer is lane-padded 128x
+    # in HBM (208MB/layer at flagship scale); the barrier pins an actual
+    # compact copy so XLA can't keep the padded kernel buffer alive as the
+    # saved residual (observed: 24 x 208MB live -> OOM)
+    return o, jax.lax.optimization_barrier(lse[..., 0])
 
 
 # --------------------------------------------------------------- backward --
@@ -210,8 +215,8 @@ def _bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         k = k_ref[0, 0].astype(jnp.float32)
         v = v_ref[0, 0].astype(jnp.float32)
         do = do_ref[0, 0].astype(jnp.float32)
-        lse = lse_ref[0, 0]
-        delta = delta_ref[0, 0]
+        lse = lse_ref[0, 0]      # [BQ, 1]
+        delta = delta_ref[0, 0]  # [BQ, 1]
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
@@ -248,6 +253,7 @@ def _bwd(q, k, v, do, o, lse, kv_len, *, causal, block_q, block_k, d_orig):
 
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
                     axis=-1, keepdims=True)  # [B,H,N,1]
+    lse = lse[..., None]
 
     common_in = [
         pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j, *_: (b, h, i, 0)),

@@ -47,7 +47,10 @@ def make_optimizer(opt, total_steps: int) -> tuple[optax.GradientTransformation,
         opt.lr, total_steps, warmup_ratio=opt.warmup_ratio)
     tx = optax.chain(
         optax.clip_by_global_norm(opt.gradient_clip),
-        optax.adamw(schedule, b1=0.9, b2=0.95, weight_decay=0.01),
+        # bf16 first moments: saves one fp32 param-sized buffer of HBM
+        # (1.4GB on the 0.68B flagship) at negligible quality cost
+        optax.adamw(schedule, b1=0.9, b2=0.95, weight_decay=0.01,
+                    mu_dtype=jnp.bfloat16),
     )
     if opt.gradient_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=opt.gradient_accumulation_steps)
