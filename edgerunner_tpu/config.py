@@ -12,7 +12,7 @@ import argparse
 import dataclasses
 import sys
 import typing
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Literal, Optional, Tuple
 
 
@@ -64,6 +64,8 @@ class Options:
 
     ### dataset
     max_face_length: int = 1000
+    # synthetic-dataset size used when data_root is absent
+    synthetic_size: int = 256
     dataset: Literal["obj", "objxl"] = "obj"
     # local data root holding mesh files (replaces the reference's S3 buckets)
     data_root: str = "./data"

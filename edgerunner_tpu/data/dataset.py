@@ -176,7 +176,6 @@ class SyntheticMeshDataset:
         return self.size
 
     def _make_mesh(self, rng: np.random.Generator):
-        import sys
         kind = int(rng.integers(0, 3))
         if kind == 0:
             v, f = _icosphere(int(rng.integers(1, 3)))

@@ -49,8 +49,8 @@ class DiTMeshDataset:
             self.synthetic = None
         else:
             self.items = []
-            self.synthetic = SyntheticMeshDataset(opt, size=256 if training else 16,
-                                                  training=training)
+            size = opt.synthetic_size if training else max(opt.synthetic_size // 16, 4)
+            self.synthetic = SyntheticMeshDataset(opt, size=size, training=training)
 
     def __len__(self) -> int:
         return len(self.items) if self.synthetic is None else len(self.synthetic)

@@ -10,7 +10,6 @@ timestep spacing, set_alpha_to_one=False, steps_offset=1.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,14 +15,13 @@ Design:
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from edgerunner_tpu.config import Options, vocab_size_for
+from edgerunner_tpu.config import vocab_size_for
 from edgerunner_tpu.models.lmm import LMM
 from edgerunner_tpu.ops import sampling as S
 

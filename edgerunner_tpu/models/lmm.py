@@ -15,7 +15,7 @@ prefill/step wrappers around the decoder.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax

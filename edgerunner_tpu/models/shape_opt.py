@@ -19,14 +19,14 @@ core/transformer/modeling_opt.py:86-550) for TPU/XLA:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from edgerunner_tpu.ops import attention, decode_attention
-from edgerunner_tpu.models.layers import Dense, dense_init
+from edgerunner_tpu.models.layers import Dense
 
 
 @dataclasses.dataclass(frozen=True)

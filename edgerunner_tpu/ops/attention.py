@@ -17,7 +17,6 @@ Shapes follow the reference convention: q [B, N, H, D], k/v [B, M, H, D].
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

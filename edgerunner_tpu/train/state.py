@@ -8,7 +8,6 @@ gradient accumulation via optax.MultiSteps (main.py:168).
 
 from __future__ import annotations
 
-import math
 from typing import Any, Callable, NamedTuple
 
 import jax

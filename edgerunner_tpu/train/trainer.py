@@ -8,14 +8,12 @@ over dp, and XLA inserts the gradient psum that torch-DDP did with NCCL.
 from __future__ import annotations
 
 import time
-from functools import partial
 from typing import Callable, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
-from edgerunner_tpu.parallel import batch_sharding, make_mesh, param_shardings, replicated
+from edgerunner_tpu.parallel import batch_sharding, make_mesh, param_shardings
 from edgerunner_tpu.train.state import (
     TrainState,
     create_train_state,

@@ -59,10 +59,10 @@ def main():
                                          root=first_root)
     else:
         logger.warning(f"data_root {opt.data_root} not found; using synthetic data")
-        train_dataset = SyntheticMeshDataset(opt, size=256, training=True,
-                                             tokenizer=tokenizer)
-        test_dataset = SyntheticMeshDataset(opt, size=16, training=False,
-                                            tokenizer=tokenizer)
+        train_dataset = SyntheticMeshDataset(opt, size=opt.synthetic_size,
+                                             training=True, tokenizer=tokenizer)
+        test_dataset = SyntheticMeshDataset(opt, size=max(opt.synthetic_size // 16, 4),
+                                            training=False, tokenizer=tokenizer)
     logger.info(f"train dataset size: {len(train_dataset)}")
     logger.info(f"test dataset size: {len(test_dataset)}")
 

@@ -20,6 +20,7 @@ TINY = [
     "--num_cond_tokens", "17", "--max_seq_length", "256",
     "--checkpointing", "false", "--point_num", "64",
     "--testset_size", "4", "--num_workers", "2",
+    "--synthetic_size", "32",
 ]
 
 
