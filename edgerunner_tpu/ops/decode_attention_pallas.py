@@ -53,15 +53,17 @@ def _kernel(index_ref, q_ref, ko_hbm, vo_hbm,
 
     nblocks = (index + 1 + block - 1) // block
 
+    # per-slot semaphores: two in-flight double-buffer DMAs signalling one
+    # semaphore is a race (wait() can return on the *other* slot's completion)
     def get_dma(slot, blk):
         return pltpu.make_async_copy(
             ko_hbm.at[pl.ds(b, 1), pl.ds(blk * block, block), :],
-            kbuf.at[pl.ds(slot, 1)], sems.at[0])
+            kbuf.at[pl.ds(slot, 1)], sems.at[slot])
 
     def get_dma_v(slot, blk):
         return pltpu.make_async_copy(
             vo_hbm.at[pl.ds(b, 1), pl.ds(blk * block, block), :],
-            vbuf.at[pl.ds(slot, 1)], sems.at[1])
+            vbuf.at[pl.ds(slot, 1)], sems.at[2 + slot])
 
     get_dma(0, 0).start()
     get_dma_v(0, 0).start()

@@ -1,0 +1,40 @@
+"""CLIP tower numeric parity vs HuggingFace CLIPVisionModel (random weights,
+small config) — validates the architecture and the weight converter."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax
+import jax.numpy as jnp
+
+from edgerunner_tpu.models.clip_vit import (
+    CLIPVisionConfig,
+    CLIPVisionTower,
+    convert_hf_clip_params,
+)
+
+
+def test_tower_matches_hf_vision_model():
+    from transformers import CLIPVisionConfig as HFConfig, CLIPVisionModel
+
+    hf_cfg = HFConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, image_size=28, patch_size=14,
+        hidden_act="gelu", layer_norm_eps=1e-5,
+    )
+    torch.manual_seed(0)
+    hf_model = CLIPVisionModel(hf_cfg).eval()
+
+    cfg = CLIPVisionConfig(image_size=28, patch_size=14, hidden_size=64,
+                           intermediate_size=128, num_layers=2, num_heads=4)
+    tower = CLIPVisionTower(cfg)
+    params = {"params": convert_hf_clip_params(hf_model.state_dict())}
+
+    x = np.random.default_rng(0).normal(size=(2, 28, 28, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf_model(torch.tensor(x).permute(0, 3, 1, 2)).last_hidden_state.numpy()
+    got = np.asarray(tower.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
