@@ -50,15 +50,16 @@ def _get_decode_fn(model: LMM, *, num_new: int, max_len: int, mode: str,
         return model.apply(params, conds, num_faces, prompt_ids, max_len,
                            method=LMM.prefill)
 
-    def loop(params, next_logits, k_cache, v_cache, plen, init_state, rng):
-        """Returns (tokens [B, num_new] with PAD after EOS, num_generated)."""
-        B = next_logits.shape[0]
-        tokens0 = jnp.zeros((B, num_new), jnp.int32)
-        done0 = jnp.zeros((B,), bool)
+    # the decode runs in bounded segments (<= CHUNK steps per device program):
+    # a single 16k-step while_loop is one very long XLA execution, which the
+    # runtime can kill; segments also allow host-side early exit on EOS
+    CHUNK = 2048
 
+    def loop(params, tokens, next_logits, k_cache, v_cache, plen, init_state,
+             done, rng, i, end):
         def cond_fn(carry):
             i, _, _, _, _, _, done, _ = carry
-            return (i < num_new) & ~jnp.all(done)
+            return (i < end) & ~jnp.all(done)
 
         def body_fn(carry):
             i, tokens, logits, k_cache, v_cache, gstate, done, rng = carry
@@ -89,23 +90,33 @@ def _get_decode_fn(model: LMM, *, num_new: int, max_len: int, mode: str,
                 params, nxt[:, None], k_cache, v_cache, plen + i, method=LMM.step)
             return i + 1, tokens, logits, k_cache, v_cache, gstate, done, rng
 
-        carry = (jnp.asarray(0), tokens0, next_logits, k_cache, v_cache,
-                 init_state, done0, rng)
-        i, tokens, _, k_cache, v_cache, *_ = jax.lax.while_loop(
-            cond_fn, body_fn, carry)
-        # caches are returned (and discarded by the caller) solely so the
-        # donated input buffers can alias the outputs — that is what lets the
-        # while carry run in place instead of double-buffering 7GB of cache
-        return tokens, i, k_cache, v_cache
+        carry = (i, tokens, next_logits, k_cache, v_cache,
+                 init_state, done, rng)
+        carry = jax.lax.while_loop(cond_fn, body_fn, carry)
+        # all carries are returned so the donated input buffers alias the
+        # outputs — that is what lets the while carry run in place instead of
+        # double-buffering 7GB of cache
+        return carry
 
     prefill_jit = jax.jit(prefill)
-    loop_jit = jax.jit(loop, donate_argnums=(2, 3))
+    # donate: tokens(1), logits(2), caches(3,4), fsm(6), done(7);
+    # rng is caller-owned (callers reuse keys across calls) — not donated
+    loop_jit = jax.jit(loop, donate_argnums=(1, 2, 3, 4, 6, 7))
 
     def decode(params, conds, num_faces, prompt_ids, init_state, rng):
         next_logits, k_cache, v_cache, plen = prefill_jit(
             params, conds, num_faces, prompt_ids)
-        tokens, i, _, _ = loop_jit(params, next_logits, k_cache, v_cache, plen,
-                                   init_state, rng)
+        B = prompt_ids.shape[0]
+        tokens = jnp.zeros((B, num_new), jnp.int32)
+        done = jnp.zeros((B,), bool)
+        i = jnp.asarray(0)
+        for seg_end in range(CHUNK, num_new + CHUNK, CHUNK):
+            end = jnp.asarray(min(seg_end, num_new))
+            (i, tokens, next_logits, k_cache, v_cache, init_state, done,
+             rng) = loop_jit(params, tokens, next_logits, k_cache, v_cache,
+                             plen, init_state, done, rng, i, end)
+            if bool(jnp.all(done)):
+                break
         return tokens, i
 
     _DECODE_CACHE[key] = decode
