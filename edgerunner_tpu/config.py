@@ -41,6 +41,15 @@ class Options:
     point_encoder_mode: Literal["downsample", "embed"] = "embed"
     kl_weight: float = 1e-8
 
+    ### image encoder (CLIP vision tower; defaults = ViT-H/14 as in the
+    ### reference's laion/CLIP-ViT-H-14, models.py:41)
+    clip_hidden_dim: int = 1280
+    clip_intermediate_dim: int = 5120
+    clip_num_layers: int = 32
+    clip_num_heads: int = 16
+    clip_image_size: int = 224
+    clip_patch_size: int = 14
+
     ### dit
     dit_hidden_dim: int = 1024
     dit_num_heads: int = 16

@@ -346,13 +346,16 @@ class DataLoader:
         stop = threading.Event()
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for idxs in batches:
-                    if stop.is_set():
-                        break
-                    items = list(pool.map(self.dataset.__getitem__, idxs))
-                    q.put(self.collate_fn(items, self.opt, self.bucket))
-            q.put(None)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for idxs in batches:
+                        if stop.is_set():
+                            break
+                        items = list(pool.map(self.dataset.__getitem__, idxs))
+                        q.put(self.collate_fn(items, self.opt, self.bucket))
+                q.put(None)
+            except BaseException as e:  # surface worker failures to the consumer
+                q.put(e)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -361,6 +364,8 @@ class DataLoader:
                 batch = q.get()
                 if batch is None:
                     break
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

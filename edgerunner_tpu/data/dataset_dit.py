@@ -27,7 +27,7 @@ def render_points_image(points: np.ndarray, size: int = 224) -> np.ndarray:
     xy = ((points[:, :2] * 0.45 + 0.5) * (size - 1)).astype(np.int64)
     z = points[:, 2]
     order = np.argsort(z)  # far to near; near splats overwrite
-    shade = 0.25 + 0.5 * (z - z.min()) / max(z.ptp(), 1e-6)
+    shade = 0.25 + 0.5 * (z - z.min()) / max(float(np.ptp(z)), 1e-6)
     xs = np.clip(xy[order, 0], 0, size - 1)
     ys = np.clip(size - 1 - xy[order, 1], 0, size - 1)
     img[ys, xs] = shade[order]

@@ -154,10 +154,12 @@ def generate_tokens(
         init_state = S.grammar_init(B)
 
     limit = opt.max_seq_length if max_new_tokens is None else max_new_tokens
-    # token budget: 4 tokens/face heuristic (reference: models.py:284) governs
-    # the bucket; the EOS decides the actual stop
+    # token budget: the reference assumes 4 tokens/face (models.py:284);
+    # metok averages ~4.3 on real meshes, so 6/face leaves margin while
+    # keeping the KV cache (prompt+cond+budget) sized to the request.
+    # EOS ends decoding early either way.
     if num_faces > 0:
-        budget = min(limit, num_faces * 9 + 32)
+        budget = min(limit, num_faces * 6 + 32)
     else:
         budget = limit
     num_new = round_up_bucket(budget, opt.decode_bucket)

@@ -21,6 +21,19 @@ CLIP_IMAGE_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], dtype=np.float32
 CLIP_IMAGE_STD = np.array([0.26862954, 0.26130258, 0.27577711], dtype=np.float32)
 
 
+def clip_config_from_options(opt, dtype=jnp.float32):
+    """Build the tower config from Options (defaults = ViT-H/14)."""
+    return CLIPVisionConfig(
+        image_size=opt.clip_image_size,
+        patch_size=opt.clip_patch_size,
+        hidden_size=opt.clip_hidden_dim,
+        intermediate_size=opt.clip_intermediate_dim,
+        num_layers=opt.clip_num_layers,
+        num_heads=opt.clip_num_heads,
+        dtype=dtype,
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class CLIPVisionConfig:
     # ViT-H/14 geometry

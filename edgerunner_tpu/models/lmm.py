@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from edgerunner_tpu.config import Options, vocab_size_for
-from edgerunner_tpu.models.clip_vit import CLIPVisionTower, preprocess_images
+from edgerunner_tpu.models.clip_vit import CLIPVisionTower, clip_config_from_options, preprocess_images
 from edgerunner_tpu.models.layers import Dense
 from edgerunner_tpu.models.point_encoder import (
     PointEncoderEmbed,
@@ -42,7 +42,8 @@ class LMM(nn.Module):
         self.vocab_size = vocab_size_for(opt)
 
         if opt.cond_mode == "image":
-            self.image_encoder = CLIPVisionTower(name="image_encoder")
+            self.image_encoder = CLIPVisionTower(
+                clip_config_from_options(opt, self.dtype), name="image_encoder")
             self.proj_cond = Dense(opt.hidden_dim, dtype=self.dtype, name="proj_cond")
             self.norm_cond = nn.LayerNorm(name="norm_cond")
         elif opt.cond_mode == "point":
@@ -94,7 +95,8 @@ class LMM(nn.Module):
         cond_embeds = None
 
         if opt.cond_mode == "image":
-            feats = self.image_encoder(preprocess_images(conds))
+            feats = self.image_encoder(
+                preprocess_images(conds, size=opt.clip_image_size))
             if opt.freeze_encoder:
                 feats = jax.lax.stop_gradient(feats)
             cond_embeds = self.norm_cond(self.proj_cond(feats)).astype(self.dtype)

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from edgerunner_tpu.config import Options
 from edgerunner_tpu.diffusion import DiffusionSchedule, ddim_step, ddim_timesteps
-from edgerunner_tpu.models.clip_vit import CLIPVisionTower, preprocess_images
+from edgerunner_tpu.models.clip_vit import CLIPVisionTower, clip_config_from_options, preprocess_images
 from edgerunner_tpu.models.dit import DiT
 from edgerunner_tpu.models.layers import Dense
 from edgerunner_tpu.models.point_encoder import PointEncoderEmbed, PointEncoderFPS
@@ -39,7 +39,8 @@ class MDiT(nn.Module):
             remat=opt.checkpointing,
             name="dit",
         )
-        self.image_encoder = CLIPVisionTower(name="image_encoder")
+        self.image_encoder = CLIPVisionTower(
+            clip_config_from_options(opt, self.dtype), name="image_encoder")
         self.proj_cond = Dense(opt.dit_hidden_dim, dtype=self.dtype, name="proj_cond")
         self.norm_cond = nn.LayerNorm(name="norm_cond")
 
@@ -62,7 +63,8 @@ class MDiT(nn.Module):
     def get_cond(self, images):
         """images [B, H, W, 3] in [0,1] -> [B, 257, dit_hidden]
         (reference: models_dit.py:104-115)."""
-        feats = jax.lax.stop_gradient(self.image_encoder(preprocess_images(images)))
+        feats = jax.lax.stop_gradient(self.image_encoder(
+            preprocess_images(images, size=self.opt.clip_image_size)))
         return self.norm_cond(self.proj_cond(feats)).astype(self.dtype)
 
     def encode_points(self, points):

@@ -65,32 +65,41 @@ def process(opt, model, params, tokenizer, path: str, rng):
     if opt.test_resume_tokens:
         resume_ids = np.load(opt.test_resume_tokens)[None] + 3
 
-    for i in range(opt.test_repeat):
+    # batched generation: decode test_batch_size repeats per device call
+    # (lifts the reference's B == 1 restriction, models.py:216)
+    B = max(1, opt.test_batch_size)
+    for i0 in range(0, opt.test_repeat, B):
+        nrep = min(B, opt.test_repeat - i0)
         for num_faces in opt.test_num_face:
             t0 = time.time()
             rng, sub = jax.random.split(rng)
-            tokens = generate_tokens(
-                model, params, cond,
+            batch_cond = np.repeat(cond, nrep, axis=0)
+            batch_resume = (np.repeat(resume_ids, nrep, axis=0)
+                            if resume_ids is not None else None)
+            all_tokens = generate_tokens(
+                model, params, batch_cond,
                 num_faces=num_faces,
                 max_new_tokens=opt.test_max_seq_length,
-                resume_ids=resume_ids,
+                resume_ids=batch_resume,
                 rng=sub,
                 use_grammar=opt.use_meto,
-            )[0]
-
-            filename = f"{name}_{i}"
-            if opt.use_num_face_cond:
-                filename += f"_{num_faces}f"
-            verts, faces = save_mesh(
-                tokens, opt, os.path.join(opt.workspace, filename + ".ply"),
-                tokenizer=tokenizer, clean=True, verbose=True)
-
-            out_tokens = trim_eos(tokens) - 3
-            np.save(os.path.join(opt.workspace, filename + "_tokens.npy"), out_tokens)
-
+            )
             t1 = time.time()
-            print(f"[INFO] Processing {path} --> {filename}.ply "
-                  f"({faces.shape[0]} faces), time = {t1 - t0:.4f}s")
+
+            for j in range(nrep):
+                filename = f"{name}_{i0 + j}"
+                if opt.use_num_face_cond:
+                    filename += f"_{num_faces}f"
+                verts, faces = save_mesh(
+                    all_tokens[j], opt,
+                    os.path.join(opt.workspace, filename + ".ply"),
+                    tokenizer=tokenizer, clean=True, verbose=True)
+                out_tokens = trim_eos(all_tokens[j]) - 3
+                np.save(os.path.join(opt.workspace, filename + "_tokens.npy"),
+                        out_tokens)
+                print(f"[INFO] Processing {path} --> {filename}.ply "
+                      f"({faces.shape[0]} faces), "
+                      f"time = {(t1 - t0) / nrep:.4f}s/mesh")
 
 
 def main():

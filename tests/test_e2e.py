@@ -84,6 +84,10 @@ def test_main_dit_tiny(tmp_path):
     _run_cli("main_dit.py", ["DiT", *TINY,
                              "--dit_hidden_dim", "32", "--dit_num_heads", "4",
                              "--dit_num_layers", "2",
+                             "--clip_hidden_dim", "32",
+                             "--clip_intermediate_dim", "64",
+                             "--clip_num_layers", "2", "--clip_num_heads", "4",
+                             "--clip_image_size", "28",
                              "--data_root", "/nonexistent_synthetic",
                              "--workspace", ws, "--num_epochs", "1",
                              "--batch_size", "8", "--eval_mode", "none"])
