@@ -3,9 +3,10 @@ reference's HF GenerationMixin loop (reference: core/models.py:204-318,
 modeling_opt.py:519-549).
 
 Design:
-  * the whole decode is ONE jitted function: prefill + `lax.while_loop` over
-    single-token steps with a preallocated KV cache — no per-step dispatch,
-    no host syncs
+  * two jitted programs: prefill (fills a preallocated KV cache) and a
+    `lax.while_loop` decode segment of <=2048 single-token steps with every
+    carry donated — no per-step dispatch, no host syncs inside a segment;
+    segments bound device-program runtime and allow host-side EOS early exit
   * the grammar FSM runs on device as carried loop state (ops/sampling.py)
   * decode lengths are bucketed (round up to `decode_bucket`) so each bucket
     compiles once and is reused across requests
@@ -57,6 +58,8 @@ def _get_decode_fn(model: LMM, *, num_new: int, max_len: int, mode: str,
 
     def loop(params, tokens, next_logits, k_cache, v_cache, plen, init_state,
              done, rng, i, end):
+        B = next_logits.shape[0]
+
         def cond_fn(carry):
             i, _, _, _, _, _, done, _ = carry
             return (i < end) & ~jnp.all(done)

@@ -33,7 +33,6 @@ class SelfAttention(nn.Module):
     output_dim: Optional[int] = None
     causal: bool = False
     dtype: Any = jnp.float32
-    out_kernel_init: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x, *, lengths=None):
@@ -44,11 +43,9 @@ class SelfAttention(nn.Module):
         qkv = Dense(3 * self.hidden_dim, dtype=self.dtype, name="qkv_proj")(x)
         q, k, v = jnp.split(qkv.reshape(B, N, 3 * H, Dh), 3, axis=2)
         o = attention(q, k, v, causal=self.causal, q_len=lengths, kv_len=lengths)
-        out_init = self.out_kernel_init or dense_init
         return Dense(
             self.output_dim or self.hidden_dim,
             dtype=self.dtype,
-            kernel_init=out_init,
             name="out_proj",
         )(o.reshape(B, N, H * Dh))
 

@@ -1,0 +1,50 @@
+"""Data-pipeline round trips (reference: provider.py __main__ smoke,
+provider.py:543-587): collated labels must detokenize back into the mesh."""
+
+import numpy as np
+
+from edgerunner_tpu.config import Options
+from edgerunner_tpu.data.dataset import SyntheticMeshDataset, collate
+from edgerunner_tpu.data.tokenize import detokenize_mesh
+from edgerunner_tpu.utils import get_tokenizer
+
+
+def _roundtrip(opt):
+    tok, _ = get_tokenizer(opt)
+    ds = SyntheticMeshDataset(opt, size=4, training=False, tokenizer=tok)
+    items = [ds[i] for i in range(3)]
+    batch = collate(items, opt, bucket=64)
+    C = opt.num_cond_tokens
+    for b, item in enumerate(items):
+        n = int(batch["num_tokens"][b])
+        labels = batch["labels"][b]
+        coords = labels[C + 1:n - 1]  # strip cond/BOS and EOS
+        assert (coords >= 3).all()
+        v, f = detokenize_mesh(np.asarray(coords), opt.discrete_bins, tokenizer=tok)
+        assert f.shape[0] == item["num_faces"], (
+            f"row {b}: {f.shape[0]} faces detokenized vs {item['num_faces']}")
+        assert np.isfinite(v).all() and np.abs(v).max() <= 1.0
+
+
+def test_meto_pipeline_roundtrip():
+    _roundtrip(Options(cond_mode="none", num_cond_tokens=1, use_meto=True,
+                       meto_backend="LR_ABSCO", max_seq_length=4096,
+                       max_face_length=2000, point_num=32))
+
+
+def test_naive_pipeline_roundtrip():
+    _roundtrip(Options(cond_mode="none", num_cond_tokens=1, use_meto=False,
+                       max_seq_length=8192, max_face_length=900, point_num=32))
+
+
+def test_compression_vs_naive():
+    """metok token streams must be ~half the naive 9-per-face cost."""
+    opt_m = Options(cond_mode="none", num_cond_tokens=1, use_meto=True,
+                    max_seq_length=40960, max_face_length=4000, point_num=32)
+    tok, _ = get_tokenizer(opt_m)
+    ds = SyntheticMeshDataset(opt_m, size=4, training=False, tokenizer=tok)
+    ratios = []
+    for i in range(4):
+        item = ds[i]
+        ratios.append(item["len"] / (9 * item["num_faces"]))
+    assert np.mean(ratios) < 0.62, ratios
