@@ -42,6 +42,10 @@ def main():
 
     import jax
 
+    from edgerunner_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from edgerunner_tpu.config import config_defaults
     from edgerunner_tpu.generate import generate_tokens, round_up_bucket
     from edgerunner_tpu.models.lmm import LMM

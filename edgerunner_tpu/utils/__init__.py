@@ -1,10 +1,11 @@
 from .misc import (
     cast_params,
     compute_dtype,
+    enable_compilation_cache,
     get_tokenizer,
     init_logger,
     quantize_num_faces,
 )
 
-__all__ = ["cast_params", "compute_dtype", "get_tokenizer", "init_logger",
-           "quantize_num_faces"]
+__all__ = ["cast_params", "compute_dtype", "enable_compilation_cache",
+           "get_tokenizer", "init_logger", "quantize_num_faces"]

@@ -9,6 +9,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def enable_compilation_cache(cache_dir: str | None = None):
+    """Persistent XLA compilation cache: flagship programs compile in minutes
+    through the TPU tunnel; the cache makes repeat runs start instantly."""
+    import os
+
+    cache_dir = cache_dir or os.environ.get(
+        "EDGERUNNER_XLA_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".cache", "xla"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    return cache_dir
+
+
 def compute_dtype(opt):
     """Training/inference compute dtype from the mixed_precision option."""
     return jnp.bfloat16 if opt.mixed_precision == "bf16" else jnp.float32

@@ -104,6 +104,10 @@ def process(opt, model, params, tokenizer, path: str, rng):
 
 def main():
     opt = validate(parse_cli(prog="infer.py"))
+
+    from edgerunner_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     rng = jax.random.PRNGKey(opt.seed)
 
     import jax.numpy as jnp

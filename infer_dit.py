@@ -32,6 +32,10 @@ from edgerunner_tpu.utils import get_tokenizer
 
 def main():
     opt = parse_cli(prog="infer_dit.py")
+
+    from edgerunner_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     # the LMM consumes externally-produced latents (reference: infer_dit.py:55)
     opt = dataclasses.replace(opt, cond_mode="point_latent")
 

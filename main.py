@@ -37,6 +37,10 @@ from edgerunner_tpu.utils import get_tokenizer, init_logger
 def main():
     opt = validate(parse_cli(prog="main.py"))
 
+    from edgerunner_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     os.makedirs(opt.workspace, exist_ok=True)
     logger = init_logger(os.path.join(opt.workspace, "log.txt"))
     logger.info(str(opt))

@@ -39,6 +39,10 @@ def init_mdit_params(model, opt, rng):
 def main():
     opt = parse_cli(prog="main_dit.py")
 
+    from edgerunner_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     os.makedirs(opt.workspace, exist_ok=True)
     logger = init_logger(os.path.join(opt.workspace, "log.txt"))
     logger.info(str(opt))

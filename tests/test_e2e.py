@@ -79,6 +79,31 @@ def test_infer_none_cond(tmp_path):
     assert any(f.endswith(".ply") for f in os.listdir(out))
 
 
+def test_infer_dit_pipeline(tmp_path):
+    """image -> DiT latents -> ArAE decode -> mesh, random weights."""
+    from PIL import Image
+    import numpy as np
+
+    img_path = str(tmp_path / "img.png")
+    arr = (np.random.default_rng(0).uniform(0, 255, (32, 32, 3))).astype("uint8")
+    Image.fromarray(arr).save(img_path)
+
+    out = str(tmp_path / "out")
+    _run_cli("infer_dit.py", ["ArAE", *TINY,
+                              "--dit_hidden_dim", "32", "--dit_num_heads", "4",
+                              "--dit_num_layers", "2",
+                              "--clip_hidden_dim", "32",
+                              "--clip_intermediate_dim", "64",
+                              "--clip_num_layers", "2", "--clip_num_heads", "4",
+                              "--clip_image_size", "28",
+                              "--test_path", img_path, "--workspace", out,
+                              "--test_num_face", "10", "--decode_bucket", "64",
+                              "--generate_mode", "greedy"])
+    files = os.listdir(out)
+    assert any(f.endswith(".obj") for f in files)
+    assert any(f.endswith("_tokens.npy") for f in files)
+
+
 def test_main_dit_tiny(tmp_path):
     ws = str(tmp_path / "dit_ws")
     _run_cli("main_dit.py", ["DiT", *TINY,
