@@ -149,6 +149,12 @@ def generate_tokens(
     if rng is None:
         rng = jax.random.PRNGKey(opt.seed)
 
+    if use_grammar and opt.use_meto and opt.meto_backend == "CLERS":
+        # the counter FSM models the LR token layouts only; the reference
+        # likewise disables constraints for CLERS (models.py:273-275)
+        print("[WARN] grammar constraints not defined for meto backend CLERS")
+        use_grammar = False
+
     prompt = np.full((B, 1), opt.bos_token_id, np.int32)
     if resume_ids is not None:
         prompt = np.concatenate([prompt, np.asarray(resume_ids, np.int32)], axis=1)

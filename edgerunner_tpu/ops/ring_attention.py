@@ -1,0 +1,109 @@
+"""Ring attention: exact causal attention over a sequence sharded across
+devices (context parallelism).
+
+The reference handles long contexts (43k positions) on a single GPU with
+flash-attn + checkpointing and has no sequence parallelism (SURVEY §5).
+This op exceeds that: the sequence axis is sharded over a mesh axis, K/V
+shards rotate around the ring with `jax.lax.ppermute` while every device
+accumulates online-softmax partials for its local queries — memory per
+device scales as N/ring_size, communication rides the ICI ring.
+
+Usage (inside shard_map, or via the `ring_self_attention` wrapper):
+    out = ring_attention(q_shard, k_shard, v_shard, axis_name="sp", causal=True)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+NEG_INF = -1e30
+
+
+def _block_partials(q, k, v, kv_offset, scale, causal):
+    """Unnormalized attention partials of local q against one K/V block.
+
+    q: [B, S, H, D]; k/v: [B, S, H, D]; kv_offset = global_q_start -
+    global_kv_start (causal: q row i may attend kv col j iff j <= i + offset).
+    Returns (o [B,S,H,D], m [B,H,S,1], l [B,H,S,1]) in fp32.
+    """
+    B, S, H, D = q.shape
+    s = jnp.einsum("bnhd,bmhd->bhnm", q, k) * scale  # [B, H, S, S]
+    if causal:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0) + kv_offset
+        cols = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+        s = jnp.where((cols <= rows)[None, None], s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)              # [B, H, S, 1]
+    m = jnp.maximum(m, NEG_INF)                         # keep fully-masked rows finite
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.einsum("bhnm,bmhd->bnhd", p, v)
+    return o, m, l
+
+
+def ring_attention(q, k, v, *, axis_name: str, causal: bool = True):
+    """Exact attention with the sequence sharded over `axis_name`.
+
+    q/k/v: local shards [B, S, H, D] (S = N / ring_size, identical layout on
+    every device). Must run inside shard_map/pmap over `axis_name`.
+    Returns the local output shard [B, S, H, D].
+    """
+    B, S, H, D = q.shape
+    ring = jax.lax.axis_size(axis_name)
+    me = jax.lax.axis_index(axis_name)
+    scale = 1.0 / jnp.sqrt(D).astype(jnp.float32)
+
+    qf = q.astype(jnp.float32)
+    perm = [(i, (i + 1) % ring) for i in range(ring)]
+
+    def step(carry, s_idx):
+        kv, m, l, acc = carry
+        k_cur, v_cur = kv
+        src = (me - s_idx) % ring           # shard origin of the current K/V
+        kv_offset = (me - src) * S          # global_q_start - global_kv_start
+
+        o_b, m_b, l_b = _block_partials(
+            qf, k_cur.astype(jnp.float32), v_cur.astype(jnp.float32),
+            kv_offset, scale, causal)
+
+        m_new = jnp.maximum(m, m_b)
+        alpha = jnp.exp(m - m_new)
+        beta = jnp.exp(m_b - m_new)
+        l = l * alpha + l_b * beta
+        # [B,H,S,1] -> [B,S,H,1] for broadcasting against o
+        a_t = jnp.transpose(alpha, (0, 2, 1, 3))
+        b_t = jnp.transpose(beta, (0, 2, 1, 3))
+        acc = acc * a_t + o_b * b_t
+
+        # rotate K/V shards around the ring for the next step
+        k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
+        return ((k_nxt, v_nxt), m_new, l, acc), None
+
+    m0 = jnp.full((B, H, S, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((B, H, S, 1), jnp.float32)
+    acc0 = jnp.zeros((B, S, H, D), jnp.float32)
+    (_, m, l, acc), _ = jax.lax.scan(
+        step, ((k, v), m0, l0, acc0), jnp.arange(ring))
+
+    l_t = jnp.transpose(l, (0, 2, 1, 3))  # [B, S, H, 1]
+    out = acc / jnp.where(l_t > 0, l_t, 1.0)
+    return out.astype(q.dtype)
+
+
+def ring_self_attention(q, k, v, mesh: Mesh, *, axis: str = "sp",
+                        causal: bool = True):
+    """Convenience wrapper: full [B, N, H, D] arrays in, sequence sharded over
+    `mesh[axis]`, exact attention out. N must divide by the axis size."""
+    from jax.experimental.shard_map import shard_map
+
+    spec = P(None, axis, None, None)
+    fn = shard_map(
+        functools.partial(ring_attention, axis_name=axis, causal=causal),
+        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_rep=False)
+    return fn(q, k, v)

@@ -1,0 +1,65 @@
+"""Ring attention (context parallelism) vs full attention on the virtual mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from edgerunner_tpu.ops.attention import attention_reference
+from edgerunner_tpu.ops.ring_attention import ring_self_attention
+
+
+def _mesh(n, axis="sp"):
+    return Mesh(np.asarray(jax.devices()[:n]), axis_names=(axis,))
+
+
+@pytest.mark.parametrize("ring", [2, 4, 8])
+@pytest.mark.parametrize("causal", [True, False])
+def test_matches_full_attention(ring, causal):
+    B, N, H, D = 2, 128, 4, 32
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (B, N, H, D), jnp.float32)
+    k = jax.random.normal(ks[1], (B, N, H, D), jnp.float32)
+    v = jax.random.normal(ks[2], (B, N, H, D), jnp.float32)
+
+    out = ring_self_attention(q, k, v, _mesh(ring), causal=causal)
+    ref = attention_reference(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_gradients_flow():
+    B, N, H, D = 1, 64, 2, 16
+    mesh = _mesh(4)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    q = jax.random.normal(ks[0], (B, N, H, D))
+    k = jax.random.normal(ks[1], (B, N, H, D))
+    v = jax.random.normal(ks[2], (B, N, H, D))
+
+    def loss_ring(q, k, v):
+        return jnp.sum(ring_self_attention(q, k, v, mesh, causal=True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_reference(q, k, v, causal=True) ** 2)
+
+    gr = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    gf = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, n in zip(gr, gf, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4, err_msg=f"d{n}")
+
+
+def test_memory_scales_with_shard():
+    """Each device only materializes S x S score blocks (S = N / ring)."""
+    # structural check via jaxpr: the largest intermediate inside shard_map
+    # must be [B, H, S, S], not [B, H, N, N]
+    B, N, H, D = 1, 128, 2, 16
+    mesh = _mesh(8)
+    q = jnp.zeros((B, N, H, D))
+    jaxpr = jax.make_jaxpr(
+        lambda q, k, v: ring_self_attention(q, k, v, mesh, causal=True))(q, q, q)
+    S = N // 8
+    text = str(jaxpr)
+    assert f"{B},{H},{S},{S}" in text.replace(" ", "")
+    assert f"{B},{H},{N},{N}" not in text.replace(" ", "")

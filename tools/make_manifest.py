@@ -1,0 +1,52 @@
+"""Scan a mesh directory and write manifest.json ({relpath: num_faces}),
+the optional index consumed by MeshFolderDataset (face-count filtering
+without re-parsing every mesh each run; reference analog: the
+objaverse_wface.json metadata, provider.py:157-162).
+
+Usage: python tools/make_manifest.py DATA_ROOT [--workers N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from concurrent.futures import ThreadPoolExecutor
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from edgerunner_tpu.data.mesh_io import load_mesh  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("root")
+    ap.add_argument("--workers", type=int, default=16)
+    args = ap.parse_args()
+
+    paths = []
+    for dirpath, _, files in os.walk(args.root):
+        for fn in sorted(files):
+            if os.path.splitext(fn)[1].lower() in (".obj", ".ply"):
+                paths.append(os.path.join(dirpath, fn))
+
+    def count(path):
+        try:
+            _, f = load_mesh(path)
+            return os.path.relpath(path, args.root), int(f.shape[0])
+        except Exception as e:
+            print(f"[skip] {path}: {e}")
+            return None
+
+    with ThreadPoolExecutor(args.workers) as pool:
+        entries = [r for r in pool.map(count, paths) if r is not None]
+
+    out = os.path.join(args.root, "manifest.json")
+    with open(out, "w") as fp:
+        json.dump(dict(entries), fp, indent=0)
+    print(f"wrote {out}: {len(entries)} meshes")
+
+
+if __name__ == "__main__":
+    main()
