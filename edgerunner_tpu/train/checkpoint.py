@@ -123,7 +123,8 @@ class CheckpointManager:
 
 
 def init_lmm_params(model, opt, rng):
-    """Random-initialize LMM params with dummy batch shapes."""
+    """Random-initialize LMM params with dummy batch shapes (jitted: one
+    compiled program instead of hundreds of tiny remote compiles)."""
     import jax.numpy as jnp
 
     B = 1
@@ -140,8 +141,15 @@ def init_lmm_params(model, opt, rng):
     labels = jnp.full((B, C + 4), -100)
     lengths = jnp.full((B,), C + 4, jnp.int32)
     nf = jnp.full((B,), 100, jnp.int32)
-    return model.init({"params": rng, "nof": rng, "dropout": rng},
-                      conds, tokens, labels, nf, lengths)
+
+    # jit the whole init: eager init dispatches hundreds of tiny programs,
+    # each a multi-second round trip through the remote TPU compiler
+    @jax.jit
+    def _init(rng):
+        return model.init({"params": rng, "nof": rng, "dropout": rng},
+                          conds, tokens, labels, nf, lengths)
+
+    return _init(rng)
 
 
 def load_params_for_inference(model, opt, rng):

@@ -31,9 +31,13 @@ def compute_dtype(opt):
 
 def cast_params(params, dtype):
     """Cast float params (inference-time .half() equivalent, infer.py:56)."""
-    return jax.tree.map(
-        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
-        params)
+    @jax.jit
+    def _cast(params):
+        return jax.tree.map(
+            lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating)
+            else x, params)
+
+    return _cast(params)
 
 
 def init_logger(filename: str) -> logging.Logger:

@@ -30,10 +30,15 @@ def init_mdit_params(model, opt, rng):
     import jax.numpy as jnp
 
     B = 1
-    images = jnp.zeros((B, 224, 224, 3))
+    images = jnp.zeros((B, opt.clip_image_size, opt.clip_image_size, 3))
     points = jnp.zeros((B, opt.point_num, 3))
-    rngs = {"params": rng, "cfg": rng, "noise": rng, "time": rng}
-    return model.init(rngs, images, points, train=True)
+
+    @jax.jit
+    def _init(rng):
+        rngs = {"params": rng, "cfg": rng, "noise": rng, "time": rng}
+        return model.init(rngs, images, points, train=True)
+
+    return _init(rng)
 
 
 def main():
