@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--faces", type=int, default=1000)
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--kv_quant", action="store_true",
+                    help="int8 KV cache (halves cache HBM traffic)")
     args = ap.parse_args()
 
     import jax
@@ -51,7 +53,8 @@ def main():
     from edgerunner_tpu.models.lmm import LMM
     from edgerunner_tpu.train.checkpoint import init_lmm_params
 
-    opt = dataclasses.replace(config_defaults["ArAE"], generate_mode="greedy")
+    opt = dataclasses.replace(config_defaults["ArAE"], generate_mode="greedy",
+                              kv_quant=args.kv_quant)
     if args.tiny:
         opt = dataclasses.replace(
             opt, hidden_dim=64, num_layers=2, num_heads=4,

@@ -120,6 +120,9 @@ class Options:
     decode_bucket: int = 1024
     # batched generation (TPU improvement over the reference's B==1 limit)
     test_batch_size: int = 1
+    # int8 KV cache for decoding (halves cache HBM traffic; ~1% relative
+    # attention error from per-token quantization)
+    kv_quant: bool = False
 
 
 # named presets (reference: core/options.py:152-211)

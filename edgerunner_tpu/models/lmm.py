@@ -83,6 +83,7 @@ class LMM(nn.Module):
             eos_token_id=opt.eos_token_id,
             dtype=self.dtype,
             remat=opt.checkpointing,
+            kv_quant=opt.kv_quant,
         )
         self.mesh_decoder = ShapeOPT(cfg, name="mesh_decoder")
 

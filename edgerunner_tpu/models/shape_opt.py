@@ -45,6 +45,7 @@ class ShapeOPTConfig:
     num_cond_tokens: int = 257
     dtype: Any = jnp.float32
     remat: bool = False
+    kv_quant: bool = False  # int8 KV cache for decode
 
     @property
     def head_dim(self) -> int:
@@ -100,35 +101,73 @@ class OPTAttention(nn.Module):
         out = self.out_proj(o.reshape(B, P, -1))
         return out, kf, vf
 
-    def step(self, h, k_cache, v_cache, index):
-        """h: [B, 1, C]; caches [B, L, H*Dh] (packed); index: position."""
+    def _attend_cache(self, qf, k_cache, v_cache, index):
+        """Single-token attention over the cache; pallas on TPU, einsum off."""
+        c = self.cfg
+        from edgerunner_tpu.ops.decode_attention_pallas import (
+            DEFAULT_BLOCK,
+            fused_decode_attention,
+            fused_decode_attention_q8,
+        )
+
+        if c.kv_quant:
+            kv_vals, k_scales, v_scales = k_cache, v_cache[0], v_cache[1]
+            B, L, hd2 = kv_vals.shape
+            if jax.default_backend() == "tpu" and L % DEFAULT_BLOCK == 0:
+                return fused_decode_attention_q8(
+                    qf.reshape(B, -1), kv_vals, k_scales, v_scales, index,
+                    num_heads=c.num_attention_heads).reshape(B, 1, -1)
+            from edgerunner_tpu.ops.kv_quant import dequantize_rows
+
+            hd = hd2 // 2
+            kd = dequantize_rows(kv_vals[..., :hd], k_scales, c.dtype)
+            vd = dequantize_rows(kv_vals[..., hd:], v_scales, c.dtype)
+            q = self._heads(qf)
+            kh = kd.reshape(B, L, c.num_attention_heads, c.head_dim)
+            vh = vd.reshape(B, L, c.num_attention_heads, c.head_dim)
+            return decode_attention(q, kh, vh, index + 1).reshape(B, 1, -1)
+
         B, L = k_cache.shape[:2]
+        if jax.default_backend() == "tpu" and L % DEFAULT_BLOCK == 0:
+            # pallas path: reads only cache[:index+1], keeps the HBM layout
+            return fused_decode_attention(
+                qf.reshape(B, -1), k_cache, v_cache, index,
+                num_heads=c.num_attention_heads).reshape(B, 1, -1)
+        q = self._heads(qf)
+        # contiguous head split: a free bitcast, not a copy
+        kh = k_cache.reshape(B, L, c.num_attention_heads, c.head_dim)
+        vh = v_cache.reshape(B, L, c.num_attention_heads, c.head_dim)
+        return decode_attention(q, kh, vh, index + 1).reshape(B, 1, -1)
+
+    def step(self, h, k_cache, v_cache, index):
+        """h: [B, 1, C]; index: position. Cache per layer is either packed
+        [B, L, H*Dh] (k_cache/v_cache) or, with kv_quant, k_cache = int8
+        [B, L, 2*H*Dh] values and v_cache = (k_scales, v_scales)."""
         c = self.cfg
         qf = self.q_proj(h)
         kf = self.k_proj(h)
         vf = self.v_proj(h)
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, kf.astype(k_cache.dtype), (0, index, 0))
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, vf.astype(v_cache.dtype), (0, index, 0))
 
-        from edgerunner_tpu.ops.decode_attention_pallas import (
-            DEFAULT_BLOCK,
-            fused_decode_attention,
-        )
+        if c.kv_quant:
+            from edgerunner_tpu.ops.kv_quant import quantize_rows
 
-        if jax.default_backend() == "tpu" and L % DEFAULT_BLOCK == 0:
-            # pallas path: reads only cache[:index+1], keeps the HBM layout
-            of = fused_decode_attention(
-                qf.reshape(B, -1), k_cache, v_cache, index,
-                num_heads=c.num_attention_heads)
-            o = of.reshape(B, 1, -1)
+            kq, ks = quantize_rows(kf)
+            vq, vs = quantize_rows(vf)
+            kv_row = jnp.concatenate([kq, vq], axis=-1)
+            kv_vals = jax.lax.dynamic_update_slice(
+                k_cache, kv_row, (0, index, 0))
+            k_scales = jax.lax.dynamic_update_slice(
+                v_cache[0], ks.astype(v_cache[0].dtype), (0, index, 0))
+            v_scales = jax.lax.dynamic_update_slice(
+                v_cache[1], vs.astype(v_cache[1].dtype), (0, index, 0))
+            k_cache, v_cache = kv_vals, (k_scales, v_scales)
         else:
-            q = self._heads(qf)
-            # contiguous head split: a free bitcast, not a copy
-            kh = k_cache.reshape(B, L, c.num_attention_heads, c.head_dim)
-            vh = v_cache.reshape(B, L, c.num_attention_heads, c.head_dim)
-            o = decode_attention(q, kh, vh, index + 1).reshape(B, 1, -1)
+            k_cache = jax.lax.dynamic_update_slice(
+                k_cache, kf.astype(k_cache.dtype), (0, index, 0))
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, vf.astype(v_cache.dtype), (0, index, 0))
+
+        o = self._attend_cache(qf, k_cache, v_cache, index)
         return self.out_proj(o), k_cache, v_cache
 
 
@@ -231,6 +270,16 @@ class ShapeOPTDecoder(nn.Module):
         h = inputs_embeds.astype(c.dtype) + self._pos(0, P)[None]
         pad = ((0, 0), (0, max_len - P), (0, 0))
         ks, vs = [], []
+        if c.kv_quant:
+            from edgerunner_tpu.ops.kv_quant import quantize_rows
+
+            for layer in self.layers:
+                h, k, v = layer.prefill(h)
+                kq, ksc = quantize_rows(k)
+                vq, vsc = quantize_rows(v)
+                ks.append(jnp.pad(jnp.concatenate([kq, vq], -1), pad))
+                vs.append((jnp.pad(ksc, pad), jnp.pad(vsc, pad)))
+            return h, tuple(ks), tuple(vs)
         for layer in self.layers:
             h, k, v = layer.prefill(h)
             ks.append(jnp.pad(k.astype(c.dtype), pad))

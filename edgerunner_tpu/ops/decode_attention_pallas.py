@@ -154,3 +154,142 @@ def fused_decode_attention(q, k_cache, v_cache, index,
     )(jnp.asarray(index, jnp.int32).reshape(1), q.reshape(B, 1, hd),
       k_cache, v_cache)
     return out.reshape(B, hd)
+
+
+# ------------------------------------------------------- int8 KV variant --
+
+def _kernel_q8(index_ref, q_ref, kv_hbm, ks_hbm, vs_hbm,
+               out_ref, kbuf, ksbuf, vsbuf, sems,
+               *, num_heads, head_dim, block, scale):
+    """Like _kernel, but the cache holds int8 values + per-row bf16 scales.
+
+    kv_hbm: int8 [B, L, 2*hd] (K rows ++ V rows packed on the lane axis so
+    one DMA fetches both); ks/vs_hbm: bf16 [B, L, 128] row scales.
+    """
+    b = pl.program_id(0)
+    index = index_ref[0]
+    hd = num_heads * head_dim
+
+    j_ids = jax.lax.broadcasted_iota(jnp.int32, (hd, num_heads), 0)
+    h_ids = jax.lax.broadcasted_iota(jnp.int32, (hd, num_heads), 1)
+    E = (j_ids // head_dim == h_ids).astype(jnp.float32)
+    q = q_ref[0, 0, :].astype(jnp.float32)
+    qdiag = q[:, None] * E * scale
+
+    nblocks = (index + 1 + block - 1) // block
+
+    def dma_kv(slot, blk):
+        return pltpu.make_async_copy(
+            kv_hbm.at[pl.ds(b, 1), pl.ds(blk * block, block), :],
+            kbuf.at[pl.ds(slot, 1)], sems.at[slot])
+
+    def dma_ks(slot, blk):
+        return pltpu.make_async_copy(
+            ks_hbm.at[pl.ds(b, 1), pl.ds(blk * block, block), :],
+            ksbuf.at[pl.ds(slot, 1)], sems.at[2 + slot])
+
+    def dma_vs(slot, blk):
+        return pltpu.make_async_copy(
+            vs_hbm.at[pl.ds(b, 1), pl.ds(blk * block, block), :],
+            vsbuf.at[pl.ds(slot, 1)], sems.at[4 + slot])
+
+    dma_kv(0, 0).start()
+    dma_ks(0, 0).start()
+    dma_vs(0, 0).start()
+
+    def body(i, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < nblocks)
+        def _():
+            dma_kv(nxt, i + 1).start()
+            dma_ks(nxt, i + 1).start()
+            dma_vs(nxt, i + 1).start()
+
+        dma_kv(slot, i).wait()
+        dma_ks(slot, i).wait()
+        dma_vs(slot, i).wait()
+
+        kvb = kbuf[slot]                       # int8 [BK, 2*hd] block
+        kb = kvb[:, :hd].astype(jnp.float32)
+        vb = kvb[:, hd:].astype(jnp.float32)
+        ks = ksbuf[slot][:, :1].astype(jnp.float32)  # [BK, 1]
+        vs = vsbuf[slot][:, :1].astype(jnp.float32)  # [BK, 1]
+
+        s = jax.lax.dot_general(kb, qdiag, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * ks                              # fold K row scales into logits
+        t_ids = i * block + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        s = jnp.where(t_ids <= index, s, NEG_INF)
+
+        m_blk = jnp.max(s, axis=0, keepdims=True)
+        m_new = jnp.maximum(m, m_blk)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=0, keepdims=True)
+
+        p = p * vs                              # fold V row scales into probs
+        p_exp = jax.lax.dot_general(p, E, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        alpha_exp = jax.lax.dot_general(alpha, E, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+        acc = acc * alpha_exp + jnp.sum(p_exp * vb, axis=0, keepdims=True)
+        return m_new, l, acc
+
+    m0 = jnp.full((1, num_heads), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((1, num_heads), jnp.float32)
+    acc0 = jnp.zeros((1, hd), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, nblocks, body, (m0, l0, acc0))
+
+    l_exp = jax.lax.dot_general(jnp.where(l > 0, l, 1.0), E,
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    out_ref[0, 0, :] = (acc / l_exp)[0].astype(out_ref.dtype)
+
+
+def fused_decode_attention_q8(q, kv_vals, k_scales, v_scales, index,
+                              *, num_heads: int, block: int = DEFAULT_BLOCK):
+    """int8-cache decode attention.
+
+    q: [B, hidden] (bf16/f32); kv_vals: int8 [B, L, 2*hidden] (K ++ V packed
+    on lanes) ALREADY holding the new token's rows at `index`; k/v_scales:
+    bf16 [B, L, 128] per-row scales. Returns out [B, hidden] in q.dtype.
+    """
+    B, L, hd2 = kv_vals.shape
+    hd = hd2 // 2
+    assert L % block == 0, f"cache length {L} not a multiple of block {block}"
+    head_dim = hd // num_heads
+    scale = 1.0 / np.sqrt(head_dim)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 1, hd), lambda b, *_: (b, 0, 0)),  # q
+            pl.BlockSpec(memory_space=pltpu.ANY),               # kv int8
+            pl.BlockSpec(memory_space=pltpu.ANY),               # k scales
+            pl.BlockSpec(memory_space=pltpu.ANY),               # v scales
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, hd), lambda b, *_: (b, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, block, hd2), jnp.int8),
+            pltpu.VMEM((2, block, 128), jnp.bfloat16),
+            pltpu.VMEM((2, block, 128), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel_q8, num_heads=num_heads, head_dim=head_dim, block=block,
+        scale=scale)
+    (out,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, 1, hd), q.dtype)],
+        interpret=jax.default_backend() != "tpu",
+    )(jnp.asarray(index, jnp.int32).reshape(1), q.reshape(B, 1, hd),
+      kv_vals, k_scales, v_scales)
+    return out.reshape(B, hd)
