@@ -292,6 +292,7 @@ def collate(batch: list[dict], opt: Options, bucket: Optional[int] = None) -> di
 
     out = {
         "conds": np.stack([i["cond"] for i in batch]).astype(np.float32),
+        "azimuths": np.asarray([i["azimuth"] for i in batch], np.int32),
         "tokens": np.stack(tokens).astype(np.int32),
         "labels": np.stack(labels).astype(np.int32),
         "lengths": np.asarray(lengths, np.int32),

@@ -165,3 +165,34 @@ def test_clip_tower_shape():
     params = tower.init(RNG, x)
     out = tower.apply(params, x)
     assert out.shape == (2, 5, 32)  # 4 patches + cls
+
+
+def test_lmm_image_cond_branch():
+    """Image conditioning through the (tiny) CLIP tower end to end."""
+    opt = tiny_opt(cond_mode="image", num_cond_tokens=6, freeze_encoder=True,
+                   use_num_face_cond=True)
+    opt = __import__("dataclasses").replace(
+        opt, clip_hidden_dim=32, clip_intermediate_dim=64, clip_num_layers=2,
+        clip_num_heads=4, clip_image_size=28)
+    model = LMM(opt)
+    B = 2
+    images = jax.random.uniform(RNG, (B, 64, 64, 3))  # resized internally
+    tokens = jnp.array([[1, 6, 7, 8, 2]]).repeat(B, 0)
+    C = opt.num_cond_tokens
+    labels = jnp.concatenate([jnp.full((B, C + 1), -100), tokens[:, 1:]], axis=1)
+    lengths = jnp.full((B,), C + 5, jnp.int32)
+    nf = jnp.array([100, 100])
+    params = model.init({"params": RNG, "nof": RNG, "dropout": RNG},
+                        images, tokens, labels, nf, lengths)
+    out = model.apply(params, images, tokens, labels, nf, lengths)
+    # 5 CLIP tokens (4 patches + cls) + 1 num-face token = 6 cond tokens
+    assert out["logits"].shape[1] == C + 5
+    assert np.isfinite(float(out["loss"]))
+
+    # generation with image cond
+    from edgerunner_tpu.generate import generate_tokens
+    import dataclasses as dc
+    gmodel = LMM(dc.replace(opt, generate_mode="greedy", decode_bucket=64))
+    toks = generate_tokens(gmodel, params, np.asarray(images[:1]),
+                           num_faces=5, rng=RNG)
+    assert toks.shape[0] == 1 and toks.shape[1] >= 64
