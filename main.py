@@ -110,9 +110,11 @@ def main():
                                            on_step=on_step)
             # also persist optimizer state: resumable training, which the
             # reference lacks (weights-only resume; SURVEY §5)
-            manager.save_epoch(epoch, trainer.state.params,
-                               opt_state=trainer.state.opt_state,
-                               loss=avg_loss, log=logger.info)
+            manager.save_epoch(
+                epoch, trainer.state.params,
+                opt_state=(trainer.state.opt_state
+                           if opt.save_optimizer_state else None),
+                loss=avg_loss, log=logger.info)
             if opt.use_wandb:
                 import wandb
 
