@@ -1,0 +1,93 @@
+"""metok robustness: non-manifold / degenerate / fuzzed inputs must encode
+and round-trip without crashing (reference guards: mesh.h:205-210 marks
+non-manifold edges and continues)."""
+
+import numpy as np
+import pytest
+
+from edgerunner_tpu.tokenizer import Engine
+
+from fixtures import icosphere
+
+
+@pytest.mark.parametrize("backend", ["LR_ABSCO", "LR", "CLERS"])
+def test_nonmanifold_edge(backend):
+    # three faces sharing the edge (0, 1)
+    v = np.array([[0, 0, 0], [1, 0, 0], [0.5, 1, 0], [0.5, -1, 0],
+                  [0.5, 0, 1]], np.float32) * 0.9
+    f = np.array([[0, 1, 2], [1, 0, 3], [0, 1, 4]])
+    eng = Engine(512, backend=backend)
+    tokens, order, ftype = eng.encode(v, f)
+    assert len(order) == 3  # every face visited
+    dv, df, _ = eng.decode(tokens)
+    assert len(df) >= 3
+
+
+@pytest.mark.parametrize("backend", ["LR_ABSCO", "LR", "CLERS"])
+def test_duplicate_faces_and_isolated_vertices(backend):
+    v = np.array([[0, 0, 0], [0.9, 0, 0], [0.5, 0.9, 0], [0, 0, 0.9],
+                  [-0.5, -0.5, -0.5]], np.float32)  # vertex 4 unused
+    f = np.array([[0, 1, 2], [0, 1, 2], [0, 2, 3]])  # duplicated face
+    eng = Engine(512, backend=backend)
+    tokens, order, _ = eng.encode(v, f)
+    # LR/CLERS may re-emit a face next to a duplicate (their submesh restart
+    # lacks LR_ABSCO's visited guard; reference behavior)
+    assert len(order) >= 3
+    dv, df, _ = eng.decode(tokens)
+    assert len(df) >= 3
+
+
+def test_single_triangle():
+    v = np.array([[0, 0, 0], [0.9, 0, 0], [0.5, 0.9, 0]], np.float32)
+    f = np.array([[0, 1, 2]])
+    eng = Engine(512)
+    tokens, _, _ = eng.encode(v, f)
+    assert len(tokens) == 10  # BOM + 9 coords
+    dv, df, _ = eng.decode(tokens)
+    assert df.shape == (1, 3)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_roundtrip_face_sets(seed):
+    """Random jittered spheres with random face shuffles/flips: the decoded
+    quantized face set must equal the input's (orientation-insensitive)."""
+    rng = np.random.default_rng(seed)
+    v, f = icosphere(1)
+    v = v + rng.normal(0, 0.08, v.shape)
+    v = (v / np.abs(v).max() * 0.9).astype(np.float32)
+    f = f.copy()
+    rng.shuffle(f)
+    flip = rng.random(len(f)) < 0.3
+    f[flip] = f[flip][:, ::-1]
+
+    eng = Engine(512, backend="LR_ABSCO")
+    tokens, order, _ = eng.encode(v, f)
+    assert len(order) == len(f)
+    dv, df, _ = eng.decode(tokens)
+    assert len(df) == len(f)
+
+    bins = 512
+    def face_set(verts, faces):
+        q = np.minimum(((verts + 1) * bins / 2).astype(np.int64), bins - 1)
+        out = set()
+        for t in faces:
+            corners = [tuple(q[i]) for i in t]
+            rots = [tuple(corners[i:] + corners[:i]) for i in range(3)]
+            rev = corners[::-1]
+            rots += [tuple(rev[i:] + rev[:i]) for i in range(3)]
+            out.add(min(rots))
+        return out
+
+    assert face_set(dv, df) == face_set(v, f)
+
+
+def test_decode_fuzz_never_crashes():
+    """Arbitrary token soup through every decoder: no crash, sane output."""
+    rng = np.random.default_rng(0)
+    for backend, vocab in (("LR_ABSCO", 515), ("LR", 1027), ("CLERS", 1031)):
+        eng = Engine(512, backend=backend)
+        for _ in range(20):
+            soup = rng.integers(0, vocab, rng.integers(1, 200))
+            v, f, _ = eng.decode(soup)
+            if len(f):
+                assert f.max() < len(v)
