@@ -103,6 +103,9 @@ class Options:
     debug_eval: bool = False
     warmup_ratio: float = 0.01
     use_wandb: bool = False
+    # persist optimizer state with each epoch checkpoint (resumable training;
+    # disable on slow-transfer links where the upload dominates epoch time)
+    save_optimizer_state: bool = True
 
     ### parallelism (TPU-native; the reference is DP-only via torch DDP)
     # data-parallel axis size; -1 = all remaining devices
