@@ -83,6 +83,11 @@ class MeshFolderDataset:
         self.opt = opt
         self.training = training
         self.tokenizer = tokenizer
+        # deterministic augmentations: the loader advances `epoch`, and each
+        # sample derives its rng from (seed, epoch, idx) — reproducible runs,
+        # which the reference's unseeded worker processes are not (SURVEY §5)
+        self.base_seed = opt.seed
+        self.epoch = 0
         root = root or opt.data_root
 
         manifest = os.path.join(root, "manifest.json")
@@ -109,7 +114,8 @@ class MeshFolderDataset:
 
     def __getitem__(self, idx: int) -> dict:
         opt = self.opt
-        rng = np.random.default_rng()
+        rng = np.random.default_rng(
+            np.random.SeedSequence((self.base_seed, self.epoch, idx)))
         path = self.items[idx]
         for _ in range(64):  # resample on bad meshes (provider.py:300-304)
             try:
@@ -189,7 +195,8 @@ class SyntheticMeshDataset:
 
     def __getitem__(self, idx: int) -> dict:
         opt = self.opt
-        rng = np.random.default_rng(idx if not self.training else None)
+        seed = (0, 0, idx) if not self.training else             (getattr(self, "base_seed", 0), getattr(self, "epoch", 0), idx)
+        rng = np.random.default_rng(np.random.SeedSequence(seed))
         for _ in range(16):
             try:
                 v, f = self._make_mesh(rng)
@@ -336,6 +343,8 @@ class DataLoader:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.default_rng(self.seed + self.epoch).shuffle(order)
+        if hasattr(self.dataset, "epoch"):
+            self.dataset.epoch = self.epoch
         self.epoch += 1
 
         batches = [order[i:i + self.batch_size]

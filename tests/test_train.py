@@ -189,3 +189,18 @@ def test_decimate_vertex_cluster_reduces_faces():
     v2, f2 = decimate_vertex_cluster(v, f, target_faces=300)
     assert 0 < len(f2) <= 300
     assert len(v2) < len(v)
+
+
+def test_deterministic_augmentations():
+    """Same (seed, epoch, idx) -> identical sample; epochs differ."""
+    opt = tiny_opt()
+    tok, _ = get_tokenizer(opt)
+    ds = SyntheticMeshDataset(opt, size=8, training=True, tokenizer=tok)
+    ds.base_seed, ds.epoch = 7, 3
+    a = ds[2]
+    b = ds[2]
+    np.testing.assert_array_equal(a["coords"], b["coords"])
+    np.testing.assert_array_equal(a["cond"], b["cond"])
+    ds.epoch = 4
+    c = ds[2]
+    assert not np.array_equal(a["cond"], c["cond"])
