@@ -23,6 +23,20 @@ from edgerunner_tpu.train.state import (
 )
 
 
+def _device_mem_gb() -> str:
+    """'used/total G' like the reference's mem log (main.py:192-193);
+    empty when the runtime doesn't expose memory_stats."""
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        used = stats.get("bytes_in_use")
+        limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+        if used is not None and limit:
+            return f"{used/1024**3:.2f}/{limit/1024**3:.2f}G"
+    except Exception:
+        pass
+    return ""
+
+
 def _device_batch(batch: dict, sharding) -> dict:
     """Move collated numpy arrays onto the mesh (paths stay on host)."""
     out = {}
@@ -105,6 +119,9 @@ class Trainer:
                 t_step = time.time()
                 log = (f"{epoch:03d}:{i}/{num_batches} "
                        f"lr: {lr:.7f} loss: {loss:.6f} ({dt_step:.2f}s/it)")
+                mem = _device_mem_gb()
+                if mem:
+                    log = log.replace(" lr:", f" mem: {mem} lr:", 1)
                 if "loss_ce" in metrics:
                     log += f" loss_ce: {float(metrics['loss_ce']):.6f}"
                 if "loss_kl" in metrics:
