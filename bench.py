@@ -35,7 +35,7 @@ A100_REF_MESHES_PER_MIN = 0.75  # see module docstring
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true", help="CPU smoke scale")
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=12)
     ap.add_argument("--faces", type=int, default=1000)
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--kv_quant", action="store_true",
