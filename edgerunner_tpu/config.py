@@ -96,6 +96,9 @@ class Options:
     gradient_clip: float = 1.0
     mixed_precision: Literal["no", "bf16"] = "bf16"
     lr: float = 1e-4
+    # AdamW weight decay (reference: ArAE 0.01 main.py:133, DiT 0.1
+    # main_dit.py:123 — the DiT preset overrides this)
+    weight_decay: float = 0.01
     # rematerialization (gradient checkpointing) of decoder layers
     checkpointing: bool = True
     seed: int = 0
@@ -186,6 +189,7 @@ config_defaults["DiT"] = Options(
     batch_size=8,
     gradient_accumulation_steps=1,
     lr=1e-5,
+    weight_decay=0.1,
     num_epochs=300,
     eval_mode="none",
 )

@@ -1,9 +1,17 @@
 """Train state, optimizer and LR schedule.
 
-Optimizer parity with the reference: AdamW(lr, betas=(0.9, 0.95), wd=0.01)
-(reference: main.py:133), global-norm gradient clipping (main.py:181-182),
+Optimizer parity with the reference: AdamW(lr, betas=(0.9, 0.95)) with
+per-model weight decay (ArAE wd=0.01, reference main.py:133; DiT wd=0.1,
+reference main_dit.py:123), global-norm gradient clipping (main.py:181-182),
 cosine schedule with linear warmup and a 0.1 min-LR floor (main.py:136-142),
 gradient accumulation via optax.MultiSteps (main.py:168).
+
+Frozen submodules (the CLIP tower, and the point encoder inside MDiT —
+reference models.py:42-44, models_dit.py:54,75) are excluded from the
+optimizer entirely via an optax mask: torch AdamW skips params whose .grad
+is None, so the reference never decays them either; a naive
+stop_gradient + adamw(wd) combination would shrink them by lr*wd per step.
+The mask also drops their Adam moments, saving that HBM.
 """
 
 from __future__ import annotations
@@ -41,16 +49,48 @@ def cosine_warmup_schedule(base_lr: float, total_steps: int,
     return schedule
 
 
-def make_optimizer(opt, total_steps: int) -> tuple[optax.GradientTransformation, Callable]:
+def frozen_param_keys(opt, kind: str) -> tuple:
+    """Top-level param-tree module names that must not be optimized.
+
+    kind='arae': the CLIP tower when image-conditioned with freeze_encoder
+    (reference models.py:42-44). kind='dit': CLIP tower + point encoder,
+    both always frozen (reference models_dit.py:54,75).
+    """
+    if kind == "dit":
+        return ("image_encoder", "point_encoder")
+    if kind == "arae":
+        if opt.cond_mode == "image" and opt.freeze_encoder:
+            return ("image_encoder",)
+        return ()
+    raise ValueError(f"unknown model kind {kind!r}")
+
+
+def _subtree_mask(params, keys: tuple, value_inside: bool):
+    """Bool pytree: value_inside under any path containing a key in `keys`,
+    not value_inside elsewhere."""
+
+    def mark(path, _):
+        inside = any(getattr(p, "key", None) in keys for p in path)
+        return value_inside if inside else not value_inside
+
+    return jax.tree_util.tree_map_with_path(mark, params)
+
+
+def make_optimizer(opt, total_steps: int, frozen_keys: tuple = (),
+                   ) -> tuple[optax.GradientTransformation, Callable]:
     schedule = cosine_warmup_schedule(
         opt.lr, total_steps, warmup_ratio=opt.warmup_ratio)
-    tx = optax.chain(
-        optax.clip_by_global_norm(opt.gradient_clip),
-        # bf16 first moments: saves one fp32 param-sized buffer of HBM
-        # (1.4GB on the 0.68B flagship) at negligible quality cost
-        optax.adamw(schedule, b1=0.9, b2=0.95, weight_decay=0.01,
-                    mu_dtype=jnp.bfloat16),
-    )
+    # bf16 first moments: saves one fp32 param-sized buffer of HBM
+    # (1.4GB on the 0.68B flagship) at negligible quality cost
+    adamw = optax.adamw(schedule, b1=0.9, b2=0.95,
+                        weight_decay=opt.weight_decay, mu_dtype=jnp.bfloat16)
+    if frozen_keys:
+        adamw = optax.chain(
+            optax.masked(adamw, lambda p: _subtree_mask(p, frozen_keys, False)),
+            optax.masked(optax.set_to_zero(),
+                         lambda p: _subtree_mask(p, frozen_keys, True)),
+        )
+    tx = optax.chain(optax.clip_by_global_norm(opt.gradient_clip), adamw)
     if opt.gradient_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=opt.gradient_accumulation_steps)
     return tx, schedule

@@ -51,7 +51,8 @@ class Trainer:
     def __init__(self, model, opt, total_steps: int, logger=None,
                  step_builder: Callable = make_train_step,
                  eval_builder: Callable = make_eval_step,
-                 eval_needs_rng: bool = False):
+                 eval_needs_rng: bool = False,
+                 frozen_keys: tuple = ()):
         self.model = model
         self.opt = opt
         self.logger = logger
@@ -63,7 +64,8 @@ class Trainer:
         assert opt.batch_size % dp == 0, (
             f"batch_size ({opt.batch_size}) must be divisible by the dp axis "
             f"({dp} devices); raise batch_size or set --dp_size")
-        self.tx, self.schedule = make_optimizer(opt, total_steps)
+        self.tx, self.schedule = make_optimizer(opt, total_steps,
+                                                frozen_keys=frozen_keys)
         self._train_step = None
         self._eval_step = None
         self.state: Optional[TrainState] = None

@@ -29,6 +29,7 @@ from edgerunner_tpu.train.checkpoint import (
     restore_pytree,
     tolerant_merge,
 )
+from edgerunner_tpu.train.state import frozen_param_keys
 from edgerunner_tpu.train.trainer import Trainer
 from edgerunner_tpu.models.lmm import LMM
 from edgerunner_tpu.utils import get_tokenizer, init_logger
@@ -76,7 +77,8 @@ def main():
                              drop_last=False, seed=opt.seed)
 
     total_steps = opt.num_epochs * len(train_loader) // opt.gradient_accumulation_steps
-    trainer = Trainer(model, opt, total_steps, logger=logger)
+    trainer = Trainer(model, opt, total_steps, logger=logger,
+                      frozen_keys=frozen_param_keys(opt, "arae"))
 
     # init + resume
     params = init_lmm_params(model, opt, rng)

@@ -21,7 +21,11 @@ from edgerunner_tpu.train.checkpoint import (
     restore_pytree,
     tolerant_merge,
 )
-from edgerunner_tpu.train.state import make_dit_eval_step, make_dit_train_step
+from edgerunner_tpu.train.state import (
+    frozen_param_keys,
+    make_dit_eval_step,
+    make_dit_train_step,
+)
 from edgerunner_tpu.train.trainer import Trainer
 from edgerunner_tpu.utils import init_logger
 
@@ -69,7 +73,8 @@ def main():
     total_steps = opt.num_epochs * len(train_loader) // opt.gradient_accumulation_steps
     trainer = Trainer(model, opt, total_steps, logger=logger,
                       step_builder=make_dit_train_step,
-                      eval_builder=make_dit_eval_step, eval_needs_rng=True)
+                      eval_builder=make_dit_eval_step, eval_needs_rng=True,
+                      frozen_keys=frozen_param_keys(opt, "dit"))
 
     params = init_mdit_params(model, opt, rng)
     # resume: ArAE checkpoint carries the pretrained point encoder

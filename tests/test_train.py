@@ -204,3 +204,58 @@ def test_deterministic_augmentations():
     ds.epoch = 4
     c = ds[2]
     assert not np.array_equal(a["cond"], c["cond"])
+
+
+def test_frozen_params_not_decayed_dit():
+    """Frozen submodules (CLIP tower + point encoder in MDiT) must be
+    bit-identical after a train step: torch AdamW skips grad-None params
+    (so the reference never decays them); an unmasked optax.adamw would
+    shrink them by lr*wd each step."""
+    from edgerunner_tpu.models.mdit import MDiT
+    from edgerunner_tpu.train.state import frozen_param_keys, make_dit_train_step
+
+    opt = tiny_opt(dit_hidden_dim=32, dit_num_heads=4, dit_num_layers=2,
+                   lr=1e-2, weight_decay=0.1, warmup_ratio=0)
+    model = MDiT(opt)
+    images = jax.random.uniform(RNG, (2, 16, 16, 3))
+    points = jax.random.normal(RNG, (2, opt.point_num, 3))
+    rngs = {"params": RNG, "cfg": RNG, "noise": RNG, "time": RNG}
+    params = model.init(rngs, images, points, train=True)
+
+    keys = frozen_param_keys(opt, "dit")
+    assert keys == ("image_encoder", "point_encoder")
+    tx, _ = make_optimizer(opt, total_steps=10, frozen_keys=keys)
+    state = create_train_state(params, tx)
+    step = jax.jit(make_dit_train_step(model, tx))
+    new_state, metrics = step(state, {"images": images, "points": points}, RNG)
+    assert np.isfinite(float(metrics["loss"]))
+
+    def leaves_of(tree, key):
+        return jax.tree_util.tree_leaves(tree["params"][key])
+
+    for key in keys:
+        for old, new in zip(leaves_of(params, key),
+                            leaves_of(new_state.params, key)):
+            np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
+    # trainable params did move
+    moved = [not np.array_equal(np.asarray(o), np.asarray(n))
+             for o, n in zip(jax.tree_util.tree_leaves(params["params"]["dit"]),
+                             jax.tree_util.tree_leaves(new_state.params["params"]["dit"]))]
+    assert any(moved)
+
+
+def test_frozen_image_encoder_arae():
+    from edgerunner_tpu.train.state import frozen_param_keys
+
+    opt = tiny_opt(cond_mode="image", freeze_encoder=True,
+                   clip_hidden_dim=32, clip_num_layers=2, clip_num_heads=2,
+                   clip_image_size=32, clip_patch_size=16)
+    assert frozen_param_keys(opt, "arae") == ("image_encoder",)
+    assert frozen_param_keys(tiny_opt(), "arae") == ()
+
+
+def test_weight_decay_presets():
+    from edgerunner_tpu.config import config_defaults
+
+    assert config_defaults["ArAE"].weight_decay == 0.01
+    assert config_defaults["DiT"].weight_decay == 0.1
