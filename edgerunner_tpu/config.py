@@ -82,6 +82,11 @@ class Options:
     testset_size: int = 32
     use_decimate_aug: bool = True
     use_scale_aug: bool = True
+    # train-batch token-length bucket (pads each batch's length up to a
+    # multiple of this so the train step compiles once per bucket, not once
+    # per batch length — the reference pads to the exact batch max,
+    # provider.py:477, which would recompile constantly under jit)
+    collate_bucket: int = 512
 
     ### training
     workspace: str = "./workspace"
@@ -298,6 +303,13 @@ def validate(opt: Options) -> Options:
         assert opt.num_cond_tokens == expected, (
             f"num_cond_tokens ({opt.num_cond_tokens}) must equal point_latent_size"
             f" + use_num_face_cond ({expected}) in point cond mode"
+        )
+    elif opt.cond_mode == "image":
+        patches = (opt.clip_image_size // opt.clip_patch_size) ** 2 + 1
+        expected = patches + (1 if opt.use_num_face_cond else 0)
+        assert opt.num_cond_tokens == expected, (
+            f"num_cond_tokens ({opt.num_cond_tokens}) must equal CLIP patch"
+            f" tokens + cls + use_num_face_cond ({expected}) in image cond mode"
         )
     return opt
 

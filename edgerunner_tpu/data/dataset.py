@@ -7,7 +7,7 @@ threads give real host parallelism without fork overhead, and batches come
 out as numpy arrays ready for device put.
 
 XLA-specific: collate pads each batch's token length up to a *bucket*
-(multiple of opt.decode_bucket), so the train step compiles once per bucket
+(multiple of opt.collate_bucket), so the train step compiles once per bucket
 instead of once per batch length (reference pads to the batch max,
 provider.py:477, which would recompile constantly under jit).
 """
@@ -24,6 +24,11 @@ from typing import Iterator, Optional
 import numpy as np
 
 from edgerunner_tpu.config import Options
+from edgerunner_tpu.data.image_io import (
+    find_render_views,
+    load_image_cond,
+    render_points_image,
+)
 from edgerunner_tpu.data.mesh_io import clean_mesh, load_mesh, normalize_mesh
 from edgerunner_tpu.data.tokenize import tokenize_mesh
 from edgerunner_tpu.ops.pointops import sample_surface_points
@@ -124,8 +129,22 @@ class MeshFolderDataset:
                 else:
                     bound = 0.95
 
-                azimuth = float(rng.choice(np.arange(0, 360, 30))) \
-                    if self.training else 0.0
+                # image cond: azimuth must match the chosen render view so
+                # the geometry faces the camera (reference rotates the mesh
+                # by the view's azimuth, provider.py:209-220,265-272)
+                img_view = None
+                if opt.cond_mode == "image":
+                    views = find_render_views(path)
+                    if views:
+                        pick = int(rng.integers(0, len(views))) \
+                            if self.training else 0
+                        azimuth, img_view = views[pick]
+                    else:
+                        azimuth = float(rng.choice(np.arange(0, 360, 30))) \
+                            if self.training else 0.0
+                else:
+                    azimuth = float(rng.choice(np.arange(0, 360, 30))) \
+                        if self.training else 0.0
 
                 v, f = load_mesh(path)
                 if f.shape[0] > opt.max_face_length:
@@ -146,6 +165,15 @@ class MeshFolderDataset:
                     if self.training and rng.random() < 0.5:
                         pts = pts + rng.normal(0, 0.01, pts.shape).astype(np.float32)
                     cond = pts.astype(np.float32)
+                elif opt.cond_mode == "image":
+                    if img_view is not None:
+                        cond = load_image_cond(img_view, size=opt.clip_image_size)
+                    else:
+                        # no renders on disk: synthesize a geometry-correlated
+                        # view of the (already azimuth-rotated) mesh
+                        pts = sample_surface_points(v, f, opt.point_num, rng)
+                        cond = render_points_image(pts, size=opt.clip_image_size)
+                    cond = cond.astype(np.float32)
 
                 coords = tokenize_mesh(v, f, opt.discrete_bins, self.tokenizer)
                 if (coords - 3 < 0).any():
@@ -203,6 +231,9 @@ class SyntheticMeshDataset:
                 cond = np.zeros((0,), np.float32)
                 if opt.cond_mode == "point":
                     cond = sample_surface_points(v, f, opt.point_num, rng)
+                elif opt.cond_mode == "image":
+                    pts = sample_surface_points(v, f, opt.point_num, rng)
+                    cond = render_points_image(pts, size=opt.clip_image_size)
                 coords = tokenize_mesh(v, f, opt.discrete_bins, self.tokenizer)
                 if (coords - 3 < 0).any() or coords.shape[0] > opt.max_seq_length:
                     raise ValueError("bad tokens")
@@ -270,7 +301,7 @@ def collate(batch: list[dict], opt: Options, bucket: Optional[int] = None) -> di
     Returns dict with: conds [B,...], tokens [B,1+L+1], labels [B,C+1+L+1],
     lengths [B], num_faces [B], num_tokens [B], paths.
     """
-    bucket = bucket or min(512, opt.max_seq_length)
+    bucket = bucket or min(opt.collate_bucket, opt.max_seq_length)
     C = opt.num_cond_tokens
     max_len = max(item["len"] for item in batch)
     max_len = min(-(-max_len // bucket) * bucket, opt.max_seq_length)

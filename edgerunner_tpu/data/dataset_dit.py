@@ -21,17 +21,7 @@ from edgerunner_tpu.data.mesh_io import load_mesh, normalize_mesh
 from edgerunner_tpu.ops.pointops import sample_surface_points
 
 
-def render_points_image(points: np.ndarray, size: int = 224) -> np.ndarray:
-    """Orthographic point-splat render with z-shading -> [size, size, 3] in [0,1]."""
-    img = np.ones((size, size), np.float32)
-    xy = ((points[:, :2] * 0.45 + 0.5) * (size - 1)).astype(np.int64)
-    z = points[:, 2]
-    order = np.argsort(z)  # far to near; near splats overwrite
-    shade = 0.25 + 0.5 * (z - z.min()) / max(float(np.ptp(z)), 1e-6)
-    xs = np.clip(xy[order, 0], 0, size - 1)
-    ys = np.clip(size - 1 - xy[order, 1], 0, size - 1)
-    img[ys, xs] = shade[order]
-    return np.stack([img] * 3, axis=-1)
+from edgerunner_tpu.data.image_io import render_points_image  # noqa: F401 (re-export)
 
 
 class DiTMeshDataset:
@@ -42,6 +32,11 @@ class DiTMeshDataset:
         self.opt = opt
         self.training = training
         self.image_size = image_size
+        # deterministic sampling: the loader advances `epoch`, each sample
+        # derives its rng from (seed, epoch, idx) — same contract as
+        # MeshFolderDataset, so fixed-seed DiT runs are reproducible
+        self.base_seed = opt.seed
+        self.epoch = 0
         root = root or opt.data_root
         if os.path.isdir(root):
             base = MeshFolderDataset(opt, training=training, tokenizer=None, root=root)
@@ -57,25 +52,35 @@ class DiTMeshDataset:
 
     def __getitem__(self, idx: int) -> dict:
         opt = self.opt
-        rng = np.random.default_rng(None if self.training else idx)
+        seed = (self.base_seed, self.epoch, idx) if self.training else (0, 0, idx)
+        rng = np.random.default_rng(np.random.SeedSequence(seed))
         for _ in range(64):
             try:
                 if self.synthetic is None:
                     path = self.items[idx]
                     v, f = load_mesh(path)
-                    azimuth = float(rng.choice(np.arange(0, 360, 30))) \
-                        if self.training else 0.0
+                    # azimuth must match the chosen render view (reference
+                    # matches render-view ids, provider.py:209-220)
+                    from edgerunner_tpu.data.image_io import find_render_views
+                    views = find_render_views(path)
+                    if views:
+                        pick = int(rng.integers(0, len(views))) \
+                            if self.training else 0
+                        azimuth, img_path = views[pick]
+                    else:
+                        azimuth = float(rng.choice(np.arange(0, 360, 30))) \
+                            if self.training else 0.0
+                        img_path = None
                     if azimuth:
                         v = rotate_y(v, azimuth)
                     v = normalize_mesh(v, 0.95)
                     points = sample_surface_points(v, f, opt.point_num, rng)
-                    img_path = os.path.splitext(path)[0] + ".png"
                 else:
                     v, f = self.synthetic._make_mesh(rng)
                     points = sample_surface_points(v, f, opt.point_num, rng)
                     img_path, path = None, f"synthetic://{idx}"
 
-                if img_path is not None and os.path.exists(img_path):
+                if img_path is not None:
                     from edgerunner_tpu.data.image_io import load_image_cond
                     image = load_image_cond(img_path, size=self.image_size)
                 else:

@@ -46,6 +46,46 @@ def recenter(image: np.ndarray, mask: np.ndarray, border_ratio: float = 0.2) -> 
     return out
 
 
+def render_points_image(points: np.ndarray, size: int = 224) -> np.ndarray:
+    """Orthographic point-splat render with z-shading -> [size, size, 3] in
+    [0,1]. Synthetic stand-in for a real render view when a mesh has no
+    sibling render on disk — correlated with the geometry, so image-cond
+    training stays exercisable from meshes alone."""
+    img = np.ones((size, size), np.float32)
+    xy = ((points[:, :2] * 0.45 + 0.5) * (size - 1)).astype(np.int64)
+    z = points[:, 2]
+    order = np.argsort(z)  # far to near; near splats overwrite
+    shade = 0.25 + 0.5 * (z - z.min()) / max(float(np.ptp(z)), 1e-6)
+    xs = np.clip(xy[order, 0], 0, size - 1)
+    ys = np.clip(size - 1 - xy[order, 1], 0, size - 1)
+    img[ys, xs] = shade[order]
+    return np.stack([img] * 3, axis=-1)
+
+
+def find_render_views(mesh_path: str) -> list:
+    """Discover sibling render views for a mesh (reference streams
+    azimuth-indexed render views from tarballs, provider.py:226-245).
+
+    Local convention: ``{stem}.png`` is the 0-degree view; ``{stem}_{deg}.png``
+    is the view at azimuth ``deg`` degrees. Returns [(azimuth_deg, path)],
+    sorted by azimuth; empty when no renders exist.
+    """
+    import glob
+    import os
+    import re
+
+    stem = os.path.splitext(mesh_path)[0]
+    views = []
+    for ext in (".png", ".jpg", ".jpeg", ".webp"):
+        if os.path.exists(stem + ext):
+            views.append((0.0, stem + ext))
+        for p in glob.glob(glob.escape(stem) + "_*" + ext):
+            m = re.fullmatch(re.escape(stem) + r"_(\d+)" + re.escape(ext), p)
+            if m:
+                views.append((float(m.group(1)) % 360.0, p))
+    return sorted(set(views))
+
+
 def load_image_cond(path: str, size: int = 512, border_ratio: float = 0.2) -> np.ndarray:
     """-> [size, size, 3] float32 in [0,1], white background, recentered."""
     img = _imread(path)

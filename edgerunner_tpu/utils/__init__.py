@@ -5,7 +5,9 @@ from .misc import (
     get_tokenizer,
     init_logger,
     quantize_num_faces,
+    respect_jax_platforms_env,
 )
 
 __all__ = ["cast_params", "compute_dtype", "enable_compilation_cache",
-           "get_tokenizer", "init_logger", "quantize_num_faces"]
+           "get_tokenizer", "init_logger", "quantize_num_faces",
+           "respect_jax_platforms_env"]

@@ -9,11 +9,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def respect_jax_platforms_env():
+    """Make JAX_PLATFORMS from the environment actually stick.
+
+    TPU plugins (e.g. the axon tunnel) can override JAX_PLATFORMS at import
+    time; only jax.config.update survives that. Called from every CLI entry
+    so `JAX_PLATFORMS=cpu python main.py ...` behaves as documented."""
+    import os
+
+    platforms = os.environ.get("JAX_PLATFORMS")
+    if platforms:
+        jax.config.update("jax_platforms", platforms)
+
+
 def enable_compilation_cache(cache_dir: str | None = None):
     """Persistent XLA compilation cache: flagship programs compile in minutes
     through the TPU tunnel; the cache makes repeat runs start instantly."""
     import os
 
+    respect_jax_platforms_env()
     cache_dir = cache_dir or os.environ.get(
         "EDGERUNNER_XLA_CACHE",
         os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(

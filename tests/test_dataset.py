@@ -1,0 +1,123 @@
+"""Dataset-layer tests: image-conditioned training data path (reference:
+provider.py:209-245,265-272), render-view discovery, deterministic DiT
+sampling, collate bucketing knob."""
+
+import os
+
+import numpy as np
+
+from edgerunner_tpu.config import Options
+from edgerunner_tpu.data.dataset import MeshFolderDataset, SyntheticMeshDataset, collate
+from edgerunner_tpu.data.dataset_dit import DiTMeshDataset
+from edgerunner_tpu.data.image_io import find_render_views
+from edgerunner_tpu.data.mesh_io import normalize_mesh, save_obj
+
+from fixtures import icosphere
+
+
+def _image_opt(**kw):
+    base = dict(cond_mode="image", clip_image_size=28, clip_patch_size=14,
+                num_cond_tokens=6, use_num_face_cond=True, point_num=64,
+                max_seq_length=4096, max_face_length=2000, testset_size=1,
+                num_workers=1)
+    base.update(kw)
+    return Options(**base)
+
+
+def _write_mesh_with_views(root, n_views=3):
+    from PIL import Image
+
+    os.makedirs(root, exist_ok=True)
+    v, f = icosphere(1)
+    path = os.path.join(root, "m.obj")
+    save_obj(path, normalize_mesh(v), f)
+    for k in range(n_views):
+        deg = k * 120
+        arr = np.full((32, 32, 3), 255, np.uint8)
+        arr[8:24, 8:24] = 40 + deg // 2  # distinct content per view
+        Image.fromarray(arr).save(os.path.join(root, f"m_{deg}.png"))
+    return path
+
+
+def test_find_render_views(tmp_path):
+    path = _write_mesh_with_views(str(tmp_path), n_views=3)
+    views = find_render_views(path)
+    assert [a for a, _ in views] == [0.0, 120.0, 240.0]
+    # plain sibling render counts as the 0-degree view
+    from PIL import Image
+
+    v2, f2 = icosphere(1)
+    p2 = str(tmp_path / "n.obj")
+    save_obj(p2, normalize_mesh(v2), f2)
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(str(tmp_path / "n.png"))
+    assert find_render_views(p2) == [(0.0, str(tmp_path / "n.png"))]
+
+
+def test_image_cond_from_render_views(tmp_path):
+    root = str(tmp_path / "data")
+    _write_mesh_with_views(root, n_views=3)
+    opt = _image_opt(data_root=root, testset_size=0)
+    ds = MeshFolderDataset(opt, training=True, tokenizer=None, root=root)
+    assert len(ds) == 1
+    seen = set()
+    for epoch in range(6):
+        ds.epoch = epoch
+        item = ds[0]
+        assert item["cond"].shape == (28, 28, 3)
+        assert item["cond"].dtype == np.float32
+        assert item["azimuth"] in (0.0, 120.0, 240.0)
+        seen.add(item["azimuth"])
+    assert len(seen) > 1  # training samples different views across epochs
+
+    # eval is deterministic: always the first (0-degree) view
+    ds_eval = MeshFolderDataset(opt, training=False, tokenizer=None, root=root)
+    ds_eval.items = ds.items
+    item = ds_eval[0]
+    assert item["azimuth"] == 0.0
+
+
+def test_image_cond_splat_fallback(tmp_path):
+    """Meshes without sibling renders get a geometry-correlated splat."""
+    root = str(tmp_path / "data")
+    os.makedirs(root)
+    v, f = icosphere(1)
+    save_obj(os.path.join(root, "m.obj"), normalize_mesh(v), f)
+    opt = _image_opt(data_root=root, testset_size=0)
+    ds = MeshFolderDataset(opt, training=True, tokenizer=None, root=root)
+    item = ds[0]
+    assert item["cond"].shape == (28, 28, 3)
+    assert item["cond"].min() < 0.9  # splat drew something
+
+
+def test_synthetic_image_cond():
+    opt = _image_opt()
+    ds = SyntheticMeshDataset(opt, size=4, training=False, tokenizer=None)
+    item = ds[0]
+    assert item["cond"].shape == (28, 28, 3)
+    batch = collate([ds[0], ds[1]], opt, bucket=64)
+    assert batch["conds"].shape == (2, 28, 28, 3)
+
+
+def test_collate_bucket_knob():
+    opt = Options(cond_mode="none", num_cond_tokens=1, point_num=32,
+                  max_seq_length=4096, collate_bucket=128)
+    ds = SyntheticMeshDataset(opt, size=2, training=False, tokenizer=None)
+    items = [ds[0], ds[1]]
+    batch = collate(items, opt)  # no explicit bucket -> opt.collate_bucket
+    L = batch["tokens"].shape[1]
+    assert (L - 2) % 128 == 0  # BOS+EOS on top of a bucket multiple
+
+
+def test_dit_dataset_deterministic():
+    opt = Options(cond_mode="point", point_latent_size=16, num_cond_tokens=17,
+                  use_num_face_cond=True, point_num=64, synthetic_size=8,
+                  data_root="/nonexistent", seed=3)
+    a = DiTMeshDataset(opt, training=True, image_size=28)
+    b = DiTMeshDataset(opt, training=True, image_size=28)
+    a.epoch = b.epoch = 2
+    sa, sb = a[1], b[1]
+    np.testing.assert_array_equal(sa["points"], sb["points"])
+    np.testing.assert_array_equal(sa["image"], sb["image"])
+    a.epoch = 3
+    sc = a[1]
+    assert not np.array_equal(sa["points"], sc["points"])

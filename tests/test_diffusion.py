@@ -173,6 +173,90 @@ def test_mdit_img2img_strength(mdit_setup):
     assert latents.shape == init.shape
 
 
+# ---------------------------------------------------- numpy oracle parity --
+# diffusers is not installed in this image (zero egress), so the @needs_diffusers
+# tests above cannot run here. This oracle hand-codes the *published* DDPM/DDIM
+# algorithms with diffusers' exact conventions (scaled_linear betas,
+# v_prediction, leading spacing, steps_offset=1, set_alpha_to_one=False —
+# reference models_dit.py:80-101) in plain numpy, independently of the JAX
+# implementation under test, so parity is asserted in every environment.
+
+
+class _Oracle:
+    def __init__(self, n=1000, beta_start=0.00085, beta_end=0.012):
+        self.n = n
+        betas = np.linspace(beta_start**0.5, beta_end**0.5, n,
+                            dtype=np.float64) ** 2
+        self.ac = np.cumprod(1.0 - betas)
+
+    def add_noise(self, x0, noise, t):
+        a = self.ac[t].reshape(-1, *([1] * (x0.ndim - 1)))
+        return np.sqrt(a) * x0 + np.sqrt(1 - a) * noise
+
+    def velocity(self, x0, noise, t):
+        a = self.ac[t].reshape(-1, *([1] * (x0.ndim - 1)))
+        return np.sqrt(a) * noise - np.sqrt(1 - a) * x0
+
+    def snr(self, t):
+        a = self.ac[t]
+        return a / (1 - a)
+
+    def ddim_timesteps(self, steps):
+        # 'leading' spacing with steps_offset=1 (DDIMScheduler.set_timesteps)
+        ratio = self.n // steps
+        return (np.arange(steps) * ratio).round()[::-1].astype(np.int64) + 1
+
+    def ddim_step(self, v, t, sample, steps):
+        ratio = self.n // steps
+        prev_t = t - ratio
+        a_t = self.ac[t]
+        # set_alpha_to_one=False: final alpha is alphas_cumprod[0]
+        a_prev = self.ac[prev_t] if prev_t >= 0 else self.ac[0]
+        x0 = np.sqrt(a_t) * sample - np.sqrt(1 - a_t) * v
+        eps = np.sqrt(a_t) * v + np.sqrt(1 - a_t) * sample
+        return np.sqrt(a_prev) * x0 + np.sqrt(1 - a_prev) * eps
+
+
+def test_alphas_cumprod_match_oracle():
+    ours = np.asarray(DiffusionSchedule().alphas_cumprod)
+    np.testing.assert_allclose(ours, _Oracle().ac, rtol=2e-5)
+
+
+def test_add_noise_velocity_snr_match_oracle():
+    sched = DiffusionSchedule()
+    oracle = _Oracle()
+    rng = np.random.default_rng(0)
+    x0 = rng.normal(size=(3, 8, 4)).astype(np.float32)
+    noise = rng.normal(size=(3, 8, 4)).astype(np.float32)
+    t = np.array([0, 17, 999])
+    np.testing.assert_allclose(
+        np.asarray(sched.add_noise(jnp.asarray(x0), jnp.asarray(noise),
+                                   jnp.asarray(t))),
+        oracle.add_noise(x0, noise, t), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(sched.get_velocity(jnp.asarray(x0), jnp.asarray(noise),
+                                      jnp.asarray(t))),
+        oracle.velocity(x0, noise, t), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sched.snr(jnp.asarray(t))),
+                               oracle.snr(t), rtol=2e-4)
+
+
+def test_ddim_matches_oracle():
+    sched = DiffusionSchedule()
+    oracle = _Oracle()
+    for n in (10, 100):
+        ts = ddim_timesteps(sched, n)
+        np.testing.assert_array_equal(ts, oracle.ddim_timesteps(n))
+        rng = np.random.default_rng(1)
+        sample = rng.normal(size=(1, 8, 4)).astype(np.float32)
+        v = rng.normal(size=(1, 8, 4)).astype(np.float32)
+        for t in np.asarray(ts)[[0, n // 2, n - 1]]:
+            ours = np.asarray(ddim_step(sched, jnp.asarray(v), int(t),
+                                        jnp.asarray(sample), n))
+            ref = oracle.ddim_step(v, int(t), sample, n)
+            np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=1e-5)
+
+
 # ----------------------------------------------- scheduler self-consistency --
 
 def test_schedule_math_identities():

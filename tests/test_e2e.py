@@ -66,6 +66,23 @@ def test_train_then_infer_roundtrip(tmp_path):
     assert tokens.ndim == 1
 
 
+def test_train_image_cond(tmp_path):
+    """ArAE image-conditioned training end-to-end (reference streams render
+    views, provider.py:209-245; here synthetic splat renders stand in)."""
+    ws = str(tmp_path / "ws")
+    _run_cli("main.py", ["ArAE", *TINY,
+                         "--cond_mode", "image", "--num_cond_tokens", "6",
+                         "--clip_hidden_dim", "32",
+                         "--clip_intermediate_dim", "64",
+                         "--clip_num_layers", "2", "--clip_num_heads", "4",
+                         "--clip_image_size", "28",
+                         "--data_root", "/nonexistent_synthetic",
+                         "--workspace", ws, "--num_epochs", "1",
+                         "--batch_size", "8", "--synthetic_size", "8",
+                         "--eval_mode", "none"])
+    assert os.path.exists(os.path.join(ws, "model"))
+
+
 def test_infer_none_cond(tmp_path):
     out = str(tmp_path / "out")
     mesh_path = str(tmp_path / "input.obj")
