@@ -113,7 +113,10 @@ class OPTAttention(nn.Module):
         if c.kv_quant:
             kv_vals, k_scales, v_scales = k_cache, v_cache[0], v_cache[1]
             B, L, hd2 = kv_vals.shape
-            if jax.default_backend() == "tpu" and L % DEFAULT_BLOCK == 0:
+            # lane alignment: Mosaic DMA slices must be 128-aligned on the
+            # last (lane) dim, so tiny test configs fall back to XLA
+            if jax.default_backend() == "tpu" and L % DEFAULT_BLOCK == 0 \
+                    and hd2 % 256 == 0:
                 return fused_decode_attention_q8(
                     qf.reshape(B, -1), kv_vals, k_scales, v_scales, index,
                     num_heads=c.num_attention_heads).reshape(B, 1, -1)
@@ -128,7 +131,8 @@ class OPTAttention(nn.Module):
             return decode_attention(q, kh, vh, index + 1).reshape(B, 1, -1)
 
         B, L = k_cache.shape[:2]
-        if jax.default_backend() == "tpu" and L % DEFAULT_BLOCK == 0:
+        if jax.default_backend() == "tpu" and L % DEFAULT_BLOCK == 0 \
+                and k_cache.shape[-1] % 128 == 0:
             # pallas path: reads only cache[:index+1], keeps the HBM layout
             return fused_decode_attention(
                 qf.reshape(B, -1), k_cache, v_cache, index,
