@@ -95,10 +95,19 @@ class MeshFolderDataset:
         self.epoch = 0
         root = root or opt.data_root
 
-        manifest = os.path.join(root, "manifest.json")
+        from edgerunner_tpu.data.fetch import fetch_bytes, is_remote
+
         self.items: list[str] = []
-        if os.path.exists(manifest):
-            with open(manifest) as f:
+        if is_remote(root):
+            # streamed source (reference: S3 buckets, provider.py:162): a
+            # manifest.json at the root lists {relpath: num_faces}; items
+            # stay URLs and are fetched lazily per sample
+            meta = json.loads(fetch_bytes(root.rstrip("/") + "/manifest.json"))
+            for rel, nf in (meta.items() if isinstance(meta, dict) else meta):
+                if nf < opt.max_face_length:
+                    self.items.append(root.rstrip("/") + "/" + rel)
+        elif os.path.exists(os.path.join(root, "manifest.json")):
+            with open(os.path.join(root, "manifest.json")) as f:
                 meta = json.load(f)
             for rel, nf in (meta.items() if isinstance(meta, dict) else meta):
                 if nf < opt.max_face_length:

@@ -1,0 +1,90 @@
+"""Pluggable streaming-source fetch layer.
+
+The reference streams training data from S3 buckets via megfile
+(reference: core/provider.py:162,248-249). Here the same capability is a
+small scheme-routed fetch layer with no new hard dependencies:
+
+  * local paths            -> read directly (the default)
+  * http:// / https:// URLs -> urllib, with a local on-disk cache so each
+                               object is fetched once per run (S3 presigned /
+                               HTTP-fronted buckets work through this)
+  * custom schemes         -> register_fetcher("myscheme", fn) for S3-native
+                              or other backends without adding deps here
+
+`fetch_to_local(path)` returns a local filesystem path either way, which is
+what the file-based mesh/image parsers consume.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import threading
+import urllib.parse
+import urllib.request
+from typing import Callable, Dict
+
+# scheme -> fetch(url) -> bytes
+_FETCHERS: Dict[str, Callable[[str], bytes]] = {}
+_CACHE_LOCK = threading.Lock()
+
+
+def register_fetcher(scheme: str, fn: Callable[[str], bytes]) -> None:
+    """Register a bytes-fetcher for a URL scheme (e.g. 's3')."""
+    _FETCHERS[scheme.lower()] = fn
+
+
+def _http_fetch(url: str) -> bytes:
+    with urllib.request.urlopen(url, timeout=60) as r:
+        return r.read()
+
+
+register_fetcher("http", _http_fetch)
+register_fetcher("https", _http_fetch)
+
+
+def url_scheme(path: str) -> str:
+    """'' for plain local paths (including Windows drive letters)."""
+    scheme = urllib.parse.urlparse(path).scheme.lower()
+    return scheme if len(scheme) > 1 else ""
+
+
+def is_remote(path: str) -> bool:
+    return url_scheme(path) in _FETCHERS
+
+
+def fetch_bytes(path: str) -> bytes:
+    scheme = url_scheme(path)
+    if scheme in _FETCHERS:
+        return _FETCHERS[scheme](path)
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def cache_dir() -> str:
+    d = os.environ.get(
+        "EDGERUNNER_FETCH_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".cache", "fetch"))
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def fetch_to_local(path: str) -> str:
+    """Return a local path for `path`, downloading through the fetcher and
+    caching under .cache/fetch when it is remote."""
+    if not is_remote(path):
+        return path
+    ext = os.path.splitext(urllib.parse.urlparse(path).path)[1]
+    name = hashlib.sha256(path.encode()).hexdigest()[:24] + ext
+    local = os.path.join(cache_dir(), name)
+    if os.path.exists(local):
+        return local
+    data = fetch_bytes(path)
+    with _CACHE_LOCK:
+        if not os.path.exists(local):
+            tmp = local + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, local)
+    return local

@@ -112,6 +112,11 @@ def load_ply(path: str) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def load_mesh(path: str, bound: float | None = None) -> Tuple[np.ndarray, np.ndarray]:
+    from edgerunner_tpu.data.fetch import fetch_to_local, is_remote
+
+    if is_remote(path):
+        # streamed source (reference: S3 via megfile, provider.py:248-249)
+        path = fetch_to_local(path)
     ext = os.path.splitext(path)[1].lower()
     if ext == ".obj":
         v, f = load_obj(path)

@@ -52,10 +52,15 @@ def main():
     model = LMM(opt, dtype=compute_dtype(opt))
     rng = jax.random.PRNGKey(opt.seed)
 
-    # data ('objxl' = multiple roots mixed, reference: MixedDataset)
-    first_root = opt.data_root.split(":")[0]
-    if os.path.isdir(first_root):
-        if opt.dataset == "objxl" and ":" in opt.data_root:
+    # data ('objxl' = multiple roots mixed, reference: MixedDataset);
+    # remote roots (http(s)://... with a manifest.json) stream per sample
+    from edgerunner_tpu.data.fetch import is_remote
+
+    first_root = opt.data_root if is_remote(opt.data_root) \
+        else opt.data_root.split(":")[0]
+    if os.path.isdir(first_root) or is_remote(first_root):
+        if opt.dataset == "objxl" and ":" in opt.data_root \
+                and not is_remote(opt.data_root):
             train_dataset = MixedDataset(opt, training=True, tokenizer=tokenizer)
         else:
             train_dataset = MeshFolderDataset(opt, training=True, tokenizer=tokenizer,
