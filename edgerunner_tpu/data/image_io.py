@@ -1,9 +1,10 @@
-"""Image conditioning IO: load, recenter on the alpha/foreground mask, white
-background composite (reference: infer.py:71-83, kiui.op.recenter).
+"""Image conditioning IO: load, background removal, recenter on the
+foreground mask, white background composite (reference: infer.py:61,71-83 —
+rembg + kiui.op.recenter).
 
-Background removal (rembg in the reference) is an external host-side step;
-images with an alpha channel use it as the mask, otherwise a near-white
-heuristic mask is used.
+Images with an alpha channel use it as the mask directly; RGB photos go
+through edgerunner_tpu.data.matting (pluggable extractor with a classical
+border-seeded segmentation fallback standing in for rembg's u2net).
 """
 
 from __future__ import annotations
@@ -86,13 +87,23 @@ def find_render_views(mesh_path: str) -> list:
     return sorted(set(views))
 
 
-def load_image_cond(path: str, size: int = 512, border_ratio: float = 0.2) -> np.ndarray:
+def load_image_cond(path: str, size: int = 512, border_ratio: float = 0.2,
+                    remove_bg: bool = True) -> np.ndarray:
     """-> [size, size, 3] float32 in [0,1], white background, recentered."""
     img = _imread(path)
     if img.ndim == 2:
         img = np.stack([img] * 3, axis=-1)
     if img.shape[2] == 4:
         mask = img[..., 3] > 0.5
+        img = recenter(img, mask, border_ratio)
+        img = img[..., :3] * img[..., 3:4] + (1 - img[..., 3:4])  # white bg
+    elif remove_bg:
+        # background removal before recentering (reference: rembg, infer.py:61)
+        from edgerunner_tpu.data.matting import extract_foreground
+
+        mask = extract_foreground(img[..., :3])
+        img = np.concatenate(
+            [img[..., :3], mask[..., None].astype(np.float32)], axis=-1)
         img = recenter(img, mask, border_ratio)
         img = img[..., :3] * img[..., 3:4] + (1 - img[..., 3:4])  # white bg
     else:

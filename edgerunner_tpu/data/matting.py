@@ -1,0 +1,104 @@
+"""Background removal for image conditioning.
+
+The reference runs rembg (a u2net saliency model) on input photos before
+recentering (reference: infer.py:61, infer_dit.py:75). This module provides
+the same host-side step with:
+
+  * a pluggable hook — `set_foreground_extractor(fn)` or the env var
+    `EDGERUNNER_MATTING="module:function"` — so a real matting model (rembg,
+    a JAX u2net, an external service) can be dropped in without code changes;
+  * a solid classical fallback (default): border-color background estimation
+    + Otsu threshold on color distance + border-connected flood classification
+    + morphological cleanup. Handles studio-style product shots (uniform or
+    lightly graded backgrounds), which is the reference's input domain.
+
+The extractor contract: fn(img [H,W,3] float32 in [0,1]) -> bool [H,W] mask,
+True on foreground.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+import numpy as np
+
+_EXTRACTOR: Optional[Callable[[np.ndarray], np.ndarray]] = None
+
+
+def set_foreground_extractor(fn: Optional[Callable[[np.ndarray], np.ndarray]]):
+    """Install a custom foreground extractor (None restores the default)."""
+    global _EXTRACTOR
+    _EXTRACTOR = fn
+
+
+def _env_extractor() -> Optional[Callable]:
+    spec = os.environ.get("EDGERUNNER_MATTING")
+    if not spec:
+        return None
+    mod_name, _, fn_name = spec.partition(":")
+    import importlib
+
+    return getattr(importlib.import_module(mod_name), fn_name or "extract")
+
+
+def _otsu_threshold(values: np.ndarray, bins: int = 128) -> float:
+    """Classic Otsu: maximize between-class variance of a 1D distribution."""
+    hist, edges = np.histogram(values, bins=bins)
+    hist = hist.astype(np.float64)
+    centers = (edges[:-1] + edges[1:]) / 2
+    w0 = np.cumsum(hist)
+    w1 = w0[-1] - w0
+    mu_cum = np.cumsum(hist * centers)
+    mu0 = np.where(w0 > 0, mu_cum / np.maximum(w0, 1), 0)
+    mu1 = np.where(w1 > 0, (mu_cum[-1] - mu_cum) / np.maximum(w1, 1), 0)
+    between = w0 * w1 * (mu0 - mu1) ** 2
+    return float(centers[int(np.argmax(between))])
+
+
+def classical_foreground(img: np.ndarray) -> np.ndarray:
+    """Border-seeded background segmentation -> bool [H,W], True = foreground."""
+    from scipy import ndimage
+
+    H, W = img.shape[:2]
+    bw = max(2, min(H, W) // 50)  # border band width
+    border = np.concatenate([
+        img[:bw].reshape(-1, 3), img[-bw:].reshape(-1, 3),
+        img[:, :bw].reshape(-1, 3), img[:, -bw:].reshape(-1, 3)])
+    bg_color = np.median(border, axis=0)
+
+    dist = np.linalg.norm(img - bg_color, axis=-1)
+    thr = max(_otsu_threshold(dist.ravel()), 0.08)
+    bg_like = dist < thr
+
+    # background = bg-colored regions connected to the border; an object that
+    # happens to share the bg color but floats in the middle stays foreground
+    labels, _ = ndimage.label(bg_like)
+    border_labels = np.unique(np.concatenate([
+        labels[0], labels[-1], labels[:, 0], labels[:, -1]]))
+    border_labels = border_labels[border_labels != 0]
+    background = np.isin(labels, border_labels)
+
+    fg = ~background
+    fg = ndimage.binary_fill_holes(fg)
+    fg = ndimage.binary_opening(fg, iterations=max(1, bw // 2))
+    if not fg.any():  # degenerate (e.g. flat image): keep everything
+        return np.ones((H, W), bool)
+    # keep components at >=1% of the largest (drops speckle, keeps parts)
+    labels, n = ndimage.label(fg)
+    if n > 1:
+        sizes = ndimage.sum_labels(np.ones_like(labels), labels,
+                                   index=np.arange(1, n + 1))
+        keep = np.flatnonzero(sizes >= 0.01 * sizes.max()) + 1
+        fg = np.isin(labels, keep)
+    return fg
+
+
+def extract_foreground(img: np.ndarray) -> np.ndarray:
+    """Foreground mask via the installed hook, env hook, or the classical
+    fallback (reference: rembg call, infer.py:61)."""
+    fn = _EXTRACTOR or _env_extractor() or classical_foreground
+    mask = np.asarray(fn(img)).astype(bool)
+    assert mask.shape == img.shape[:2], (
+        f"extractor returned {mask.shape}, expected {img.shape[:2]}")
+    return mask

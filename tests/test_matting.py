@@ -1,0 +1,87 @@
+"""Background removal (reference: rembg before recentering, infer.py:61)."""
+
+import numpy as np
+
+from edgerunner_tpu.data.image_io import load_image_cond
+from edgerunner_tpu.data.matting import (
+    classical_foreground,
+    extract_foreground,
+    set_foreground_extractor,
+)
+
+
+def _product_photo(H=96, W=96):
+    """Colored box on a lightly graded gray background, off-center."""
+    yy = np.linspace(0.7, 0.85, H)[:, None]
+    img = np.repeat(np.repeat(yy, W, axis=1)[..., None], 3, axis=-1)
+    img = img.astype(np.float32)
+    img[18:50, 30:70] = np.array([0.8, 0.2, 0.1], np.float32)  # the object
+    return img
+
+
+def test_classical_foreground_box():
+    img = _product_photo()
+    mask = classical_foreground(img)
+    assert mask[30, 50]            # inside the object
+    assert not mask[5, 5]          # background corner
+    assert not mask[90, 90]
+    # mask area is close to the object area
+    area = mask.sum() / (32 * 40)
+    assert 0.7 < area < 1.4, area
+
+
+def test_bg_colored_floating_object_kept():
+    """An interior region sharing the bg color is NOT background (it is not
+    border-connected)."""
+    img = _product_photo()
+    img[30:40, 40:60] = img[2, 2]  # paint a bg-colored patch inside the object
+    mask = classical_foreground(img)
+    assert mask[35, 50]            # still foreground (hole filled)
+
+
+def test_extract_foreground_hook():
+    img = _product_photo()
+    called = {}
+
+    def fake(x):
+        called["yes"] = True
+        return np.ones(x.shape[:2], bool)
+
+    set_foreground_extractor(fake)
+    try:
+        mask = extract_foreground(img)
+        assert called and mask.all()
+    finally:
+        set_foreground_extractor(None)
+
+
+def test_env_hook(monkeypatch, tmp_path):
+    import sys
+
+    mod = tmp_path / "fake_matting.py"
+    mod.write_text(
+        "import numpy as np\n"
+        "def extract(img):\n"
+        "    m = np.zeros(img.shape[:2], bool); m[1:-1, 1:-1] = True; return m\n")
+    monkeypatch.syspath_prepend(str(tmp_path))
+    monkeypatch.setenv("EDGERUNNER_MATTING", "fake_matting:extract")
+    try:
+        mask = extract_foreground(_product_photo())
+        assert mask[1, 1] and not mask[0, 0]
+    finally:
+        sys.modules.pop("fake_matting", None)
+
+
+def test_load_image_cond_removes_background(tmp_path):
+    from PIL import Image
+
+    img = _product_photo()
+    p = str(tmp_path / "photo.png")
+    Image.fromarray((img * 255).astype(np.uint8)).save(p)
+
+    out = load_image_cond(p, size=64)
+    assert out.shape == (64, 64, 3)
+    # corners composited to white (background removed), object recentered
+    assert out[0, 0].min() > 0.98 and out[-1, -1].min() > 0.98
+    center = out[24:40, 24:40]
+    assert center[..., 0].mean() > 0.5 and center[..., 1].mean() < 0.5
