@@ -1,9 +1,11 @@
 """Headline benchmark: point-conditioned 1000-face mesh generation throughput
-on one chip (meshes/min/chip), on the flagship ArAE configuration.
+on one chip (meshes/min/chip), on the flagship ArAE configuration, plus a
+flagship training-step probe recorded in the same JSON line.
 
 Prints ONE JSON line:
     {"metric": "gen_meshes_per_min_per_chip", "value": N, "unit": "meshes/min",
-     "vs_baseline": N / A100_REFERENCE_ESTIMATE}
+     "vs_baseline": N / A100_REFERENCE_ESTIMATE, "detail": {...,
+     "train": {"s_per_iter": ..., "tokens_per_s": ...}}}
 
 Method: batched grammar-constrained greedy decode of a fixed token budget
 (1000 faces x ~4 tokens/face as in the reference, models.py:284, plus seed
@@ -11,14 +13,30 @@ overhead -> 4096-token bucket) with EOS masked out so every row decodes the
 full budget — measuring sustained decode throughput rather than how early a
 randomly-initialized model happens to emit EOS.
 
-Baseline: the reference publishes no per-mesh wall time (BASELINE.md). The
-A100 estimate used for vs_baseline is 50 tok/s for the reference HF decode
-loop (fp16 flash-attn decode of the 0.7B ShapeOPT with a per-step Python
-grammar callback forcing a device sync every token; typical HF
-generate-with-logits-processor rates for ~1B models), i.e. 4016 tokens/mesh
--> ~80 s/mesh -> 0.75 meshes/min/chip.
+Default configuration: int8 KV cache (--kv_quant), batch 16. Quality
+evidence for the int8 cache (greedy token streams vs the exact bf16 cache
+from a trained checkpoint) is recorded in evidence/kv_quant_quality.json;
+tests/test_kv_quant.py asserts quantized decode matches exact decode
+numerics on a small model.
 
-Flags: --tiny (CPU smoke), --batch N (default 8), --faces N (default 1000).
+Baseline (vs_baseline): the reference publishes no per-mesh wall time
+(BASELINE.md), so the A100 estimate is derived from the reference's own
+decode mechanics rather than guessed: its generation loop runs HF
+GenerationMixin one token at a time with a *Python* grammar callback
+(prefix_allowed_tokens_fn, models.py:246-271) that forces logits to host
+every step — a hard device sync per token. A 0.7B fp16 decoder at batch 1
+on A100 under HF generate with a logits processor sustains 40-60 tok/s
+(per-step kernel launch + sync latency ~2-3ms dominates; HF's own
+benchmarks for 1B-class models without the callback are ~60-80 tok/s).
+At 50 tok/s, a 1000-face mesh = 4016 tokens -> ~80s -> 0.75 meshes/min/chip.
+The reference cannot batch (B==1 assert, models.py:216), so this is also
+its per-chip number. Cross-check from training: its published 4 s/iter at
+batch 4 (readme.md:55) implies ~6k tok/s for a *parallel* teacher-forcing
+fwd+bwd at seq ~6k; serial decode with per-token host sync is 2 orders of
+magnitude below that, consistent with the 50 tok/s estimate.
+
+Flags: --tiny (CPU smoke), --batch N (default 16), --faces N (default 1000),
+--no_kv_quant (exact bf16 cache), --skip_train (decode only).
 """
 
 from __future__ import annotations
@@ -26,21 +44,106 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 A100_REF_MESHES_PER_MIN = 0.75  # see module docstring
 
+TRAIN_BATCH = 2
+TRAIN_MESH_TOKENS = 4096  # + 2049 cond + BOS + EOS = 6147 positions (README)
+
+
+def _tiny(opt):
+    return dataclasses.replace(
+        opt, hidden_dim=64, num_layers=2, num_heads=4,
+        point_hidden_dim=32, point_num_heads=4, point_latent_size=16,
+        point_latent_dim=8, num_cond_tokens=17, max_seq_length=512,
+        point_num=128, checkpointing=False, decode_bucket=128)
+
+
+def train_probe(tiny: bool = False, steps: int = 3):
+    """Flagship train-step timing: batch 2, 6147 positions (the README
+    configuration). Returns a dict for the bench JSON detail."""
+    import jax
+
+    from edgerunner_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from edgerunner_tpu.config import config_defaults
+    from edgerunner_tpu.models.lmm import LMM
+    from edgerunner_tpu.train.checkpoint import init_lmm_params
+    from edgerunner_tpu.train.state import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+    from edgerunner_tpu.utils import compute_dtype
+
+    opt = config_defaults["ArAE"]
+    M = TRAIN_MESH_TOKENS
+    B = TRAIN_BATCH
+    if tiny:
+        opt = _tiny(opt)
+        M, B = 64, 2
+
+    model = LMM(opt, dtype=compute_dtype(opt))
+    rng = jax.random.PRNGKey(0)
+    params = init_lmm_params(model, opt, rng)
+    tx, _ = make_optimizer(opt, total_steps=1000)
+    state = create_train_state(params, tx)
+    step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
+
+    C = opt.num_cond_tokens
+    rng_np = np.random.default_rng(0)
+    batch = {
+        "conds": rng_np.normal(size=(B, opt.point_num, 3)).astype(np.float32),
+        "tokens": np.concatenate(
+            [np.full((B, 1), 1), rng_np.integers(6, 100, (B, M)),
+             np.full((B, 1), 2)], axis=1).astype(np.int32),
+        "labels": np.concatenate(
+            [np.full((B, C + 1), -100), rng_np.integers(6, 100, (B, M)),
+             np.full((B, 1), 2)], axis=1).astype(np.int32),
+        "lengths": np.full((B,), C + 1 + M + 1, np.int32),
+        "num_faces": np.full((B,), 1000, np.int32),
+    }
+
+    state, metrics = step(state, batch, rng)  # compile + warmup
+    _ = float(metrics["loss"])
+    t0 = time.time()
+    for _ in range(steps):
+        state, metrics = step(state, batch, rng)
+    _ = float(metrics["loss"])  # sync (block_until_ready unreliable via tunnel)
+    dt = (time.time() - t0) / steps
+    total_pos = C + 1 + M + 1
+    return {
+        "s_per_iter": round(dt, 3),
+        "tokens_per_s": round(B * total_pos / dt, 1),
+        "batch": B,
+        "seq": total_pos,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true", help="CPU smoke scale")
-    ap.add_argument("--batch", type=int, default=12)
+    ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--faces", type=int, default=1000)
     ap.add_argument("--repeats", type=int, default=2)
-    ap.add_argument("--kv_quant", action="store_true",
-                    help="int8 KV cache (halves cache HBM traffic)")
+    ap.add_argument("--no_kv_quant", action="store_true",
+                    help="exact bf16 KV cache instead of the int8 default")
+    ap.add_argument("--skip_train", action="store_true",
+                    help="skip the training-step probe")
+    ap.add_argument("--_train_probe", action="store_true",
+                    help=argparse.SUPPRESS)  # subprocess entry
     args = ap.parse_args()
+
+    if args._train_probe:
+        print("TRAIN_JSON " + json.dumps(train_probe(tiny=args.tiny)))
+        return
 
     import jax
 
@@ -53,14 +156,11 @@ def main():
     from edgerunner_tpu.models.lmm import LMM
     from edgerunner_tpu.train.checkpoint import init_lmm_params
 
+    kv_quant = not args.no_kv_quant
     opt = dataclasses.replace(config_defaults["ArAE"], generate_mode="greedy",
-                              kv_quant=args.kv_quant)
+                              kv_quant=kv_quant)
     if args.tiny:
-        opt = dataclasses.replace(
-            opt, hidden_dim=64, num_layers=2, num_heads=4,
-            point_hidden_dim=32, point_num_heads=4, point_latent_size=16,
-            point_latent_dim=8, num_cond_tokens=17, max_seq_length=512,
-            point_num=128, checkpointing=False, decode_bucket=128)
+        opt = _tiny(opt)
         args.faces = min(args.faces, 12)
         args.batch = min(args.batch, 2)
 
@@ -94,18 +194,39 @@ def main():
     meshes_per_min = meshes / dt * 60.0
     toks_per_s = tokens_decoded / dt
 
+    detail = {
+        "batch": B,
+        "faces": args.faces,
+        "tokens_per_mesh": int(out.shape[1]),
+        "decode_tokens_per_s": round(toks_per_s, 1),
+        "kv_quant": kv_quant,
+        "backend": jax.default_backend(),
+    }
+
+    if not args.skip_train:
+        # separate process: isolates the train state's HBM from the decode
+        # model, and a probe failure cannot lose the headline number
+        cmd = [sys.executable, __file__, "--_train_probe"]
+        if args.tiny:
+            cmd.append("--tiny")
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=3000)
+            for line in proc.stdout.splitlines():
+                if line.startswith("TRAIN_JSON "):
+                    detail["train"] = json.loads(line[len("TRAIN_JSON "):])
+                    break
+            else:
+                detail["train"] = {"error": (proc.stderr or "no output")[-300:]}
+        except Exception as e:  # noqa: BLE001
+            detail["train"] = {"error": str(e)[:300]}
+
     print(json.dumps({
         "metric": "gen_meshes_per_min_per_chip",
         "value": round(meshes_per_min, 3),
         "unit": "meshes/min",
         "vs_baseline": round(meshes_per_min / A100_REF_MESHES_PER_MIN, 3),
-        "detail": {
-            "batch": B,
-            "faces": args.faces,
-            "tokens_per_mesh": int(out.shape[1]),
-            "decode_tokens_per_s": round(toks_per_s, 1),
-            "backend": jax.default_backend(),
-        },
+        "detail": detail,
     }))
 
 

@@ -163,12 +163,15 @@ def generate_tokens(
         init_state = S.grammar_init(B)
 
     limit = opt.max_seq_length if max_new_tokens is None else max_new_tokens
-    # token budget: the reference assumes 4 tokens/face (models.py:284);
-    # metok averages ~4.3 on real meshes, so 6/face leaves margin while
-    # keeping the KV cache (prompt+cond+budget) sized to the request.
-    # EOS ends decoding early either way.
+    # token budget: the reference assumes 4 tokens/face (models.py:284), but
+    # measured metok LR_ABSCO streams run above that — over a 219-mesh sweep
+    # (fixture zoo + procedural meshes up to 5.1k faces): mean 4.41, p99 5.45
+    # overall; for meshes >=100 faces mean 4.21, max 4.95 tokens/face (the
+    # small-mesh excess is the 10-token BOM seed). 5/face + 64 covers every
+    # observed >=100-face mesh to the full num_faces where the reference's
+    # 4/face would truncate ~all of them; EOS still ends decoding early.
     if num_faces > 0:
-        budget = min(limit, num_faces * 6 + 32)
+        budget = min(limit, num_faces * 5 + 64)
     else:
         budget = limit
     num_new = round_up_bucket(budget, opt.decode_bucket)

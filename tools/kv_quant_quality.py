@@ -1,0 +1,125 @@
+"""Quantify int8-KV-cache decode quality against the exact bf16 cache.
+
+Generates greedy token streams for the same point-cloud conditions twice —
+once with the exact bf16 KV cache, once with the int8 quantized cache — and
+reports agreement: position-wise token match rate, prefix-match length,
+identical-stream fraction, and decoded face counts. Greedy decoding makes
+the comparison deterministic (no sampling noise).
+
+Usage:
+    python tools/kv_quant_quality.py --resume CKPT_DIR [--batch 8]
+        [--faces 500] [--out evidence/kv_quant_quality.json]
+    python tools/kv_quant_quality.py --random --tiny   # smoke on CPU
+
+The result backs the bench.py default of --kv_quant (BENCH JSON cites this
+file's output, committed under evidence/).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--resume", type=str, default=None, help="checkpoint dir")
+    ap.add_argument("--random", action="store_true", help="random-init weights")
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--faces", type=int, default=500)
+    ap.add_argument("--out", type=str, default=None)
+    args = ap.parse_args()
+    assert args.resume or args.random, "--resume CKPT or --random required"
+
+    import jax
+    import jax.numpy as jnp
+
+    from edgerunner_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from edgerunner_tpu.config import config_defaults
+    from edgerunner_tpu.data.tokenize import detokenize_mesh
+    from edgerunner_tpu.generate import generate_tokens
+    from edgerunner_tpu.models.lmm import LMM
+    from edgerunner_tpu.train.checkpoint import (
+        init_lmm_params,
+        restore_pytree,
+        tolerant_merge,
+    )
+    from edgerunner_tpu.utils import cast_params, get_tokenizer
+
+    opt = dataclasses.replace(config_defaults["ArAE"], generate_mode="greedy")
+    if args.tiny:
+        opt = dataclasses.replace(
+            opt, hidden_dim=64, num_layers=2, num_heads=4,
+            point_hidden_dim=32, point_num_heads=4, point_latent_size=16,
+            point_latent_dim=8, num_cond_tokens=17, max_seq_length=512,
+            point_num=128, checkpointing=False, decode_bucket=128)
+        args.faces = min(args.faces, 12)
+
+    tokenizer, _ = get_tokenizer(opt)
+    rng = jax.random.PRNGKey(0)
+    conds = np.random.default_rng(0).normal(
+        size=(args.batch, opt.point_num, 3)).astype(np.float32)
+
+    streams = {}
+    for quant in (False, True):
+        o = dataclasses.replace(opt, kv_quant=quant)
+        model = LMM(o, dtype=jnp.bfloat16)
+        params = cast_params(init_lmm_params(model, o, rng), jnp.bfloat16)
+        if args.resume:
+            ckpt = restore_pytree(args.resume)
+            params = tolerant_merge(params, ckpt)
+            params = cast_params(params, jnp.bfloat16)
+        streams[quant] = np.asarray(generate_tokens(
+            model, params, conds, num_faces=args.faces, rng=rng))
+
+    a, b = streams[False], streams[True]
+    L = min(a.shape[1], b.shape[1])
+    a, b = a[:, :L], b[:, :L]
+
+    rows = []
+    for i in range(args.batch):
+        ra, rb = a[i], b[i]
+        # compare up to the longer of the two streams' EOS (PAD after EOS)
+        ends = [np.nonzero(r == opt.eos_token_id)[0] for r in (ra, rb)]
+        end = max((e[0] + 1) if len(e) else L for e in ends)
+        match = float((ra[:end] == rb[:end]).mean())
+        div = np.nonzero(ra[:end] != rb[:end])[0]
+        prefix = int(div[0]) if len(div) else int(end)
+        fa = detokenize_mesh(ra[ra >= 3], opt.discrete_bins, tokenizer=tokenizer)[1]
+        fb = detokenize_mesh(rb[rb >= 3], opt.discrete_bins, tokenizer=tokenizer)[1]
+        rows.append({
+            "len": int(end), "match_rate": round(match, 4),
+            "prefix_match": prefix, "identical": bool(match == 1.0),
+            "faces_bf16": int(len(fa)), "faces_int8": int(len(fb)),
+        })
+
+    result = {
+        "weights": args.resume or "random-init",
+        "batch": args.batch,
+        "faces_requested": args.faces,
+        "backend": jax.default_backend(),
+        "mean_match_rate": round(float(np.mean([r["match_rate"] for r in rows])), 4),
+        "identical_streams": sum(r["identical"] for r in rows),
+        "rows": rows,
+    }
+    print(json.dumps(result, indent=1))
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
