@@ -46,11 +46,25 @@ def rotate_y(vertices: np.ndarray, azimuth_deg: float) -> np.ndarray:
     return vertices @ rot.T
 
 
+def decimate_qem(vertices: np.ndarray, faces: np.ndarray,
+                 target_faces: int) -> tuple[np.ndarray, np.ndarray]:
+    """Quadric-error-metric decimation via the metok C++ extension (matches
+    the reference's library decimater augmentation, provider.py:258-263)."""
+    if len(faces) <= target_faces:
+        return vertices, faces
+    from edgerunner_tpu.tokenizer import decimate
+
+    v, f = decimate(vertices, faces, int(target_faces))
+    if len(f) == 0:  # degenerate input; keep the original
+        return vertices, faces
+    return clean_mesh(v, f)
+
+
 def decimate_vertex_cluster(vertices: np.ndarray, faces: np.ndarray,
                             target_faces: int) -> tuple[np.ndarray, np.ndarray]:
-    """Lightweight decimation by uniform vertex clustering (stand-in for the
-    reference's quadric decimation aug, provider.py:258-263): search the grid
-    resolution whose clustering lands at or below target_faces."""
+    """Lightweight decimation by uniform vertex clustering (kept as a
+    dependency-free fallback; the augmentation uses decimate_qem): search the
+    grid resolution whose clustering lands at or below target_faces."""
     if len(faces) <= target_faces:
         return vertices, faces
     lo, hi = 2, 256
@@ -162,7 +176,7 @@ class MeshFolderDataset:
                 if opt.use_decimate_aug and self.training and f.shape[0] >= 200 \
                         and rng.random() < 0.5:
                     target = rng.integers(max(100, f.shape[0] // 4), f.shape[0])
-                    v, f = decimate_vertex_cluster(v, f, int(target))
+                    v, f = decimate_qem(v, f, int(target))
 
                 if azimuth != 0:
                     v = rotate_y(v, azimuth)

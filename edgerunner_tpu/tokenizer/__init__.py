@@ -57,6 +57,9 @@ def _load():
         fn.argtypes = [ctypes.c_void_p, ip]
     lib.metok_free.restype = None
     lib.metok_free.argtypes = [ctypes.c_void_p]
+    lib.metok_decimate.restype = ctypes.c_void_p
+    lib.metok_decimate.argtypes = [fp, ctypes.c_int, ip, ctypes.c_int,
+                                   ctypes.c_int]
     _lib = lib
     return lib
 
@@ -141,6 +144,36 @@ class Engine:
         return verts, faces, face_type
 
 
+def decimate(vertices, faces, target_faces: int):
+    """Quadric-error-metric edge-collapse decimation (C++).
+
+    Greedy collapses ordered by Garland-Heckbert quadric cost until the face
+    count reaches target_faces (the reference uses a library decimater for
+    its augmentation, provider.py:258-263). Returns (vertices f32, faces i64).
+    """
+    lib = _load()
+    v = np.ascontiguousarray(vertices, dtype=np.float32)
+    f = np.ascontiguousarray(faces, dtype=np.int32)
+    assert v.ndim == 2 and v.shape[1] == 3 and f.ndim == 2 and f.shape[1] == 3
+    handle = lib.metok_decimate(
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), v.shape[0],
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), f.shape[0],
+        int(target_faces),
+    )
+    try:
+        nv = ctypes.c_int(0)
+        vp = lib.metok_get_verts(handle, ctypes.byref(nv))
+        out_v = (np.ctypeslib.as_array(vp, shape=(nv.value, 3)).astype(np.float32)
+                 if nv.value else np.empty((0, 3), np.float32))
+        nf = ctypes.c_int(0)
+        fp = lib.metok_get_faces(handle, ctypes.byref(nf))
+        out_f = (np.ctypeslib.as_array(fp, shape=(nf.value, 3)).astype(np.int64)
+                 if nf.value else np.empty((0, 3), np.int64))
+    finally:
+        lib.metok_free(handle)
+    return out_v, out_f
+
+
 def normalize_mesh(vertices, bound: float = 0.95):
     """Center the mesh and scale its longest extent to [-bound, bound]."""
     vmin = vertices.min(0)
@@ -168,4 +201,4 @@ def sort_mesh(vertices, faces):
     return vertices, faces
 
 
-__all__ = ["Engine", "normalize_mesh", "sort_mesh", "build_metok"]
+__all__ = ["Engine", "decimate", "normalize_mesh", "sort_mesh", "build_metok"]

@@ -26,12 +26,14 @@
 //    reference expression shapes exactly
 
 #include <algorithm>
+#include <array>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <map>
 #include <queue>
 #include <tuple>
+#include <unordered_set>
 #include <utility>
 #include <vector>
 
@@ -651,6 +653,179 @@ public:
 }  // namespace metok
 
 // ---------------------------------------------------------------------------
+// Quadric-error-metric decimation (Garland & Heckbert '97 style)
+//
+// Replaces the vertex-clustering stand-in for the reference's decimation
+// augmentation (reference: provider.py:258-263 uses a library decimater).
+// Greedy edge collapses ordered by quadric cost; candidate placement picks
+// the best of {v1, v2, midpoint} (no 4x4 solve — robust and within a few
+// percent of optimal-placement quality for augmentation purposes).
+// ---------------------------------------------------------------------------
+
+namespace metok {
+
+struct Quadric {
+    double q[10] = {0};  // symmetric 4x4: upper triangle row-major
+    void add_plane(double a, double b, double c, double d) {
+        q[0] += a * a; q[1] += a * b; q[2] += a * c; q[3] += a * d;
+        q[4] += b * b; q[5] += b * c; q[6] += b * d;
+        q[7] += c * c; q[8] += c * d;
+        q[9] += d * d;
+    }
+    void add(const Quadric& o) { for (int i = 0; i < 10; i++) q[i] += o.q[i]; }
+    double eval(double x, double y, double z) const {
+        return q[0]*x*x + 2*q[1]*x*y + 2*q[2]*x*z + 2*q[3]*x
+             + q[4]*y*y + 2*q[5]*y*z + 2*q[6]*y
+             + q[7]*z*z + 2*q[8]*z
+             + q[9];
+    }
+};
+
+struct Decimator {
+    std::vector<std::array<double, 3>> V;
+    std::vector<std::array<int, 3>> F;
+    std::vector<Quadric> Q;
+    std::vector<int> parent;          // union-find vertex remap
+    std::vector<int> version;         // bumped per collapse for lazy heap entries
+    std::vector<std::vector<int>> vfaces;  // faces touching each root vertex
+    int live_faces = 0;
+
+    int find(int v) {
+        while (parent[v] != v) { parent[v] = parent[parent[v]]; v = parent[v]; }
+        return v;
+    }
+
+    struct Cand {
+        double cost;
+        int a, b, va, vb;  // vertices + their versions at push time
+        double px, py, pz;
+        bool operator<(const Cand& o) const { return cost > o.cost; }  // min-heap
+    };
+    std::priority_queue<Cand> heap;
+
+    Decimator(const float* verts, int nv, const int* faces, int nf)
+        : V(nv), F(nf), Q(nv), parent(nv), version(nv, 0), vfaces(nv) {
+        for (int i = 0; i < nv; i++) {
+            V[i] = {verts[3*i], verts[3*i+1], verts[3*i+2]};
+            parent[i] = i;
+        }
+        for (int i = 0; i < nf; i++) {
+            F[i] = {faces[3*i], faces[3*i+1], faces[3*i+2]};
+            for (int k = 0; k < 3; k++) vfaces[F[i][k]].push_back(i);
+        }
+        live_faces = nf;
+        for (int i = 0; i < nf; i++) {
+            double a, b, c, d;
+            if (face_plane(i, a, b, c, d))
+                for (int k = 0; k < 3; k++) Q[F[i][k]].add_plane(a, b, c, d);
+        }
+    }
+
+    bool face_plane(int fi, double& a, double& b, double& c, double& d) const {
+        const auto& f = F[fi];
+        const auto &p0 = V[f[0]], &p1 = V[f[1]], &p2 = V[f[2]];
+        double ux = p1[0]-p0[0], uy = p1[1]-p0[1], uz = p1[2]-p0[2];
+        double vx = p2[0]-p0[0], vy = p2[1]-p0[1], vz = p2[2]-p0[2];
+        a = uy*vz - uz*vy; b = uz*vx - ux*vz; c = ux*vy - uy*vx;
+        double n = std::sqrt(a*a + b*b + c*c);
+        if (n < 1e-12) return false;
+        a /= n; b /= n; c /= n;
+        d = -(a*p0[0] + b*p0[1] + c*p0[2]);
+        return true;
+    }
+
+    void push_edge(int a, int b) {
+        a = find(a); b = find(b);
+        if (a == b) return;
+        Quadric s = Q[a]; s.add(Q[b]);
+        const auto &pa = V[a], &pb = V[b];
+        double cands[3][3] = {
+            {pa[0], pa[1], pa[2]},
+            {pb[0], pb[1], pb[2]},
+            {(pa[0]+pb[0])/2, (pa[1]+pb[1])/2, (pa[2]+pb[2])/2}};
+        double best = 1e300; int bi = 2;
+        for (int i = 0; i < 3; i++) {
+            double c = s.eval(cands[i][0], cands[i][1], cands[i][2]);
+            if (c < best) { best = c; bi = i; }
+        }
+        heap.push({best, a, b, version[a], version[b],
+                   cands[bi][0], cands[bi][1], cands[bi][2]});
+    }
+
+    void seed_edges() {
+        for (size_t i = 0; i < F.size(); i++)
+            for (int k = 0; k < 3; k++)
+                push_edge(F[i][k], F[i][(k + 1) % 3]);
+    }
+
+    bool face_alive(int fi) {
+        int a = find(F[fi][0]), b = find(F[fi][1]), c = find(F[fi][2]);
+        return a != b && b != c && a != c;
+    }
+
+    void decimate_to(int target_faces) {
+        seed_edges();
+        while (live_faces > target_faces && !heap.empty()) {
+            Cand c = heap.top(); heap.pop();
+            // lazy deletion: entry is valid only if both endpoints are still
+            // roots at the versions recorded when it was pushed
+            if (parent[c.a] != c.a || parent[c.b] != c.b ||
+                version[c.a] != c.va || version[c.b] != c.vb)
+                continue;
+            int a = c.a, b = c.b;
+
+            // collapse b into a at the chosen position; the only faces whose
+            // liveness can change are those in the two rings
+            std::unordered_set<int> ring(vfaces[a].begin(), vfaces[a].end());
+            ring.insert(vfaces[b].begin(), vfaces[b].end());
+            int before = 0;
+            for (int fi : ring) if (face_alive(fi)) before++;
+
+            V[a] = {c.px, c.py, c.pz};
+            Q[a].add(Q[b]);
+            parent[b] = a;
+            version[a]++; version[b]++;
+
+            std::vector<int> keep;
+            keep.reserve(ring.size());
+            int after = 0;
+            for (int fi : ring)
+                if (face_alive(fi)) { keep.push_back(fi); after++; }
+            vfaces[a] = std::move(keep);
+            vfaces[b].clear(); vfaces[b].shrink_to_fit();
+            live_faces -= before - after;
+
+            // refresh costs of edges around the merged vertex
+            for (int fi : vfaces[a])
+                for (int k = 0; k < 3; k++)
+                    push_edge(F[fi][k], F[fi][(k + 1) % 3]);
+        }
+    }
+
+    void extract(std::vector<float>& out_v, std::vector<int>& out_f) {
+        std::vector<int> remap(V.size(), -1);
+        out_v.clear(); out_f.clear();
+        for (size_t i = 0; i < F.size(); i++) {
+            if (!face_alive((int)i)) continue;
+            int idx[3];
+            for (int k = 0; k < 3; k++) {
+                int v = find(F[i][k]);
+                if (remap[v] < 0) {
+                    remap[v] = (int)(out_v.size() / 3);
+                    out_v.push_back((float)V[v][0]);
+                    out_v.push_back((float)V[v][1]);
+                    out_v.push_back((float)V[v][2]);
+                }
+                idx[k] = remap[v];
+            }
+            out_f.push_back(idx[0]); out_f.push_back(idx[1]); out_f.push_back(idx[2]);
+        }
+    }
+};
+
+}  // namespace metok
+
+// ---------------------------------------------------------------------------
 // C ABI
 // ---------------------------------------------------------------------------
 
@@ -737,5 +912,15 @@ const int* metok_get_faces(void* h, int* n) {
     return buf->faces.data();
 }
 void metok_free(void* h) { delete static_cast<MetokBuffers*>(h); }
+
+// QEM decimation to ~target_faces; returns buffers with verts + faces
+void* metok_decimate(const float* verts, int nv, const int* faces, int nf,
+                     int target_faces) {
+    metok::Decimator dec(verts, nv, faces, nf);
+    dec.decimate_to(target_faces);
+    auto* buf = new MetokBuffers();
+    dec.extract(buf->verts, buf->faces);
+    return buf;
+}
 
 }  // extern "C"

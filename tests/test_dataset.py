@@ -121,3 +121,30 @@ def test_dit_dataset_deterministic():
     a.epoch = 3
     sc = a[1]
     assert not np.array_equal(sa["points"], sc["points"])
+
+
+def test_decimate_qem_quality():
+    """QEM decimation reaches the target while preserving the shape."""
+    from edgerunner_tpu.data.dataset import decimate_qem
+    from edgerunner_tpu.data.mesh_io import normalize_mesh as nm
+
+    v, f = icosphere(3)
+    v = nm(v)
+    vq, fq = decimate_qem(v, f, 300)
+    assert 150 <= len(fq) <= 315
+    # all decimated vertices stay near the unit sphere (radius 0.95)
+    rq = np.linalg.norm(vq, axis=1)
+    assert rq.min() > 0.9 and rq.max() < 1.0
+    assert abs(float(rq.mean()) - 0.95) < 0.02
+    # faces are valid and non-degenerate
+    assert fq.min() >= 0 and fq.max() < len(vq)
+    assert (fq[:, 0] != fq[:, 1]).all() and (fq[:, 1] != fq[:, 2]).all()
+
+
+def test_decimate_qem_noop_below_target():
+    from edgerunner_tpu.data.dataset import decimate_qem
+
+    v, f = icosphere(1)
+    v2, f2 = decimate_qem(v.astype(np.float64), f, 1000)
+    np.testing.assert_array_equal(v2, v)
+    np.testing.assert_array_equal(f2, f)
