@@ -130,3 +130,75 @@ def test_linear_convention_matches_torch():
     got = dense.apply({"params": {"kernel": jnp.asarray(p["kernel"]),
                                   "bias": jnp.asarray(p["bias"])}}, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+
+def test_export_lmm_roundtrip():
+    """params -> reference state_dict -> params is lossless (interop both ways)."""
+    from export_reference_ckpt import export_lmm
+
+    opt = _tiny_opt()
+    model = LMM(opt)
+    params = init_lmm_params(model, opt, RNG)
+
+    sd = export_lmm(params)
+    back = convert_lmm(sd)
+
+    flat_a = jax.tree_util.tree_flatten_with_path(params["params"])[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(back["params"])[0]
+    keys_a = {jax.tree_util.keystr(k) for k, _ in flat_a}
+    keys_b = {jax.tree_util.keystr(k) for k, _ in flat_b}
+    assert keys_a == keys_b, keys_a ^ keys_b
+    b_by_key = {jax.tree_util.keystr(k): v for k, v in flat_b}
+    for k, va in flat_a:
+        np.testing.assert_array_equal(
+            np.asarray(va, np.float32), np.asarray(b_by_key[jax.tree_util.keystr(k)]),
+            err_msg=jax.tree_util.keystr(k))
+
+
+def test_export_lmm_names_match_reference():
+    """Exported names are exactly the reference state_dict surface."""
+    from export_reference_ckpt import export_lmm
+
+    opt = _tiny_opt()
+    ref_sd = _fake_reference_lmm_sd(opt)
+    model = LMM(opt)
+    params = init_lmm_params(model, opt, RNG)
+    sd = export_lmm(params)
+    assert set(sd.keys()) == set(ref_sd.keys()), (
+        set(sd.keys()) ^ set(ref_sd.keys()))
+    for k in sd:
+        assert sd[k].shape == ref_sd[k].shape, (k, sd[k].shape, ref_sd[k].shape)
+
+
+def test_export_mdit_roundtrip():
+    from convert_reference_ckpt import convert_mdit
+    from export_reference_ckpt import export_mdit
+
+    from edgerunner_tpu.models.mdit import MDiT
+
+    opt = Options(cond_mode="point", point_latent_size=16, num_cond_tokens=17,
+                  point_hidden_dim=32, point_num_heads=4, point_latent_dim=8,
+                  dit_hidden_dim=32, dit_num_heads=4, dit_num_layers=2,
+                  hidden_dim=64, num_layers=2, num_heads=4, point_num=64,
+                  clip_hidden_dim=32, clip_intermediate_dim=64,
+                  clip_num_layers=2, clip_num_heads=4, clip_image_size=28,
+                  use_num_face_cond=True, checkpointing=False)
+    model = MDiT(opt)
+    images = jnp.zeros((1, 28, 28, 3))
+    points = jnp.zeros((1, opt.point_num, 3))
+    params = model.init({"params": RNG, "cfg": RNG, "noise": RNG, "time": RNG},
+                        images, points, train=False)
+
+    sd = export_mdit(params)
+    back = convert_mdit(sd)
+    # dit + point_encoder subtrees round-trip exactly (image_encoder/CLIP is
+    # exported separately by the HF converter and excluded here)
+    for key in ("dit", "point_encoder"):
+        fa = jax.tree_util.tree_flatten_with_path(params["params"][key])[0]
+        fb = {jax.tree_util.keystr(k): v for k, v in
+              jax.tree_util.tree_flatten_with_path(back["params"][key])[0]}
+        assert len(fa) == len(fb)
+        for k, va in fa:
+            np.testing.assert_array_equal(
+                np.asarray(va, np.float32), np.asarray(fb[jax.tree_util.keystr(k)]),
+                err_msg=f"{key}{jax.tree_util.keystr(k)}")

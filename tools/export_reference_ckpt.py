@@ -1,0 +1,149 @@
+"""Export edgerunner-tpu params back to a reference-format checkpoint.
+
+Inverse of tools/convert_reference_ckpt.py: maps this framework's flax
+pytrees onto the reference's torch state_dict names (reference:
+core/models.py, core/models_dit.py, core/transformer/*) and writes a
+.safetensors file the reference's `main.py --resume` can load. Enables
+round-trip interop: train here, finetune or infer there.
+
+Usage:
+    python tools/export_reference_ckpt.py ckpt_dir out.safetensors --model lmm
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _np(x):
+    return np.asarray(x, dtype=np.float32)
+
+
+def _linear(sd, prefix, tree):
+    sd[prefix + ".weight"] = _np(tree["kernel"]).T
+    if "bias" in tree:
+        sd[prefix + ".bias"] = _np(tree["bias"])
+
+
+def _layernorm(sd, prefix, tree):
+    sd[prefix + ".weight"] = _np(tree["scale"])
+    sd[prefix + ".bias"] = _np(tree["bias"])
+
+
+def _embedding(sd, prefix, tree):
+    sd[prefix + ".weight"] = _np(tree["embedding"])
+
+
+def _res_cross_att_block(sd, prefix, tree):
+    _layernorm(sd, prefix + ".ln1", tree["ln1"])
+    _layernorm(sd, prefix + ".ln2", tree["ln2"])
+    for name in ("q_proj", "k_proj", "v_proj", "out_proj"):
+        _linear(sd, f"{prefix}.att.{name}", tree["att"][name])
+    _linear(sd, prefix + ".mlp.net.0", tree["mlp"]["fc_in"])
+    _linear(sd, prefix + ".mlp.net.2", tree["mlp"]["fc_out"])
+
+
+def _point_encoder(sd, prefix, tree):
+    _linear(sd, prefix + ".point_embed.mlp", tree["point_embed"]["mlp"])
+    _layernorm(sd, prefix + ".ln", tree["ln"])
+    _res_cross_att_block(sd, prefix + ".cross_att", tree["cross_att"])
+    _linear(sd, prefix + ".linear", tree["linear"])
+    if "query_embed" in tree:
+        sd[prefix + ".query_embed"] = _np(tree["query_embed"])
+
+
+def _shape_opt(sd, prefix, tree):
+    model = tree["model"]
+    _embedding(sd, prefix + ".model.embd", model["embd"])
+    _embedding(sd, prefix + ".model.embed_positions", model["embed_positions"])
+    i = 0
+    while f"layers_{i}" in model:
+        lt = model[f"layers_{i}"]
+        lp = f"{prefix}.model.layers.{i}"
+        for name in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            _linear(sd, f"{lp}.self_attn.{name}", lt["self_attn"][name])
+        _layernorm(sd, lp + ".self_attn_layer_norm", lt["self_attn_layer_norm"])
+        _linear(sd, lp + ".fc1", lt["fc1"])
+        _linear(sd, lp + ".fc2", lt["fc2"])
+        _layernorm(sd, lp + ".final_layer_norm", lt["final_layer_norm"])
+        i += 1
+    _linear(sd, prefix + ".lm_head", tree["lm_head"])
+
+
+def _dit(sd, prefix, tree):
+    _linear(sd, prefix + ".proj_in", tree["proj_in"])
+    sd[prefix + ".pos_embed"] = _np(tree["pos_embed"])
+    _linear(sd, prefix + ".timestep_proj.linear_1", tree["timestep_proj"]["linear_1"])
+    _linear(sd, prefix + ".timestep_proj.linear_2", tree["timestep_proj"]["linear_2"])
+    _linear(sd, prefix + ".adaln_linear", tree["adaln_linear"])
+    sd[prefix + ".scale_shift_table"] = _np(tree["scale_shift_table"])
+    _linear(sd, prefix + ".proj_out", tree["proj_out"])
+    i = 0
+    while f"layers_{i}" in tree:
+        lt = tree[f"layers_{i}"]
+        lp = f"{prefix}.layers.{i}"
+        _linear(sd, lp + ".attn1.qkv_proj", lt["attn1"]["qkv_proj"])
+        _linear(sd, lp + ".attn1.out_proj", lt["attn1"]["out_proj"])
+        for name in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            _linear(sd, f"{lp}.attn2.{name}", lt["attn2"][name])
+        _linear(sd, lp + ".ff.net.0", lt["ff"]["fc_in"])
+        _linear(sd, lp + ".ff.net.2", lt["ff"]["fc_out"])
+        sd[lp + ".scale_shift_table"] = _np(lt["scale_shift_table"])
+        i += 1
+
+
+def export_lmm(tree) -> dict:
+    """flax params pytree -> reference LMM state_dict (numpy values)."""
+    params = tree.get("params", tree)
+    sd: dict = {}
+    if "point_encoder" in params:
+        _point_encoder(sd, "point_encoder", params["point_encoder"])
+    if "proj_cond" in params:
+        _linear(sd, "proj_cond", params["proj_cond"])
+        _layernorm(sd, "norm_cond", params["norm_cond"])
+    if "embed_num_face" in params:
+        _embedding(sd, "embed_num_face", params["embed_num_face"])
+    _shape_opt(sd, "mesh_decoder", params["mesh_decoder"])
+    return sd
+
+
+def export_mdit(tree) -> dict:
+    params = tree.get("params", tree)
+    sd: dict = {}
+    _dit(sd, "dit", params["dit"])
+    if "proj_cond" in params:
+        _linear(sd, "proj_cond", params["proj_cond"])
+        _layernorm(sd, "norm_cond", params["norm_cond"])
+    if "point_encoder" in params:
+        _point_encoder(sd, "point_encoder", params["point_encoder"])
+    return sd
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("src", help="orbax checkpoint dir (or .msgpack pytree)")
+    ap.add_argument("dst", help="output .safetensors path")
+    ap.add_argument("--model", choices=["lmm", "mdit"], default="lmm")
+    args = ap.parse_args()
+
+    from edgerunner_tpu.train.checkpoint import restore_pytree
+
+    tree = restore_pytree(args.src)
+    sd = export_lmm(tree) if args.model == "lmm" else export_mdit(tree)
+    sd = {k: np.ascontiguousarray(v) for k, v in sd.items()}
+
+    from safetensors.numpy import save_file
+
+    save_file(sd, args.dst)
+    n = sum(v.size for v in sd.values())
+    print(f"[export] wrote {args.dst}: {len(sd)} tensors, {n/1e6:.2f} M params")
+
+
+if __name__ == "__main__":
+    main()
