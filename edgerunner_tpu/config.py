@@ -120,6 +120,10 @@ class Options:
     dp_size: int = -1
     # tensor-parallel axis size (sharded attention heads / MLP)
     tp_size: int = 1
+    # sequence-parallel axis size: activations sharded along the sequence,
+    # attention runs as a ring over the axis — trains contexts larger than
+    # one chip's HBM (the reference is single-device long-context only)
+    sp_size: int = 1
 
     ### testing
     test_path: Optional[str] = None

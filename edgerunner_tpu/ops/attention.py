@@ -110,6 +110,37 @@ def attention(
     """Dispatching attention entry point (replaces reference attention.py:27)."""
     B, N, H, D = q.shape
     M = k.shape[1]
+
+    # sequence parallelism: when the trainer installed an sp context, causal
+    # self-attention runs as a ring over the sp mesh axis (activations stay
+    # sharded along the sequence; K/V shards rotate via ppermute). Prefix
+    # length masks are safe to drop here: padding is a suffix and attention
+    # is causal, so every loss-contributing query row attends only to valid
+    # positions; rows beyond q_len produce garbage that the CE mask ignores.
+    from edgerunner_tpu.parallel import active_sequence_parallel
+
+    sp = active_sequence_parallel()
+    if sp is not None and causal and kv_offset == 0 and N == M:
+        import functools
+
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from edgerunner_tpu.ops.ring_attention import ring_attention
+
+        mesh, axis = sp
+        size = mesh.shape[axis]
+        # shapes that don't tile the mesh (e.g. B=1 eval generation, or an
+        # unpadded prefill) fall through to the single-device paths below;
+        # the trainer pads its batches so the train step always qualifies
+        if N % size == 0 and B % mesh.shape["dp"] == 0:
+            spec = P("dp", axis, None, None)
+            fn = shard_map(
+                functools.partial(ring_attention, axis_name=axis, causal=True),
+                mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+                check_vma=False)
+            return fn(q, k, v)
+
     use_flash = (
         jax.default_backend() == "tpu"
         and kv_offset == 0

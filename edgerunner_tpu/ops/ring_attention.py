@@ -99,11 +99,11 @@ def ring_self_attention(q, k, v, mesh: Mesh, *, axis: str = "sp",
                         causal: bool = True):
     """Convenience wrapper: full [B, N, H, D] arrays in, sequence sharded over
     `mesh[axis]`, exact attention out. N must divide by the axis size."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     spec = P(None, axis, None, None)
     fn = shard_map(
         functools.partial(ring_attention, axis_name=axis, causal=causal),
         mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-        check_rep=False)
+        check_vma=False)
     return fn(q, k, v)

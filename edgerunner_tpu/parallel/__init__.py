@@ -1,10 +1,14 @@
 from .mesh import (
+    active_sequence_parallel,
     batch_sharding,
     make_mesh,
     maybe_initialize_distributed,
     param_shardings,
     replicated,
+    seq_sharding,
+    set_sequence_parallel,
 )
 
-__all__ = ["make_mesh", "batch_sharding", "param_shardings", "replicated",
-           "maybe_initialize_distributed"]
+__all__ = ["make_mesh", "batch_sharding", "seq_sharding", "param_shardings",
+           "replicated", "maybe_initialize_distributed",
+           "set_sequence_parallel", "active_sequence_parallel"]

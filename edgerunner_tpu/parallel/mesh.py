@@ -35,17 +35,20 @@ def maybe_initialize_distributed():
     return False
 
 
-def make_mesh(dp_size: int = -1, tp_size: int = 1,
+def make_mesh(dp_size: int = -1, tp_size: int = 1, sp_size: int = 1,
               devices: Optional[list] = None) -> Mesh:
+    """('dp', 'sp', 'tp') mesh. sp is placed between dp and tp so the ring
+    permute of sequence parallelism rides contiguous ICI neighbors."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if dp_size == -1:
-        assert n % tp_size == 0, f"{n} devices not divisible by tp={tp_size}"
-        dp_size = n // tp_size
-    assert dp_size * tp_size == n, (
-        f"dp({dp_size}) x tp({tp_size}) != devices({n})")
-    arr = np.asarray(devices).reshape(dp_size, tp_size)
-    return Mesh(arr, axis_names=("dp", "tp"))
+        assert n % (tp_size * sp_size) == 0, (
+            f"{n} devices not divisible by tp({tp_size}) x sp({sp_size})")
+        dp_size = n // (tp_size * sp_size)
+    assert dp_size * tp_size * sp_size == n, (
+        f"dp({dp_size}) x sp({sp_size}) x tp({tp_size}) != devices({n})")
+    arr = np.asarray(devices).reshape(dp_size, sp_size, tp_size)
+    return Mesh(arr, axis_names=("dp", "sp", "tp"))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -55,6 +58,33 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading (batch) dim split over dp, everything else replicated."""
     return NamedSharding(mesh, P("dp"))
+
+
+def seq_sharding(mesh: Mesh) -> NamedSharding:
+    """[B, T, ...] arrays: batch over dp, sequence over sp."""
+    return NamedSharding(mesh, P("dp", "sp"))
+
+
+# --------------------------------------------------------- sp context ------
+# Sequence parallelism needs explicit shard_map around attention (GSPMD
+# cannot auto-partition softmax attention along the sequence — it would
+# all-gather K/V). The trainer installs the active (mesh, axis) here before
+# tracing its train step; ops/attention.py consults it at trace time.
+
+_SP_CTX: Optional[tuple] = None  # (Mesh, axis_name)
+
+
+def set_sequence_parallel(mesh: Optional[Mesh], axis: str = "sp") -> None:
+    """Install (or clear, with mesh=None) the sequence-parallel context."""
+    global _SP_CTX
+    if mesh is None or mesh.shape.get(axis, 1) <= 1:
+        _SP_CTX = None
+    else:
+        _SP_CTX = (mesh, axis)
+
+
+def active_sequence_parallel() -> Optional[tuple]:
+    return _SP_CTX
 
 
 # Megatron-style tensor-parallel layout for this framework's modules.

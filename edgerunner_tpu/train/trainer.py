@@ -13,7 +13,12 @@ from typing import Callable, Optional
 import jax
 import numpy as np
 
-from edgerunner_tpu.parallel import batch_sharding, make_mesh, param_shardings
+from edgerunner_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    set_sequence_parallel,
+)
 from edgerunner_tpu.train.state import (
     TrainState,
     create_train_state,
@@ -37,13 +42,29 @@ def _device_mem_gb() -> str:
     return ""
 
 
-def _device_batch(batch: dict, sharding) -> dict:
-    """Move collated numpy arrays onto the mesh (paths stay on host)."""
+def _device_batch(batch: dict, sharding, sp: int = 1,
+                  pad_token_id: int = 0) -> dict:
+    """Move collated numpy arrays onto the mesh (paths stay on host).
+
+    With sequence parallelism (sp > 1): tokens/labels are suffix-padded so
+    the attention length (= labels length = cond + tokens length) divides by
+    sp — the shard_map inside attention requires it, and GSPMD propagates the
+    ring's sequence sharding through the surrounding elementwise layers.
+    Suffix padding + causal attention keeps every loss-contributing position
+    exact (labels pad with -100)."""
     out = {}
+    pad = 0
+    if sp > 1 and "labels" in batch:
+        T = np.asarray(batch["labels"]).shape[1]
+        pad = (-T) % sp
     for k, v in batch.items():
         if k == "paths":
             continue
-        out[k] = jax.device_put(np.asarray(v), sharding)
+        v = np.asarray(v)
+        if pad and k in ("tokens", "labels"):
+            fill = -100 if k == "labels" else pad_token_id
+            v = np.pad(v, ((0, 0), (0, pad)), constant_values=fill)
+        out[k] = jax.device_put(v, sharding)
     return out
 
 
@@ -59,7 +80,12 @@ class Trainer:
         self._step_builder = step_builder
         self._eval_builder = eval_builder
         self._eval_needs_rng = eval_needs_rng
-        self.mesh = make_mesh(opt.dp_size, opt.tp_size)
+        sp = getattr(opt, "sp_size", 1)
+        assert sp == 1 or opt.tp_size == 1, (
+            "sp_size > 1 currently requires tp_size == 1")
+        self.mesh = make_mesh(opt.dp_size, opt.tp_size, sp)
+        self.sp = self.mesh.shape.get("sp", 1)
+        set_sequence_parallel(self.mesh if self.sp > 1 else None)
         dp = self.mesh.shape["dp"]
         assert opt.batch_size % dp == 0, (
             f"batch_size ({opt.batch_size}) must be divisible by the dp axis "
@@ -105,7 +131,8 @@ class Trainer:
         for i, batch in enumerate(loader):
             if profile_dir and epoch == 0 and i == 10:
                 jax.profiler.start_trace(profile_dir)
-            dev_batch = _device_batch(batch, bsh)
+            dev_batch = _device_batch(batch, bsh, sp=self.sp,
+                                      pad_token_id=self.opt.pad_token_id)
             self.state, metrics = self._train_step(self.state, dev_batch, rng)
             loss = float(metrics["loss"])
             if profile_dir and epoch == 0 and i == 14:
@@ -139,7 +166,8 @@ class Trainer:
         bsh = batch_sharding(self.mesh)
         total_loss, n = 0.0, 0
         for batch in loader:
-            dev_batch = _device_batch(batch, bsh)
+            dev_batch = _device_batch(batch, bsh, sp=self.sp,
+                                      pad_token_id=self.opt.pad_token_id)
             if self._eval_needs_rng:
                 out = self._eval_step(self.state.params, dev_batch, rng)
             else:

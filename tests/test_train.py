@@ -259,3 +259,64 @@ def test_weight_decay_presets():
 
     assert config_defaults["ArAE"].weight_decay == 0.01
     assert config_defaults["DiT"].weight_decay == 0.1
+
+
+def test_dp_sp_equivalence():
+    """The same step on a dp8 mesh and a dp2 x sp4 mesh (ring attention,
+    sequence-sharded activations) must produce the same loss and grads."""
+    from edgerunner_tpu.parallel import set_sequence_parallel
+
+    results = {}
+    for sp in (1, 4):
+        opt = tiny_opt(sp_size=sp)
+        model = LMM(opt)
+        mesh = make_mesh(-1, 1, sp)
+        set_sequence_parallel(mesh if sp > 1 else None)
+        try:
+            params = init_lmm_params(model, opt, RNG)
+            sh = param_shardings(params, mesh)
+            params = jax.tree.map(lambda x, s: jax.device_put(x, s), params, sh)
+            tx, _ = make_optimizer(opt, total_steps=50)
+            state = create_train_state(params, tx)
+            step = jax.jit(make_train_step(model, tx))
+            # attention length = C+1+M+1 = 17+1+21+1 = 40, divisible by sp=4
+            raw = _make_batch(opt, M=21)
+            bsh = batch_sharding(mesh)
+            batch = {k: jax.device_put(v, bsh) for k, v in raw.items()}
+            new_state, metrics = step(state, batch, RNG)
+            delta = jax.tree.map(lambda a, b: np.asarray(a - b),
+                                 new_state.params, state.params)
+            results[sp] = (float(metrics["loss"]), delta)
+        finally:
+            set_sequence_parallel(None)
+    np.testing.assert_allclose(results[1][0], results[4][0], rtol=2e-4)
+    # parameter updates match leaf-by-leaf (grad path through the ring)
+    flat1 = jax.tree_util.tree_leaves(results[1][1])
+    flat4 = jax.tree_util.tree_leaves(results[4][1])
+    for a, b in zip(flat1, flat4):
+        np.testing.assert_allclose(a, b, atol=5e-5)
+
+
+def test_trainer_sp_pads_and_runs():
+    """Trainer with sp_size=2: odd sequence lengths are suffix-padded to the
+    sp multiple and the step runs end to end."""
+    from edgerunner_tpu.train.trainer import Trainer, _device_batch
+    from edgerunner_tpu.parallel import set_sequence_parallel
+
+    opt = tiny_opt(sp_size=2, batch_size=8)
+    model = LMM(opt)
+    trainer = Trainer(model, opt, total_steps=10)
+    try:
+        assert trainer.mesh.shape["sp"] == 2
+        params = init_lmm_params(model, opt, RNG)
+        trainer.init_state(params)
+        raw = _make_batch(opt, M=12)  # attention length 31, odd -> pads to 32
+        dev = _device_batch(raw, batch_sharding(trainer.mesh),
+                            sp=2, pad_token_id=opt.pad_token_id)
+        assert dev["labels"].shape[1] % 2 == 0
+        assert dev["tokens"].shape[1] - raw["tokens"].shape[1] == \
+               dev["labels"].shape[1] - raw["labels"].shape[1]
+        state, metrics = trainer._train_step(trainer.state, dev, RNG)
+        assert np.isfinite(float(metrics["loss"]))
+    finally:
+        set_sequence_parallel(None)
