@@ -111,20 +111,20 @@ class OPTAttention(nn.Module):
         )
 
         if c.kv_quant:
-            kv_vals, k_scales, v_scales = k_cache, v_cache[0], v_cache[1]
+            kv_vals, scales = k_cache, v_cache
             B, L, hd2 = kv_vals.shape
             # lane alignment: Mosaic DMA slices must be 128-aligned on the
             # last (lane) dim, so tiny test configs fall back to XLA
             if jax.default_backend() == "tpu" and L % DEFAULT_BLOCK == 0 \
                     and hd2 % 256 == 0:
                 return fused_decode_attention_q8(
-                    qf.reshape(B, -1), kv_vals, k_scales, v_scales, index,
+                    qf.reshape(B, -1), kv_vals, scales, index,
                     num_heads=c.num_attention_heads).reshape(B, 1, -1)
             from edgerunner_tpu.ops.kv_quant import dequantize_rows
 
             hd = hd2 // 2
-            kd = dequantize_rows(kv_vals[..., :hd], k_scales, c.dtype)
-            vd = dequantize_rows(kv_vals[..., hd:], v_scales, c.dtype)
+            kd = dequantize_rows(kv_vals[..., :hd], scales, c.dtype, lane=0)
+            vd = dequantize_rows(kv_vals[..., hd:], scales, c.dtype, lane=1)
             q = self._heads(qf)
             kh = kd.reshape(B, L, c.num_attention_heads, c.head_dim)
             vh = vd.reshape(B, L, c.num_attention_heads, c.head_dim)
@@ -146,25 +146,24 @@ class OPTAttention(nn.Module):
     def step(self, h, k_cache, v_cache, index):
         """h: [B, 1, C]; index: position. Cache per layer is either packed
         [B, L, H*Dh] (k_cache/v_cache) or, with kv_quant, k_cache = int8
-        [B, L, 2*H*Dh] values and v_cache = (k_scales, v_scales)."""
+        [B, L, 2*H*Dh] values and v_cache = the packed bf16 [B, L, 128]
+        scale plane (lane 0 = K, lane 1 = V)."""
         c = self.cfg
         qf = self.q_proj(h)
         kf = self.k_proj(h)
         vf = self.v_proj(h)
 
         if c.kv_quant:
-            from edgerunner_tpu.ops.kv_quant import quantize_rows
+            from edgerunner_tpu.ops.kv_quant import pack_scales, quantize_rows
 
             kq, ks = quantize_rows(kf)
             vq, vs = quantize_rows(vf)
             kv_row = jnp.concatenate([kq, vq], axis=-1)
             kv_vals = jax.lax.dynamic_update_slice(
                 k_cache, kv_row, (0, index, 0))
-            k_scales = jax.lax.dynamic_update_slice(
-                v_cache[0], ks.astype(v_cache[0].dtype), (0, index, 0))
-            v_scales = jax.lax.dynamic_update_slice(
-                v_cache[1], vs.astype(v_cache[1].dtype), (0, index, 0))
-            k_cache, v_cache = kv_vals, (k_scales, v_scales)
+            scales = jax.lax.dynamic_update_slice(
+                v_cache, pack_scales(ks, vs), (0, index, 0))
+            k_cache, v_cache = kv_vals, scales
         else:
             k_cache = jax.lax.dynamic_update_slice(
                 k_cache, kf.astype(k_cache.dtype), (0, index, 0))
@@ -275,14 +274,14 @@ class ShapeOPTDecoder(nn.Module):
         pad = ((0, 0), (0, max_len - P), (0, 0))
         ks, vs = [], []
         if c.kv_quant:
-            from edgerunner_tpu.ops.kv_quant import quantize_rows
+            from edgerunner_tpu.ops.kv_quant import pack_scales, quantize_rows
 
             for layer in self.layers:
                 h, k, v = layer.prefill(h)
                 kq, ksc = quantize_rows(k)
                 vq, vsc = quantize_rows(v)
                 ks.append(jnp.pad(jnp.concatenate([kq, vq], -1), pad))
-                vs.append((jnp.pad(ksc, pad), jnp.pad(vsc, pad)))
+                vs.append(jnp.pad(pack_scales(ksc, vsc), pad))
             return h, tuple(ks), tuple(vs)
         for layer in self.layers:
             h, k, v = layer.prefill(h)

@@ -158,13 +158,14 @@ def fused_decode_attention(q, k_cache, v_cache, index,
 
 # ------------------------------------------------------- int8 KV variant --
 
-def _kernel_q8(index_ref, q_ref, kv_hbm, ks_hbm, vs_hbm,
-               out_ref, kbuf, ksbuf, vsbuf, sems,
+def _kernel_q8(index_ref, q_ref, kv_hbm, sc_hbm,
+               out_ref, kbuf, scbuf, sems,
                *, num_heads, head_dim, block, scale):
     """Like _kernel, but the cache holds int8 values + per-row bf16 scales.
 
     kv_hbm: int8 [B, L, 2*hd] (K rows ++ V rows packed on the lane axis so
-    one DMA fetches both); ks/vs_hbm: bf16 [B, L, 128] row scales.
+    one DMA fetches both); sc_hbm: bf16 [B, L, 128] packed row scales
+    (lane 0 = K scale, lane 1 = V scale) — one DMA stream for both.
     """
     b = pl.program_id(0)
     index = index_ref[0]
@@ -183,19 +184,13 @@ def _kernel_q8(index_ref, q_ref, kv_hbm, ks_hbm, vs_hbm,
             kv_hbm.at[pl.ds(b, 1), pl.ds(blk * block, block), :],
             kbuf.at[pl.ds(slot, 1)], sems.at[slot])
 
-    def dma_ks(slot, blk):
+    def dma_sc(slot, blk):
         return pltpu.make_async_copy(
-            ks_hbm.at[pl.ds(b, 1), pl.ds(blk * block, block), :],
-            ksbuf.at[pl.ds(slot, 1)], sems.at[2 + slot])
-
-    def dma_vs(slot, blk):
-        return pltpu.make_async_copy(
-            vs_hbm.at[pl.ds(b, 1), pl.ds(blk * block, block), :],
-            vsbuf.at[pl.ds(slot, 1)], sems.at[4 + slot])
+            sc_hbm.at[pl.ds(b, 1), pl.ds(blk * block, block), :],
+            scbuf.at[pl.ds(slot, 1)], sems.at[2 + slot])
 
     dma_kv(0, 0).start()
-    dma_ks(0, 0).start()
-    dma_vs(0, 0).start()
+    dma_sc(0, 0).start()
 
     def body(i, carry):
         m, l, acc = carry
@@ -205,18 +200,16 @@ def _kernel_q8(index_ref, q_ref, kv_hbm, ks_hbm, vs_hbm,
         @pl.when(i + 1 < nblocks)
         def _():
             dma_kv(nxt, i + 1).start()
-            dma_ks(nxt, i + 1).start()
-            dma_vs(nxt, i + 1).start()
+            dma_sc(nxt, i + 1).start()
 
         dma_kv(slot, i).wait()
-        dma_ks(slot, i).wait()
-        dma_vs(slot, i).wait()
+        dma_sc(slot, i).wait()
 
         kvb = kbuf[slot]                       # int8 [BK, 2*hd] block
         kb = kvb[:, :hd].astype(jnp.float32)
         vb = kvb[:, hd:].astype(jnp.float32)
-        ks = ksbuf[slot][:, :1].astype(jnp.float32)  # [BK, 1]
-        vs = vsbuf[slot][:, :1].astype(jnp.float32)  # [BK, 1]
+        ks = scbuf[slot][:, 0:1].astype(jnp.float32)  # [BK, 1] K scales
+        vs = scbuf[slot][:, 1:2].astype(jnp.float32)  # [BK, 1] V scales
 
         s = jax.lax.dot_general(kb, qdiag, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
@@ -249,13 +242,14 @@ def _kernel_q8(index_ref, q_ref, kv_hbm, ks_hbm, vs_hbm,
     out_ref[0, 0, :] = (acc / l_exp)[0].astype(out_ref.dtype)
 
 
-def fused_decode_attention_q8(q, kv_vals, k_scales, v_scales, index,
+def fused_decode_attention_q8(q, kv_vals, scales, index,
                               *, num_heads: int, block: int = DEFAULT_BLOCK):
     """int8-cache decode attention.
 
     q: [B, hidden] (bf16/f32); kv_vals: int8 [B, L, 2*hidden] (K ++ V packed
-    on lanes) ALREADY holding the new token's rows at `index`; k/v_scales:
-    bf16 [B, L, 128] per-row scales. Returns out [B, hidden] in q.dtype.
+    on lanes) ALREADY holding the new token's rows at `index`; scales: bf16
+    [B, L, 128] packed per-row scales (lane 0 = K, lane 1 = V).
+    Returns out [B, hidden] in q.dtype.
     """
     B, L, hd2 = kv_vals.shape
     hd = hd2 // 2
@@ -269,8 +263,7 @@ def fused_decode_attention_q8(q, kv_vals, k_scales, v_scales, index,
         in_specs=[
             pl.BlockSpec((1, 1, hd), lambda b, *_: (b, 0, 0)),  # q
             pl.BlockSpec(memory_space=pltpu.ANY),               # kv int8
-            pl.BlockSpec(memory_space=pltpu.ANY),               # k scales
-            pl.BlockSpec(memory_space=pltpu.ANY),               # v scales
+            pl.BlockSpec(memory_space=pltpu.ANY),               # packed scales
         ],
         out_specs=[
             pl.BlockSpec((1, 1, hd), lambda b, *_: (b, 0, 0)),
@@ -278,8 +271,7 @@ def fused_decode_attention_q8(q, kv_vals, k_scales, v_scales, index,
         scratch_shapes=[
             pltpu.VMEM((2, block, hd2), jnp.int8),
             pltpu.VMEM((2, block, 128), jnp.bfloat16),
-            pltpu.VMEM((2, block, 128), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((6,)),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     kernel = functools.partial(
@@ -291,5 +283,5 @@ def fused_decode_attention_q8(q, kv_vals, k_scales, v_scales, index,
         out_shape=[jax.ShapeDtypeStruct((B, 1, hd), q.dtype)],
         interpret=jax.default_backend() != "tpu",
     )(jnp.asarray(index, jnp.int32).reshape(1), q.reshape(B, 1, hd),
-      kv_vals, k_scales, v_scales)
+      kv_vals, scales)
     return out.reshape(B, hd)

@@ -2,10 +2,11 @@
 
 Decode throughput is bound by HBM reads of the KV cache; int8 values halve
 that traffic vs bf16. Scales are per token row (absmax/127, the standard
-KV-quant recipe) and are stored broadcast across a 128-lane bf16 plane so
-they can be block-DMA'd alongside the values (a [B, L, 1] array cannot be
-sliced by Mosaic and lane-pads 128x anyway; the plane costs hidden/128 = 8%
-of the bf16 cache).
+KV-quant recipe). Both rows' scales are PACKED into one 128-lane bf16 plane
+(lane 0 = K scale, lane 1 = V scale, remaining lanes carry the K scale as
+broadcast filler) so one DMA per block fetches both — a [B, L, 1] array
+cannot be sliced by Mosaic and lane-pads 128x anyway; the single plane costs
+hidden/256 = 4% of the bf16 cache, half of the two-plane layout.
 
 Dequantization folds into the decode kernel's matmuls: K scales multiply the
 logits per row after the QK matmul, V scales fold into the probability rows
@@ -22,16 +23,24 @@ SCALE_LANES = 128
 
 
 def quantize_rows(x: jax.Array):
-    """x: [B, T, H*D] float -> (vals int8 [B,T,HD], scales bf16 [B,T,128])."""
+    """x: [B, T, H*D] float -> (vals int8 [B,T,HD], scales f32 [B,T,1])."""
     absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
     scale = jnp.maximum(absmax, 1e-6) / 127.0
     vals = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
-    vals = vals.astype(jnp.int8)
-    scales = jnp.broadcast_to(scale, (*scale.shape[:-1], SCALE_LANES))
-    return vals, scales.astype(jnp.bfloat16)
+    return vals.astype(jnp.int8), scale
 
 
-def dequantize_rows(vals: jax.Array, scales: jax.Array, dtype=jnp.bfloat16):
-    """Inverse of quantize_rows (XLA fallback path / tests)."""
-    return (vals.astype(jnp.float32) *
-            scales[..., :1].astype(jnp.float32)).astype(dtype)
+def pack_scales(k_scale: jax.Array, v_scale: jax.Array) -> jax.Array:
+    """[B,T,1] k/v scales -> one bf16 [B,T,128] plane (lane 0 = K, lane 1 = V)."""
+    lanes = jax.lax.broadcasted_iota(
+        jnp.int32, (*k_scale.shape[:-1], SCALE_LANES), k_scale.ndim - 1)
+    plane = jnp.where(lanes == 1, v_scale, k_scale)
+    return plane.astype(jnp.bfloat16)
+
+
+def dequantize_rows(vals: jax.Array, scales: jax.Array, dtype=jnp.bfloat16,
+                    lane: int = 0):
+    """Inverse of quantize_rows (XLA fallback path / tests). `scales` is the
+    packed [.., 128] plane (lane 0 = K, lane 1 = V) or a raw [.., 1] scale."""
+    s = scales[..., lane:lane + 1] if scales.shape[-1] > 1 else scales
+    return (vals.astype(jnp.float32) * s.astype(jnp.float32)).astype(dtype)

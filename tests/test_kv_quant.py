@@ -12,7 +12,7 @@ from edgerunner_tpu.generate import generate_tokens, trim_eos
 from edgerunner_tpu.models.lmm import LMM
 from edgerunner_tpu.ops.attention import decode_attention
 from edgerunner_tpu.ops.decode_attention_pallas import fused_decode_attention_q8
-from edgerunner_tpu.ops.kv_quant import dequantize_rows, quantize_rows
+from edgerunner_tpu.ops.kv_quant import dequantize_rows, pack_scales, quantize_rows
 
 RNG = jax.random.PRNGKey(0)
 
@@ -20,13 +20,24 @@ RNG = jax.random.PRNGKey(0)
 def test_quantize_roundtrip_error():
     x = jax.random.normal(RNG, (2, 16, 384)) * 3.0
     vals, scales = quantize_rows(x)
-    assert vals.dtype == jnp.int8 and scales.shape == (2, 16, 128)
+    assert vals.dtype == jnp.int8 and scales.shape == (2, 16, 1)
     back = dequantize_rows(vals, scales, jnp.float32)
     rel = float(jnp.linalg.norm(back - x) / jnp.linalg.norm(x))
     assert rel < 0.01, rel
-    # scales are constant across the lane plane
-    np.testing.assert_array_equal(np.asarray(scales[..., 0]),
-                                  np.asarray(scales[..., 64]))
+
+
+def test_pack_scales_layout():
+    ks = jnp.full((1, 4, 1), 0.5)
+    vs = jnp.full((1, 4, 1), 0.25)
+    plane = pack_scales(ks, vs)
+    assert plane.shape == (1, 4, 128) and plane.dtype == jnp.bfloat16
+    assert float(plane[0, 0, 0]) == 0.5   # lane 0 = K
+    assert float(plane[0, 0, 1]) == 0.25  # lane 1 = V
+    assert float(plane[0, 0, 77]) == 0.5  # filler lanes carry K
+    # dequantize lane selection
+    vals = jnp.ones((1, 4, 8), jnp.int8)
+    np.testing.assert_allclose(np.asarray(dequantize_rows(vals, plane, jnp.float32, lane=0)), 0.5)
+    np.testing.assert_allclose(np.asarray(dequantize_rows(vals, plane, jnp.float32, lane=1)), 0.25)
 
 
 @pytest.mark.parametrize("index", [0, 70, 127, 255])
@@ -40,9 +51,10 @@ def test_q8_kernel_matches_dequantized_reference(index):
     kq, ks = quantize_rows(k)
     vq, vs = quantize_rows(v)
     kv = jnp.concatenate([kq, vq], axis=-1)
-    out = fused_decode_attention_q8(q, kv, ks, vs, index, num_heads=H, block=128)
-    kd = dequantize_rows(kq, ks, jnp.float32)
-    vd = dequantize_rows(vq, vs, jnp.float32)
+    plane = pack_scales(ks, vs)
+    out = fused_decode_attention_q8(q, kv, plane, index, num_heads=H, block=128)
+    kd = dequantize_rows(kq, plane, jnp.float32, lane=0)
+    vd = dequantize_rows(vq, plane, jnp.float32, lane=1)
     ref = decode_attention(q.reshape(B, 1, H, Dh), kd.reshape(B, L, H, Dh),
                            vd.reshape(B, L, H, Dh), index + 1).reshape(B, hd)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
