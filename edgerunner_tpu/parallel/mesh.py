@@ -24,12 +24,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def maybe_initialize_distributed():
     """Multi-host bring-up: call jax.distributed.initialize when launched
-    under a multi-process coordinator (TPU pods / GKE set these envs).
+    under a multi-process coordinator (TPU pods / GKE set these envs, or
+    set EDGERUNNER_DISTRIBUTED=1 to force it — on Cloud TPU pods
+    jax.distributed.initialize() self-discovers its peers).
     Single-host runs are a no-op. Replaces the reference's accelerate/slurm
-    process-group setup (reference: acc_configs/, readme.md:49)."""
+    process-group setup (reference: acc_configs/, readme.md:49).
+    See docs/MULTIHOST.md for the full recipe."""
     import os
 
-    if os.environ.get("COORDINATOR_ADDRESS") or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+    if (os.environ.get("COORDINATOR_ADDRESS")
+            or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+            or os.environ.get("EDGERUNNER_DISTRIBUTED")):
         jax.distributed.initialize()
         return True
     return False

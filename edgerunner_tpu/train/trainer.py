@@ -42,6 +42,18 @@ def _device_mem_gb() -> str:
     return ""
 
 
+def _put(v: np.ndarray, sharding):
+    """Host-local numpy -> global device array.
+
+    Single-controller: plain device_put. Multi-host (TPU pods): every host
+    holds only its slice of the global batch, so the global array is
+    assembled from per-process shards (the multi-host replacement for the
+    reference's DDP per-rank batches)."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, v)
+    return jax.device_put(v, sharding)
+
+
 def _device_batch(batch: dict, sharding, sp: int = 1,
                   pad_token_id: int = 0) -> dict:
     """Move collated numpy arrays onto the mesh (paths stay on host).
@@ -64,7 +76,7 @@ def _device_batch(batch: dict, sharding, sp: int = 1,
         if pad and k in ("tokens", "labels"):
             fill = -100 if k == "labels" else pad_token_id
             v = np.pad(v, ((0, 0), (0, pad)), constant_values=fill)
-        out[k] = jax.device_put(v, sharding)
+        out[k] = _put(v, sharding)
     return out
 
 
@@ -87,9 +99,12 @@ class Trainer:
         self.sp = self.mesh.shape.get("sp", 1)
         set_sequence_parallel(self.mesh if self.sp > 1 else None)
         dp = self.mesh.shape["dp"]
-        assert opt.batch_size % dp == 0, (
-            f"batch_size ({opt.batch_size}) must be divisible by the dp axis "
-            f"({dp} devices); raise batch_size or set --dp_size")
+        # batch_size is per host (reference semantics: per-GPU batch); the
+        # global batch is batch_size * process_count and must tile dp
+        local_dp = max(dp // jax.process_count(), 1)
+        assert opt.batch_size % local_dp == 0, (
+            f"batch_size ({opt.batch_size}) must be divisible by this host's "
+            f"dp share ({local_dp} devices); raise batch_size or set --dp_size")
         self.tx, self.schedule = make_optimizer(opt, total_steps,
                                                 frozen_keys=frozen_keys)
         self._train_step = None

@@ -38,8 +38,10 @@ from edgerunner_tpu.utils import get_tokenizer, init_logger
 def main():
     opt = validate(parse_cli(prog="main.py"))
 
+    from edgerunner_tpu.parallel import maybe_initialize_distributed
     from edgerunner_tpu.utils import enable_compilation_cache
 
+    maybe_initialize_distributed()
     enable_compilation_cache()
 
     os.makedirs(opt.workspace, exist_ok=True)
@@ -73,6 +75,12 @@ def main():
                                              training=True, tokenizer=tokenizer)
         test_dataset = SyntheticMeshDataset(opt, size=max(opt.synthetic_size // 16, 4),
                                             training=False, tokenizer=tokenizer)
+    # multi-host: each host trains on a disjoint shard of the items (the
+    # DDP-rank split; see docs/MULTIHOST.md)
+    if jax.process_count() > 1 and hasattr(train_dataset, "items"):
+        rank, world = jax.process_index(), jax.process_count()
+        train_dataset.items = train_dataset.items[rank::world]
+        logger.info(f"host {rank}/{world}: {len(train_dataset)} train items")
     logger.info(f"train dataset size: {len(train_dataset)}")
     logger.info(f"test dataset size: {len(test_dataset)}")
 
