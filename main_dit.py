@@ -48,8 +48,10 @@ def init_mdit_params(model, opt, rng):
 def main():
     opt = parse_cli(prog="main_dit.py")
 
+    from edgerunner_tpu.parallel import maybe_initialize_distributed
     from edgerunner_tpu.utils import enable_compilation_cache
 
+    maybe_initialize_distributed()
     enable_compilation_cache()
 
     os.makedirs(opt.workspace, exist_ok=True)
@@ -63,6 +65,9 @@ def main():
 
     train_dataset = DiTMeshDataset(opt, training=True)
     test_dataset = DiTMeshDataset(opt, training=False)
+    if jax.process_count() > 1 and train_dataset.items:
+        rank, world = jax.process_index(), jax.process_count()
+        train_dataset.items = train_dataset.items[rank::world]
     logger.info(f"train dataset size: {len(train_dataset)}")
 
     train_loader = DataLoader(train_dataset, opt, opt.batch_size, shuffle=True,
