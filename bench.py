@@ -13,11 +13,14 @@ overhead -> 4096-token bucket) with EOS masked out so every row decodes the
 full budget — measuring sustained decode throughput rather than how early a
 randomly-initialized model happens to emit EOS.
 
-Default configuration: int8 KV cache (--kv_quant), batch 16. Quality
-evidence for the int8 cache (greedy token streams vs the exact bf16 cache
-from a trained checkpoint) is recorded in evidence/kv_quant_quality.json;
-tests/test_kv_quant.py asserts quantized decode matches exact decode
-numerics on a small model.
+Default configuration: int8 KV cache + int8 decoder weights, batch 16.
+Quality evidence (greedy token streams vs the exact bf16 configuration from
+a trained checkpoint): int8 KV 97.5% token match
+(evidence/kv_quant_quality.json), int8 weights 94.7%
+(evidence/w_only_quality.json), both 94.7% (evidence/w_quant_quality.json);
+decoded face counts match within 0.7% in every mode. tests/test_kv_quant.py
+and tests/test_w_quant.py assert quantized decode matches exact decode on a
+small model.
 
 Baseline (vs_baseline): the reference publishes no per-mesh wall time
 (BASELINE.md), so the A100 estimate is derived from the reference's own
@@ -135,6 +138,8 @@ def main():
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--no_kv_quant", action="store_true",
                     help="exact bf16 KV cache instead of the int8 default")
+    ap.add_argument("--no_w_quant", action="store_true",
+                    help="bf16 weights instead of the int8 weight default")
     ap.add_argument("--skip_train", action="store_true",
                     help="skip the training-step probe")
     ap.add_argument("--_train_probe", action="store_true",
@@ -157,8 +162,9 @@ def main():
     from edgerunner_tpu.train.checkpoint import init_lmm_params
 
     kv_quant = not args.no_kv_quant
+    w_quant = not args.no_w_quant
     opt = dataclasses.replace(config_defaults["ArAE"], generate_mode="greedy",
-                              kv_quant=kv_quant)
+                              kv_quant=kv_quant, w_quant=w_quant)
     if args.tiny:
         opt = _tiny(opt)
         args.faces = min(args.faces, 12)
@@ -169,9 +175,17 @@ def main():
 
     # bf16 end-to-end for inference (reference runs .half(), infer.py:56);
     # also halves the KV cache, the HBM bound at 43k positions
-    model = LMM(opt, dtype=jnp.bfloat16)
+    init_opt = dataclasses.replace(opt, w_quant=False)
+    init_model = LMM(init_opt, dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
-    params = cast_params(init_lmm_params(model, opt, rng), jnp.bfloat16)
+    params = cast_params(init_lmm_params(init_model, init_opt, rng),
+                         jnp.bfloat16)
+    model = init_model
+    if w_quant:
+        from edgerunner_tpu.ops.w_quant import quantize_lmm_params
+
+        model = LMM(opt, dtype=jnp.bfloat16)
+        params = quantize_lmm_params(params)
 
     B = args.batch
     conds = np.random.default_rng(0).normal(size=(B, opt.point_num, 3)).astype(np.float32)
@@ -200,6 +214,7 @@ def main():
         "tokens_per_mesh": int(out.shape[1]),
         "decode_tokens_per_s": round(toks_per_s, 1),
         "kv_quant": kv_quant,
+        "w_quant": w_quant,
         "backend": jax.default_backend(),
     }
 

@@ -114,6 +114,14 @@ class Options:
     # persist optimizer state with each epoch checkpoint (resumable training;
     # disable on slow-transfer links where the upload dominates epoch time)
     save_optimizer_state: bool = True
+    # additionally checkpoint every N optimizer steps (0 = per-epoch only);
+    # each save records the data loader's mid-epoch cursor
+    save_every_steps: int = 0
+    # with --resume pointing at a checkpoint that has a train_state.json:
+    # restore optimizer state, LR-schedule step, and the data-pipeline cursor
+    # (exact continuation). Off = weights-only resume (finetune semantics,
+    # like the reference's --resume)
+    resume_train_state: bool = False
 
     ### parallelism (TPU-native; the reference is DP-only via torch DDP)
     # data-parallel axis size; -1 = all remaining devices
@@ -138,6 +146,18 @@ class Options:
     # int8 KV cache for decoding (halves cache HBM traffic; ~1% relative
     # attention error from per-token quantization)
     kv_quant: bool = False
+    # cache precision under kv_quant: 8 (int8) or 4 (packed nibbles, quarter
+    # traffic; larger quantization error — check tools/kv_quant_quality.py
+    # on your checkpoint before enabling)
+    kv_bits: int = 8
+    # int8 decoder projection weights for decoding (weight-only quantization,
+    # per-output-column scales; halves the per-step weight HBM traffic)
+    w_quant: bool = False
+    # gradient-checkpointing policy for the decoder layers: 'full' recomputes
+    # everything in backward (default — measured equal speed on v5e since
+    # XLA CSEs the replayed forward); 'attn' saves attention outputs
+    # (+B*T*hidden*2 bytes/layer) for configs where CSE doesn't fire
+    remat_policy: str = "full"
 
 
 # named presets (reference: core/options.py:152-211)

@@ -83,7 +83,10 @@ class LMM(nn.Module):
             eos_token_id=opt.eos_token_id,
             dtype=self.dtype,
             remat=opt.checkpointing,
+            remat_policy=opt.remat_policy,
             kv_quant=opt.kv_quant,
+            kv_bits=opt.kv_bits,
+            w_quant=opt.w_quant,
         )
         self.mesh_decoder = ShapeOPT(cfg, name="mesh_decoder")
 

@@ -27,6 +27,13 @@ import jax.numpy as jnp
 
 from edgerunner_tpu.ops import attention, decode_attention
 from edgerunner_tpu.models.layers import Dense
+from edgerunner_tpu.ops.w_quant import QuantDense
+
+
+def _dense_cls(cfg):
+    """Projection layer class: int8-kernel QuantDense under w_quant
+    (inference-only; see ops/w_quant.py), plain Dense otherwise."""
+    return QuantDense if cfg.w_quant else Dense
 
 
 @dataclasses.dataclass(frozen=True)
@@ -45,7 +52,17 @@ class ShapeOPTConfig:
     num_cond_tokens: int = 257
     dtype: Any = jnp.float32
     remat: bool = False
-    kv_quant: bool = False  # int8 KV cache for decode
+    # remat policy: 'full' = save nothing (recompute everything in backward);
+    # 'attn' = save the attention outputs so the flash-attention forward
+    # never replays in backward. Measured on v5e (flagship, batch 2, seq
+    # 6147): 'attn' 1.113 s/it vs 'full' 1.110 s/it — no win, because with
+    # prevent_cse=False XLA already shares the replayed fwd; 'attn' only
+    # spends +B*T*hidden*2 bytes/layer of HBM. Default stays 'full'; the
+    # policy knob remains for configs where CSE doesn't fire.
+    remat_policy: str = "full"
+    kv_quant: bool = False  # quantized KV cache for decode
+    kv_bits: int = 8        # 8 (int8) or 4 (packed nibbles) when kv_quant
+    w_quant: bool = False   # int8 projection weights for decode
 
     @property
     def head_dim(self) -> int:
@@ -63,10 +80,11 @@ class OPTAttention(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.q_proj = Dense(c.hidden_dim, dtype=c.dtype, name="q_proj")
-        self.k_proj = Dense(c.hidden_dim, dtype=c.dtype, name="k_proj")
-        self.v_proj = Dense(c.hidden_dim, dtype=c.dtype, name="v_proj")
-        self.out_proj = Dense(
+        D = _dense_cls(c)
+        self.q_proj = D(c.hidden_dim, dtype=c.dtype, name="q_proj")
+        self.k_proj = D(c.hidden_dim, dtype=c.dtype, name="k_proj")
+        self.v_proj = D(c.hidden_dim, dtype=c.dtype, name="v_proj")
+        self.out_proj = D(
             c.hidden_dim,
             dtype=c.dtype,
             kernel_init=scaled_out_init(c.init_std, c.num_hidden_layers),
@@ -83,6 +101,10 @@ class OPTAttention(nn.Module):
         k = self._heads(self.k_proj(h))
         v = self._heads(self.v_proj(h))
         o = attention(q, k, v, causal=True, q_len=lengths, kv_len=lengths)
+        # named for the 'attn' remat policy (see ShapeOPTConfig.remat_policy)
+        from jax.ad_checkpoint import checkpoint_name
+
+        o = checkpoint_name(o, "attn_out")
         B, N, _ = h.shape
         return self.out_proj(o.reshape(B, N, -1))
 
@@ -111,20 +133,35 @@ class OPTAttention(nn.Module):
         )
 
         if c.kv_quant:
+            from edgerunner_tpu.ops.decode_attention_pallas import (
+                fused_decode_attention_q4,
+            )
+
             kv_vals, scales = k_cache, v_cache
             B, L, hd2 = kv_vals.shape
             # lane alignment: Mosaic DMA slices must be 128-aligned on the
             # last (lane) dim, so tiny test configs fall back to XLA
             if jax.default_backend() == "tpu" and L % DEFAULT_BLOCK == 0 \
                     and hd2 % 256 == 0:
-                return fused_decode_attention_q8(
+                fused = (fused_decode_attention_q4 if c.kv_bits == 4
+                         else fused_decode_attention_q8)
+                return fused(
                     qf.reshape(B, -1), kv_vals, scales, index,
                     num_heads=c.num_attention_heads).reshape(B, 1, -1)
-            from edgerunner_tpu.ops.kv_quant import dequantize_rows
+            if c.kv_bits == 4:
+                from edgerunner_tpu.ops.kv_quant import dequantize_rows_int4
 
-            hd = hd2 // 2
-            kd = dequantize_rows(kv_vals[..., :hd], scales, c.dtype, lane=0)
-            vd = dequantize_rows(kv_vals[..., hd:], scales, c.dtype, lane=1)
+                hd = hd2 // 2
+                kd = dequantize_rows_int4(kv_vals[..., :hd], scales, c.dtype,
+                                          lane=0)
+                vd = dequantize_rows_int4(kv_vals[..., hd:], scales, c.dtype,
+                                          lane=1)
+            else:
+                from edgerunner_tpu.ops.kv_quant import dequantize_rows
+
+                hd = hd2 // 2
+                kd = dequantize_rows(kv_vals[..., :hd], scales, c.dtype, lane=0)
+                vd = dequantize_rows(kv_vals[..., hd:], scales, c.dtype, lane=1)
             q = self._heads(qf)
             kh = kd.reshape(B, L, c.num_attention_heads, c.head_dim)
             vh = vd.reshape(B, L, c.num_attention_heads, c.head_dim)
@@ -154,10 +191,15 @@ class OPTAttention(nn.Module):
         vf = self.v_proj(h)
 
         if c.kv_quant:
-            from edgerunner_tpu.ops.kv_quant import pack_scales, quantize_rows
+            from edgerunner_tpu.ops.kv_quant import (
+                pack_scales,
+                quantize_rows,
+                quantize_rows_int4,
+            )
 
-            kq, ks = quantize_rows(kf)
-            vq, vs = quantize_rows(vf)
+            qfn = quantize_rows_int4 if c.kv_bits == 4 else quantize_rows
+            kq, ks = qfn(kf)
+            vq, vs = qfn(vf)
             kv_row = jnp.concatenate([kq, vq], axis=-1)
             kv_vals = jax.lax.dynamic_update_slice(
                 k_cache, kv_row, (0, index, 0))
@@ -183,8 +225,9 @@ class OPTDecoderLayer(nn.Module):
         c = self.cfg
         self.self_attn = OPTAttention(c, name="self_attn")
         self.self_attn_layer_norm = nn.LayerNorm(name="self_attn_layer_norm")
-        self.fc1 = Dense(c.intermediate_dim, dtype=c.dtype, name="fc1")
-        self.fc2 = Dense(c.hidden_dim, dtype=c.dtype, name="fc2")
+        D = _dense_cls(c)
+        self.fc1 = D(c.intermediate_dim, dtype=c.dtype, name="fc1")
+        self.fc2 = D(c.hidden_dim, dtype=c.dtype, name="fc2")
         self.final_layer_norm = nn.LayerNorm(name="final_layer_norm")
         self.drop = nn.Dropout(rate=c.dropout)
 
@@ -246,6 +289,9 @@ class ShapeOPTDecoder(nn.Module):
             inputs_embeds = self.embed_tokens(inputs_embeds)
         T = inputs_embeds.shape[1]
         h = inputs_embeds.astype(self.cfg.dtype) + self._pos(0, T)[None]
+        policy = None
+        if self.cfg.remat_policy == "attn":
+            policy = jax.checkpoint_policies.save_only_these_names("attn_out")
         for layer in self.layers:
             if self.cfg.remat:
                 # rematerialize each layer; static flags are closed over, not
@@ -254,6 +300,7 @@ class ShapeOPTDecoder(nn.Module):
                     lambda mdl, x: mdl(x, lengths=lengths,
                                        deterministic=deterministic),
                     prevent_cse=False,
+                    policy=policy,
                 )(layer, h)
             else:
                 h = layer(h, lengths=lengths, deterministic=deterministic)
@@ -274,12 +321,17 @@ class ShapeOPTDecoder(nn.Module):
         pad = ((0, 0), (0, max_len - P), (0, 0))
         ks, vs = [], []
         if c.kv_quant:
-            from edgerunner_tpu.ops.kv_quant import pack_scales, quantize_rows
+            from edgerunner_tpu.ops.kv_quant import (
+                pack_scales,
+                quantize_rows,
+                quantize_rows_int4,
+            )
 
+            qfn = quantize_rows_int4 if c.kv_bits == 4 else quantize_rows
             for layer in self.layers:
                 h, k, v = layer.prefill(h)
-                kq, ksc = quantize_rows(k)
-                vq, vsc = quantize_rows(v)
+                kq, ksc = qfn(k)
+                vq, vsc = qfn(v)
                 ks.append(jnp.pad(jnp.concatenate([kq, vq], -1), pad))
                 vs.append(jnp.pad(pack_scales(ksc, vsc), pad))
             return h, tuple(ks), tuple(vs)
@@ -310,6 +362,8 @@ class ShapeOPT(nn.Module):
 
     def setup(self):
         self.model = ShapeOPTDecoder(self.cfg, name="model")
+        # lm_head stays exact under w_quant: 0.2% of per-step weight traffic,
+        # but its error would land directly on the sampled logits
         self.lm_head = Dense(self.cfg.vocab_size, use_bias=False,
                              dtype=self.cfg.dtype, name="lm_head")
 

@@ -44,3 +44,38 @@ def dequantize_rows(vals: jax.Array, scales: jax.Array, dtype=jnp.bfloat16,
     packed [.., 128] plane (lane 0 = K, lane 1 = V) or a raw [.., 1] scale."""
     s = scales[..., lane:lane + 1] if scales.shape[-1] > 1 else scales
     return (vals.astype(jnp.float32) * s.astype(jnp.float32)).astype(dtype)
+
+
+# --------------------------------------------------------------------- int4 --
+# Packing layout: byte j of a row holds original lanes (j, j + hd/2) — low
+# nibble = lane j, high nibble = lane j + hd/2 — so unpacking is sign-extend +
+# shift + CONCAT along lanes (original order restored with no interleave,
+# which TPU vector units cannot do cheaply).
+
+def quantize_rows_int4(x: jax.Array):
+    """x: [B, T, HD] float (HD even) -> (packed int8 [B,T,HD/2], scales
+    f32 [B,T,1]). Values quantized to [-7, 7] with per-row absmax scale."""
+    hd = x.shape[-1]
+    assert hd % 2 == 0, hd
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-6) / 7.0
+    q = jnp.clip(jnp.round(xf / scale), -7, 7).astype(jnp.int32)
+    lo, hi = q[..., : hd // 2], q[..., hd // 2:]
+    packed = (lo & 0xF) | ((hi & 0xF) << 4)
+    return packed.astype(jnp.int8), scale
+
+
+def unpack_int4(packed: jax.Array, dtype=jnp.float32):
+    """int8 [.., HD/2] packed nibbles -> [.., HD] values in original lane
+    order (float, unscaled)."""
+    w = packed.astype(jnp.int32)
+    lo = (w << 28) >> 28          # arithmetic: sign-extend the low nibble
+    hi = (w << 24) >> 28
+    return jnp.concatenate([lo, hi], axis=-1).astype(dtype)
+
+
+def dequantize_rows_int4(packed: jax.Array, scales: jax.Array,
+                         dtype=jnp.bfloat16, lane: int = 0):
+    s = scales[..., lane:lane + 1] if scales.shape[-1] > 1 else scales
+    return (unpack_int4(packed) * s.astype(jnp.float32)).astype(dtype)

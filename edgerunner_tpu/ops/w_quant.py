@@ -1,0 +1,122 @@
+"""Weight-only int8 quantization for the decode path (opt-in: --w_quant).
+
+At generation batch sizes the single-token decode step is HBM-bound: every
+step re-reads all decoder projection weights (q/k/v/out, fc1/fc2, lm_head —
+~0.68B params = 1.36GB in bf16 on the flagship) plus the live KV cache.
+Storing those kernels as int8 with one f32 scale per output column halves the
+weight traffic; the dequant folds into the matmul (XLA fuses the
+int8->bf16 convert into the dot's operand load, and the per-column scale is
+applied to the dot *result*, since dot(x, W·diag(s)) == dot(x, W)·s).
+
+This is weight-only quantization: activations stay bf16, accumulation fp32.
+Per-column (output-channel) absmax scaling is the standard recipe — columns
+are independent in a matmul, so each gets its full int8 range.
+
+Quality: see tools/w_quant_quality.py (greedy token match-rate vs the exact
+bf16 weights from a trained checkpoint) and tests/test_w_quant.py.
+
+The reference has no quantized inference (it runs .half(), infer.py:56);
+this is a TPU-serving extension.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def quantize_kernel(kernel: jax.Array):
+    """[in, out] float kernel -> (int8 values, f32 [out] per-column scales)."""
+    k = jnp.asarray(kernel, jnp.float32)
+    absmax = jnp.max(jnp.abs(k), axis=0)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(k / scale[None, :]), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+def dequantize_kernel(q: jax.Array, scale: jax.Array, dtype=jnp.float32):
+    return (q.astype(jnp.float32) * scale[None, :].astype(jnp.float32)).astype(dtype)
+
+
+class QuantDense(nn.Module):
+    """Dense with an int8 kernel + per-output-column f32 scale.
+
+    Drop-in for models.layers.Dense at inference: same call signature, param
+    names `kernel_q`/`scale`/`bias`. Random init quantizes a N(0, init_std)
+    sample (used only for shape/tree construction — real use converts trained
+    params with `quantize_dense_tree`).
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+    init_std: float = 0.02
+    kernel_init: Callable = None  # accepted for Dense-compat, ignored
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+
+        def kq_init(key, shape):
+            w = jax.random.normal(key, shape, jnp.float32) * self.init_std
+            return quantize_kernel(w)[0]
+
+        kernel_q = self.param("kernel_q", kq_init, (in_dim, self.features))
+        # matching scale for the init sample is not reproducible from a
+        # second param's rng; a constant at the distribution's absmax scale
+        # keeps random-init magnitudes sane (~3 sigma / 127)
+        scale = self.param(
+            "scale",
+            nn.initializers.constant(3.0 * self.init_std / 127.0, jnp.float32),
+            (self.features,))
+
+        y = jax.lax.dot_general(
+            x.astype(self.dtype), kernel_q.astype(self.dtype),
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        y = y * scale
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + bias
+        return y.astype(self.dtype)
+
+
+# dense-param subtrees to quantize inside the ShapeOPT decoder: every big
+# per-step matmul. Embedding tables are gathers (one row per step) — skipped.
+# lm_head is also skipped: it is 0.2% of the per-step weight traffic but its
+# error lands directly on the sampled logits (measured: quantizing it costs
+# several points of greedy token-match rate for zero throughput gain).
+_QUANT_LEAF_NAMES = ("q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2")
+
+
+def quantize_lmm_params(params):
+    """Convert a trained/initialized LMM param tree (fp32/bf16 Dense kernels)
+    into the tree a `w_quant=True` LMM expects: the mesh-decoder projection
+    kernels become {kernel_q: int8, scale: f32[out]} (biases untouched).
+
+    All other subtrees (conditioner, embeddings, layer norms) pass through.
+    """
+
+    def walk(tree, name=""):
+        if isinstance(tree, dict):
+            if name in _QUANT_LEAF_NAMES and "kernel" in tree:
+                q, s = quantize_kernel(tree["kernel"])
+                out = {"kernel_q": q, "scale": s}
+                if "bias" in tree:
+                    out["bias"] = tree["bias"]
+                return out
+            return {k: walk(v, k) for k, v in tree.items()}
+        return tree
+
+    p = dict(params)
+    inner = dict(p["params"]) if "params" in p else p
+    if "mesh_decoder" in inner:
+        inner["mesh_decoder"] = walk(inner["mesh_decoder"])
+        if "params" in p:
+            p["params"] = inner
+            return p
+        return inner
+    return walk(p)

@@ -116,8 +116,18 @@ def main():
 
     tokenizer, vocab_size = get_tokenizer(opt)
     # bf16 inference (reference: model.half(), infer.py:56)
-    model = LMM(opt, dtype=jnp.bfloat16)
-    params = cast_params(load_params_for_inference(model, opt, rng), jnp.bfloat16)
+    # checkpoints store dense kernels: load with w_quant off, quantize after
+    import dataclasses
+
+    load_opt = dataclasses.replace(opt, w_quant=False)
+    model = LMM(load_opt, dtype=jnp.bfloat16)
+    params = cast_params(load_params_for_inference(model, load_opt, rng),
+                         jnp.bfloat16)
+    if opt.w_quant:
+        from edgerunner_tpu.ops.w_quant import quantize_lmm_params
+
+        model = LMM(opt, dtype=jnp.bfloat16)
+        params = quantize_lmm_params(params)
 
     assert opt.test_path is not None, "--test_path is required"
     if os.path.isdir(opt.test_path):

@@ -1,0 +1,88 @@
+"""int4 KV-cache tests: nibble pack/unpack round trip, q4 kernel parity,
+decode runs end-to-end on a tiny model."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from edgerunner_tpu.config import Options
+from edgerunner_tpu.generate import generate_tokens
+from edgerunner_tpu.models.lmm import LMM
+from edgerunner_tpu.ops.attention import decode_attention
+from edgerunner_tpu.ops.decode_attention_pallas import fused_decode_attention_q4
+from edgerunner_tpu.ops.kv_quant import (
+    dequantize_rows_int4,
+    pack_scales,
+    quantize_rows_int4,
+    unpack_int4,
+)
+
+RNG = jax.random.PRNGKey(0)
+
+
+def test_int4_pack_unpack_exact():
+    # integers in [-7, 7] must round-trip exactly through the nibble packing
+    rng = np.random.default_rng(0)
+    q = rng.integers(-7, 8, size=(2, 4, 32)).astype(np.float32)
+    x = q * 0.5  # scale 0.5 -> absmax 3.5/7 = 0.5 only if max is 7; force it
+    x[..., 0] = 7 * 0.5
+    vals, scales = quantize_rows_int4(jnp.asarray(x))
+    assert vals.shape == (2, 4, 16) and vals.dtype == jnp.int8
+    back = unpack_int4(vals) * np.asarray(scales)
+    np.testing.assert_allclose(np.asarray(back), x, atol=1e-6)
+
+
+def test_int4_roundtrip_error():
+    x = jax.random.normal(RNG, (2, 16, 384)) * 3.0
+    vals, scales = quantize_rows_int4(x)
+    back = dequantize_rows_int4(vals, scales, jnp.float32)
+    rel = float(jnp.linalg.norm(back - x) / jnp.linalg.norm(x))
+    # 4-bit per-row absmax on ~N(0,1) rows: step = absmax/7 ~ 0.47 sigma,
+    # RMS error = step/sqrt(12) ~ 13% — that's the expected level, not a bug
+    assert rel < 0.15, rel
+
+
+@pytest.mark.parametrize("index", [0, 70, 255])
+def test_q4_kernel_matches_dequantized_reference(index):
+    B, L, H, Dh = 2, 256, 4, 96
+    hd = H * Dh
+    r = np.random.default_rng(0)
+    k = jnp.asarray(r.normal(size=(B, L, hd)).astype(np.float32))
+    v = jnp.asarray(r.normal(size=(B, L, hd)).astype(np.float32))
+    q = jnp.asarray(r.normal(size=(B, hd)).astype(np.float32))
+    kq, ks = quantize_rows_int4(k)
+    vq, vs = quantize_rows_int4(v)
+    kv = jnp.concatenate([kq, vq], axis=-1)   # [B, L, hd]
+    plane = pack_scales(ks, vs)
+    out = fused_decode_attention_q4(q, kv, plane, index, num_heads=H, block=128)
+    kd = dequantize_rows_int4(kq, plane, jnp.float32, lane=0)
+    vd = dequantize_rows_int4(vq, plane, jnp.float32, lane=1)
+    ref = decode_attention(q.reshape(B, 1, H, Dh), kd.reshape(B, L, H, Dh),
+                           vd.reshape(B, L, H, Dh), index + 1).reshape(B, hd)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_generate_with_int4_cache_runs():
+    opt = Options(cond_mode="point", point_latent_size=16, num_cond_tokens=17,
+                  point_hidden_dim=32, point_num_heads=4, point_latent_dim=8,
+                  hidden_dim=64, num_layers=2, num_heads=4, max_seq_length=256,
+                  use_num_face_cond=True, checkpointing=False, decode_bucket=64,
+                  generate_mode="greedy", kv_quant=True, kv_bits=4)
+    model = LMM(opt)
+    conds = jax.random.normal(RNG, (2, 32, 3))
+    tokens = jnp.array([[1, 6, 7, 8, 2]] * 2)
+    labels = jnp.concatenate([jnp.full((2, 18), -100), tokens[:, 1:]], axis=1)
+    params = model.init({"params": RNG, "nof": RNG, "dropout": RNG},
+                        conds, tokens, labels, jnp.array([100, 100]),
+                        jnp.array([23, 23], jnp.int32))
+    out = generate_tokens(model, params, np.asarray(conds), num_faces=8, rng=RNG)
+    assert out.shape[0] == 2
+    # grammar-valid streams even under aggressive quantization
+    model_f = LMM(dataclasses.replace(opt, kv_quant=False))
+    out_f = generate_tokens(model_f, params, np.asarray(conds), num_faces=8,
+                            rng=RNG)
+    assert out.shape == out_f.shape

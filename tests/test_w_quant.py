@@ -1,0 +1,106 @@
+"""Weight-only int8 decode tests: kernel quantizer round trip, QuantDense
+matmul parity with Dense, param-tree conversion, decode parity."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from edgerunner_tpu.config import Options
+from edgerunner_tpu.generate import generate_tokens, trim_eos
+from edgerunner_tpu.models.layers import Dense
+from edgerunner_tpu.models.lmm import LMM
+from edgerunner_tpu.ops.w_quant import (
+    QuantDense,
+    dequantize_kernel,
+    quantize_kernel,
+    quantize_lmm_params,
+)
+
+RNG = jax.random.PRNGKey(0)
+
+
+def test_quantize_kernel_roundtrip():
+    w = jax.random.normal(RNG, (96, 160)) * 0.02
+    q, s = quantize_kernel(w)
+    assert q.dtype == jnp.int8 and s.shape == (160,)
+    back = dequantize_kernel(q, s)
+    rel = float(jnp.linalg.norm(back - w) / jnp.linalg.norm(w))
+    assert rel < 0.01, rel
+    # per-column: each column uses its full int8 range
+    assert int(jnp.abs(q).max(axis=0).min()) == 127
+
+
+def test_quant_dense_matches_dense():
+    dense = Dense(48)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 32))
+    p = dense.init(RNG, x)
+    y_exact = dense.apply(p, x)
+
+    qd = QuantDense(48)
+    kq, s = quantize_kernel(p["params"]["kernel"])
+    pq = {"params": {"kernel_q": kq, "scale": s, "bias": p["params"]["bias"]}}
+    y_q = qd.apply(pq, x)
+    rel = float(jnp.linalg.norm(y_q - y_exact) / jnp.linalg.norm(y_exact))
+    assert rel < 0.02, rel
+
+
+def _tiny_opt(**kw):
+    return Options(cond_mode="point", point_latent_size=16, num_cond_tokens=17,
+                   point_hidden_dim=32, point_num_heads=4, point_latent_dim=8,
+                   hidden_dim=64, num_layers=2, num_heads=4, max_seq_length=256,
+                   use_num_face_cond=True, checkpointing=False, decode_bucket=64,
+                   generate_mode="greedy", **kw)
+
+
+def test_quantized_tree_and_decode_parity():
+    opt = _tiny_opt()
+    model = LMM(opt)
+    conds = jax.random.normal(RNG, (1, 32, 3))
+    tokens = jnp.array([[1, 6, 7, 8, 2]])
+    labels = jnp.concatenate([jnp.full((1, 18), -100), tokens[:, 1:]], axis=1)
+    params = model.init({"params": RNG, "nof": RNG, "dropout": RNG},
+                        conds, tokens, labels, jnp.array([100]),
+                        jnp.array([23], jnp.int32))
+
+    qparams = quantize_lmm_params(params)
+    dec = qparams["params"]["mesh_decoder"]
+    assert "kernel" in dec["lm_head"]  # lm_head stays exact
+    assert dec["model"]["layers_0"]["fc1"]["kernel_q"].dtype == jnp.int8
+    assert dec["model"]["layers_0"]["self_attn"]["q_proj"]["scale"].shape == (64,)
+    # conditioner and embeddings untouched
+    assert "kernel" in qparams["params"]["proj_cond"]
+    assert "embedding" in dec["model"]["embd"]
+
+    # the quantized tree matches what a w_quant model initializes
+    model_q = LMM(dataclasses.replace(opt, w_quant=True))
+    ref_shapes = jax.tree.map(jnp.shape, model_q.init(
+        {"params": RNG, "nof": RNG, "dropout": RNG},
+        conds, tokens, labels, jnp.array([100]), jnp.array([23], jnp.int32)))
+    got_shapes = jax.tree.map(jnp.shape, qparams)
+    assert ref_shapes == got_shapes
+
+    out_q = generate_tokens(model_q, qparams, np.asarray(conds),
+                            num_faces=8, rng=RNG)
+    out_f = generate_tokens(model, params, np.asarray(conds),
+                            num_faces=8, rng=RNG)
+    a, b = trim_eos(out_q[0]), trim_eos(out_f[0])
+    n = min(len(a), len(b))
+    agreement = float(np.mean(a[:n] == b[:n])) if n else 1.0
+    assert agreement > 0.9, agreement
+
+
+def test_w_quant_composes_with_kv_quant():
+    opt = _tiny_opt(kv_quant=True)
+    model = LMM(opt)
+    conds = jax.random.normal(RNG, (2, 32, 3))
+    tokens = jnp.array([[1, 6, 7, 8, 2]] * 2)
+    labels = jnp.concatenate([jnp.full((2, 18), -100), tokens[:, 1:]], axis=1)
+    params = model.init({"params": RNG, "nof": RNG, "dropout": RNG},
+                        conds, tokens, labels, jnp.array([100, 100]),
+                        jnp.array([23, 23], jnp.int32))
+    model_q = LMM(dataclasses.replace(opt, w_quant=True))
+    out = generate_tokens(model_q, quantize_lmm_params(params),
+                          np.asarray(conds), num_faces=8, rng=RNG)
+    assert out.shape[0] == 2  # batched decode runs end-to-end

@@ -1,18 +1,19 @@
-"""Quantify int8-KV-cache decode quality against the exact bf16 cache.
+"""Quantify quantized-decode quality against the exact bf16 configuration.
 
 Generates greedy token streams for the same point-cloud conditions twice —
-once with the exact bf16 KV cache, once with the int8 quantized cache — and
-reports agreement: position-wise token match rate, prefix-match length,
+once exact (bf16 KV cache, bf16 weights), once with the selected quantization
+(--mode kv: int8 KV cache; --mode w: int8 weights; --mode both) — and reports
+agreement: position-wise token match rate, prefix-match length,
 identical-stream fraction, and decoded face counts. Greedy decoding makes
 the comparison deterministic (no sampling noise).
 
 Usage:
-    python tools/kv_quant_quality.py --resume CKPT_DIR [--batch 8]
-        [--faces 500] [--out evidence/kv_quant_quality.json]
+    python tools/kv_quant_quality.py --resume CKPT_DIR [--mode kv|w|both]
+        [--batch 8] [--faces 500] [--out evidence/kv_quant_quality.json]
     python tools/kv_quant_quality.py --random --tiny   # smoke on CPU
 
-The result backs the bench.py default of --kv_quant (BENCH JSON cites this
-file's output, committed under evidence/).
+The result backs the bench.py defaults of --kv_quant/--w_quant (BENCH JSON
+cites this file's output, committed under evidence/).
 """
 
 from __future__ import annotations
@@ -35,6 +36,8 @@ def main():
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--faces", type=int, default=500)
+    ap.add_argument("--mode", choices=("kv", "w", "both"), default="kv")
+    ap.add_argument("--kv_bits", type=int, default=8, choices=(4, 8))
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
     assert args.resume or args.random, "--resume CKPT or --random required"
@@ -73,13 +76,22 @@ def main():
 
     streams = {}
     for quant in (False, True):
-        o = dataclasses.replace(opt, kv_quant=quant)
-        model = LMM(o, dtype=jnp.bfloat16)
-        params = cast_params(init_lmm_params(model, o, rng), jnp.bfloat16)
+        kv = quant and args.mode in ("kv", "both")
+        wq = quant and args.mode in ("w", "both")
+        o = dataclasses.replace(opt, kv_quant=kv, w_quant=wq,
+                                kv_bits=args.kv_bits)
+        load_o = dataclasses.replace(o, w_quant=False)
+        model = LMM(load_o, dtype=jnp.bfloat16)
+        params = cast_params(init_lmm_params(model, load_o, rng), jnp.bfloat16)
         if args.resume:
             ckpt = restore_pytree(args.resume)
             params = tolerant_merge(params, ckpt)
             params = cast_params(params, jnp.bfloat16)
+        if wq:
+            from edgerunner_tpu.ops.w_quant import quantize_lmm_params
+
+            model = LMM(o, dtype=jnp.bfloat16)
+            params = quantize_lmm_params(params)
         streams[quant] = np.asarray(generate_tokens(
             model, params, conds, num_faces=args.faces, rng=rng))
 
@@ -101,11 +113,13 @@ def main():
         rows.append({
             "len": int(end), "match_rate": round(match, 4),
             "prefix_match": prefix, "identical": bool(match == 1.0),
-            "faces_bf16": int(len(fa)), "faces_int8": int(len(fb)),
+            "faces_exact": int(len(fa)), "faces_quant": int(len(fb)),
         })
 
     result = {
         "weights": args.resume or "random-init",
+        "mode": args.mode,
+        "kv_bits": args.kv_bits,
         "batch": args.batch,
         "faces_requested": args.faces,
         "backend": jax.default_backend(),
