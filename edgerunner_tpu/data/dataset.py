@@ -369,7 +369,14 @@ def collate(batch: list[dict], opt: Options, bucket: Optional[int] = None) -> di
 class DataLoader:
     """Thread-pool prefetching loader: shuffled epochs, drop_last, bounded
     prefetch queue. Threads suffice because mesh IO + metok encode release
-    the GIL (ctypes FFI)."""
+    the GIL (ctypes FFI).
+
+    Deterministic + resumable (grain-style, beyond the reference's unseeded
+    torch workers): the epoch's visit order derives from (seed, epoch) and
+    every sample's augmentations from (seed, epoch, idx), so `state()` —
+    (epoch, batches already yielded) — is sufficient to resume mid-epoch:
+    `restore_state()` replays the order and skips the consumed prefix,
+    producing exactly the batches an uninterrupted run would have seen."""
 
     def __init__(self, dataset, opt: Options, batch_size: int,
                  shuffle: bool = True, num_workers: Optional[int] = None,
@@ -386,6 +393,8 @@ class DataLoader:
         self.num_workers = max(1, num_workers if num_workers is not None
                                else min(opt.num_workers, os.cpu_count() or 8))
         self.epoch = 0
+        self._skip = 0      # batches to skip at the next __iter__ (resume)
+        self._yielded = 0   # batches yielded in the current/last epoch
 
     def __len__(self) -> int:
         n = len(self.dataset) // self.batch_size
@@ -393,18 +402,29 @@ class DataLoader:
             n += 1
         return n
 
+    def state(self) -> dict:
+        """Position of the in-flight (or next) epoch; feed to restore_state."""
+        return {"epoch": int(self.epoch), "batch_in_epoch": int(self._yielded)}
+
+    def restore_state(self, state: dict):
+        self.epoch = int(state.get("epoch", 0))
+        self._skip = int(state.get("batch_in_epoch", 0))
+        self._yielded = self._skip
+
     def __iter__(self) -> Iterator[dict]:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.default_rng(self.seed + self.epoch).shuffle(order)
         if hasattr(self.dataset, "epoch"):
             self.dataset.epoch = self.epoch
-        self.epoch += 1
 
         batches = [order[i:i + self.batch_size]
                    for i in range(0, len(order), self.batch_size)]
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
+        skip, self._skip = self._skip, 0
+        self._yielded = skip
+        batches = batches[skip:]
 
         q: queue.Queue = queue.Queue(maxsize=4)
         stop = threading.Event()
@@ -427,9 +447,14 @@ class DataLoader:
             while True:
                 batch = q.get()
                 if batch is None:
+                    self.epoch += 1   # epoch fully consumed
+                    self._yielded = 0
                     break
                 if isinstance(batch, BaseException):
                     raise batch
+                # count before handing out: a checkpoint taken while the
+                # consumer holds this batch must not replay it on resume
+                self._yielded += 1
                 yield batch
         finally:
             stop.set()

@@ -92,6 +92,35 @@ def decode_attention(
     return out.astype(q.dtype)
 
 
+def decode_attention_multi(
+    q: jax.Array,
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    base_index: jax.Array,
+) -> jax.Array:
+    """T-token causal attention against a static KV cache (the speculative-
+    decode verify pass: T proposal rows already written at positions
+    base_index .. base_index+T-1).
+
+    q: [B, T, H, D]; caches: [B, L, H, D]; base_index: [B] (or scalar)
+    position of the first proposal. Query t attends cache cols
+    <= base_index + t. Returns [B, T, H, D].
+    """
+    B, L, H, D = k_cache.shape
+    T = q.shape[1]
+    qf = q.astype(jnp.float32)
+    logits = jnp.einsum("bthd,bmhd->bhtm", qf, k_cache.astype(jnp.float32))
+    logits = logits / jnp.sqrt(D).astype(jnp.float32)
+    idx = jnp.broadcast_to(jnp.asarray(base_index, jnp.int32), (B,))
+    cols = jax.lax.broadcasted_iota(jnp.int32, (B, T, L), 2)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (B, T, L), 1)
+    mask = cols <= idx[:, None, None] + rows
+    logits = jnp.where(mask[:, None], logits, NEG_INF)
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhtm,bmhd->bthd", weights, v_cache.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
 # routing thresholds: below this the fused-softmax path is at least as fast
 # and avoids kernel launch constraints
 _MIN_FLASH_SEQ = 1024

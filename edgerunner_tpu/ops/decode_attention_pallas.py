@@ -41,7 +41,7 @@ def _kernel(index_ref, q_ref, ko_hbm, vo_hbm,
             out_ref,
             kbuf, vbuf, sems, *, num_heads, head_dim, block, scale):
     b = pl.program_id(0)
-    index = index_ref[0]
+    index = index_ref[jnp.minimum(b, index_ref.shape[0] - 1)]
     hd = num_heads * head_dim
 
     # block-diagonal q expansion and head-broadcast matrices
@@ -151,7 +151,7 @@ def fused_decode_attention(q, k_cache, v_cache, index,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((B, 1, hd), q.dtype)],
         interpret=jax.default_backend() != "tpu",
-    )(jnp.asarray(index, jnp.int32).reshape(1), q.reshape(B, 1, hd),
+    )(jnp.broadcast_to(jnp.asarray(index, jnp.int32), (B,)), q.reshape(B, 1, hd),
       k_cache, v_cache)
     return out.reshape(B, hd)
 
@@ -168,7 +168,7 @@ def _kernel_q8(index_ref, q_ref, kv_hbm, sc_hbm,
     (lane 0 = K scale, lane 1 = V scale) — one DMA stream for both.
     """
     b = pl.program_id(0)
-    index = index_ref[0]
+    index = index_ref[jnp.minimum(b, index_ref.shape[0] - 1)]
     hd = num_heads * head_dim
 
     j_ids = jax.lax.broadcasted_iota(jnp.int32, (hd, num_heads), 0)
@@ -242,6 +242,142 @@ def _kernel_q8(index_ref, q_ref, kv_hbm, sc_hbm,
     out_ref[0, 0, :] = (acc / l_exp)[0].astype(out_ref.dtype)
 
 
+# ------------------------------------------------------- int4 KV variant --
+
+def _kernel_q4(index_ref, q_ref, kv_hbm, sc_hbm,
+               out_ref, kbuf, scbuf, sems,
+               *, num_heads, head_dim, block, scale):
+    """Like _kernel_q8 but the cache holds packed int4 nibbles.
+
+    kv_hbm: int8 [B, L, hd] — lanes [:hd/2] hold K's packed nibbles, lanes
+    [hd/2:] hold V's (each byte j = original lanes (j, j + hd/2), low/high
+    nibble; see ops/kv_quant.py). sc_hbm: bf16 [B, L, 128] packed row scales.
+    """
+    b = pl.program_id(0)
+    index = index_ref[jnp.minimum(b, index_ref.shape[0] - 1)]
+    hd = num_heads * head_dim
+    half = hd // 2
+
+    j_ids = jax.lax.broadcasted_iota(jnp.int32, (hd, num_heads), 0)
+    h_ids = jax.lax.broadcasted_iota(jnp.int32, (hd, num_heads), 1)
+    E = (j_ids // head_dim == h_ids).astype(jnp.float32)
+    q = q_ref[0, 0, :].astype(jnp.float32)
+    qdiag = q[:, None] * E * scale
+
+    nblocks = (index + 1 + block - 1) // block
+
+    def dma_kv(slot, blk):
+        return pltpu.make_async_copy(
+            kv_hbm.at[pl.ds(b, 1), pl.ds(blk * block, block), :],
+            kbuf.at[pl.ds(slot, 1)], sems.at[slot])
+
+    def dma_sc(slot, blk):
+        return pltpu.make_async_copy(
+            sc_hbm.at[pl.ds(b, 1), pl.ds(blk * block, block), :],
+            scbuf.at[pl.ds(slot, 1)], sems.at[2 + slot])
+
+    dma_kv(0, 0).start()
+    dma_sc(0, 0).start()
+
+    def unpack(w):  # int8 [BK, half/?] packed -> f32 [BK, 2x] original order
+        w = w.astype(jnp.int32)
+        lo = (w << 28) >> 28
+        hi = (w << 24) >> 28
+        return jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
+
+    def body(i, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < nblocks)
+        def _():
+            dma_kv(nxt, i + 1).start()
+            dma_sc(nxt, i + 1).start()
+
+        dma_kv(slot, i).wait()
+        dma_sc(slot, i).wait()
+
+        kvb = kbuf[slot]                        # int8 [BK, hd] packed
+        kb = unpack(kvb[:, :half])              # f32 [BK, hd]
+        vb = unpack(kvb[:, half:])
+        ks = scbuf[slot][:, 0:1].astype(jnp.float32)
+        vs = scbuf[slot][:, 1:2].astype(jnp.float32)
+
+        s = jax.lax.dot_general(kb, qdiag, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * ks
+        t_ids = i * block + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        s = jnp.where(t_ids <= index, s, NEG_INF)
+
+        m_blk = jnp.max(s, axis=0, keepdims=True)
+        m_new = jnp.maximum(m, m_blk)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=0, keepdims=True)
+
+        p = p * vs
+        p_exp = jax.lax.dot_general(p, E, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        alpha_exp = jax.lax.dot_general(alpha, E, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+        acc = acc * alpha_exp + jnp.sum(p_exp * vb, axis=0, keepdims=True)
+        return m_new, l, acc
+
+    m0 = jnp.full((1, num_heads), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((1, num_heads), jnp.float32)
+    acc0 = jnp.zeros((1, hd), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, nblocks, body, (m0, l0, acc0))
+
+    l_exp = jax.lax.dot_general(jnp.where(l > 0, l, 1.0), E,
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    out_ref[0, 0, :] = (acc / l_exp)[0].astype(out_ref.dtype)
+
+
+def fused_decode_attention_q4(q, kv_vals, scales, index,
+                              *, num_heads: int, block: int = DEFAULT_BLOCK):
+    """int4-cache decode attention.
+
+    q: [B, hidden]; kv_vals: int8 [B, L, hidden] of packed nibbles (K's in
+    lanes [:hidden/2], V's in [hidden/2:]) ALREADY holding the new token's
+    rows at `index`; scales: bf16 [B, L, 128] packed per-row scales.
+    """
+    B, L, hd = kv_vals.shape
+    assert L % block == 0, f"cache length {L} not a multiple of block {block}"
+    head_dim = hd // num_heads
+    scale = 1.0 / np.sqrt(head_dim)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 1, hd), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, hd), lambda b, *_: (b, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, block, hd), jnp.int8),
+            pltpu.VMEM((2, block, 128), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel_q4, num_heads=num_heads, head_dim=head_dim, block=block,
+        scale=scale)
+    (out,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, 1, hd), q.dtype)],
+        interpret=jax.default_backend() != "tpu",
+    )(jnp.broadcast_to(jnp.asarray(index, jnp.int32), (B,)), q.reshape(B, 1, hd),
+      kv_vals, scales)
+    return out.reshape(B, hd)
+
+
 def fused_decode_attention_q8(q, kv_vals, scales, index,
                               *, num_heads: int, block: int = DEFAULT_BLOCK):
     """int8-cache decode attention.
@@ -282,6 +418,274 @@ def fused_decode_attention_q8(q, kv_vals, scales, index,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((B, 1, hd), q.dtype)],
         interpret=jax.default_backend() != "tpu",
-    )(jnp.asarray(index, jnp.int32).reshape(1), q.reshape(B, 1, hd),
+    )(jnp.broadcast_to(jnp.asarray(index, jnp.int32), (B,)), q.reshape(B, 1, hd),
       kv_vals, scales)
     return out.reshape(B, hd)
+
+
+# -------------------------------------------------- multi-query (verify) --
+# Speculative decoding's verify pass: T proposal tokens per row, one pass.
+# Query t of row b attends cache cols <= index[b] + t. Same E-matrix trick,
+# with T*H online-softmax columns; the PV tail unrolls over the (static,
+# small) T.
+
+def _kernel_multi(index_ref, q_ref, ko_hbm, vo_hbm,
+                  out_ref, kbuf, vbuf, sems,
+                  *, num_heads, head_dim, block, scale, T):
+    b = pl.program_id(0)
+    index = index_ref[jnp.minimum(b, index_ref.shape[0] - 1)]
+    hd = num_heads * head_dim
+    TH = T * num_heads
+
+    j_ids = jax.lax.broadcasted_iota(jnp.int32, (hd, num_heads), 0)
+    h_ids = jax.lax.broadcasted_iota(jnp.int32, (hd, num_heads), 1)
+    E = (j_ids // head_dim == h_ids).astype(jnp.float32)          # [hd, H]
+    # qdiag over T*H columns: col (t*H + h) = q[t] * E[:, h] * scale
+    # (per-t column construction mirrors the proven single-token kernel)
+    qdiag = jnp.concatenate(
+        [q_ref[0, t, :].astype(jnp.float32)[:, None] * E * scale
+         for t in range(T)], axis=1)                              # [hd, TH]
+
+    nblocks = (index + T + block - 1) // block
+
+    def get_dma(slot, blk):
+        return pltpu.make_async_copy(
+            ko_hbm.at[pl.ds(b, 1), pl.ds(blk * block, block), :],
+            kbuf.at[pl.ds(slot, 1)], sems.at[slot])
+
+    def get_dma_v(slot, blk):
+        return pltpu.make_async_copy(
+            vo_hbm.at[pl.ds(b, 1), pl.ds(blk * block, block), :],
+            vbuf.at[pl.ds(slot, 1)], sems.at[2 + slot])
+
+    get_dma(0, 0).start()
+    get_dma_v(0, 0).start()
+
+    def body(i, carry):
+        m, l, acc = carry  # [1, TH], [1, TH], [T, hd]
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < nblocks)
+        def _():
+            get_dma(nxt, i + 1).start()
+            get_dma_v(nxt, i + 1).start()
+
+        get_dma(slot, i).wait()
+        get_dma_v(slot, i).wait()
+
+        kb = kbuf[slot].astype(jnp.float32)
+        vb = vbuf[slot].astype(jnp.float32)
+
+        s = jax.lax.dot_general(kb, qdiag, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # [BK, TH]
+        rows_t = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) // num_heads
+        t_ids = i * block + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        s = jnp.where(t_ids <= index + rows_t, s, NEG_INF)
+
+        m_blk = jnp.max(s, axis=0, keepdims=True)
+        m_new = jnp.maximum(m, m_blk)
+        p = jnp.exp(s - m_new)                   # [BK, TH]
+        alpha = jnp.exp(m - m_new)               # [1, TH]
+        l = l * alpha + jnp.sum(p, axis=0, keepdims=True)
+
+        accs = []
+        for t in range(T):  # static unroll, T is small
+            p_t = p[:, t * num_heads:(t + 1) * num_heads]        # [BK, H]
+            a_t = alpha[:, t * num_heads:(t + 1) * num_heads]    # [1, H]
+            p_exp = jax.lax.dot_general(p_t, E, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+            a_exp = jax.lax.dot_general(a_t, E, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+            accs.append(acc[t:t + 1] * a_exp
+                        + jnp.sum(p_exp * vb, axis=0, keepdims=True))
+        acc = jnp.concatenate(accs, axis=0)
+        return m_new, l, acc
+
+    m0 = jnp.full((1, TH), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((1, TH), jnp.float32)
+    acc0 = jnp.zeros((T, hd), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, nblocks, body, (m0, l0, acc0))
+
+    outs = []
+    for t in range(T):
+        l_t = l[:, t * num_heads:(t + 1) * num_heads]
+        l_exp = jax.lax.dot_general(jnp.where(l_t > 0, l_t, 1.0), E,
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        outs.append(acc[t:t + 1] / l_exp)
+    out_ref[0] = jnp.concatenate(outs, axis=0).astype(out_ref.dtype)
+
+
+def fused_decode_attention_multi(q, k_cache, v_cache, index,
+                                 *, num_heads: int,
+                                 block: int = DEFAULT_BLOCK):
+    """q: [B, T, hidden]; caches: [B, L, hidden] ALREADY holding the T
+    proposal rows at index..index+T-1; index: [B] (or scalar) base position.
+    Returns [B, T, hidden]; query t attends cache[: index+t+1]."""
+    B, T, hd = q.shape
+    L = k_cache.shape[1]
+    assert L % block == 0, f"cache length {L} not a multiple of block {block}"
+    head_dim = hd // num_heads
+    scale = 1.0 / np.sqrt(head_dim)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, T, hd), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, T, hd), lambda b, *_: (b, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, block, hd), k_cache.dtype),
+            pltpu.VMEM((2, block, hd), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel_multi, num_heads=num_heads, head_dim=head_dim, block=block,
+        scale=scale, T=T)
+    (out,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, T, hd), q.dtype)],
+        interpret=jax.default_backend() != "tpu",
+    )(jnp.broadcast_to(jnp.asarray(index, jnp.int32), (B,)), q, k_cache, v_cache)
+    return out
+
+
+def _kernel_q8_multi(index_ref, q_ref, kv_hbm, sc_hbm,
+                     out_ref, kbuf, scbuf, sems,
+                     *, num_heads, head_dim, block, scale, T):
+    """Multi-query verify over the int8 cache (packed K++V values + scale
+    plane), speculative decoding with --kv_quant."""
+    b = pl.program_id(0)
+    index = index_ref[jnp.minimum(b, index_ref.shape[0] - 1)]
+    hd = num_heads * head_dim
+    TH = T * num_heads
+
+    j_ids = jax.lax.broadcasted_iota(jnp.int32, (hd, num_heads), 0)
+    h_ids = jax.lax.broadcasted_iota(jnp.int32, (hd, num_heads), 1)
+    E = (j_ids // head_dim == h_ids).astype(jnp.float32)
+    qdiag = jnp.concatenate(
+        [q_ref[0, t, :].astype(jnp.float32)[:, None] * E * scale
+         for t in range(T)], axis=1)                              # [hd, TH]
+
+    nblocks = (index + T + block - 1) // block
+
+    def dma_kv(slot, blk):
+        return pltpu.make_async_copy(
+            kv_hbm.at[pl.ds(b, 1), pl.ds(blk * block, block), :],
+            kbuf.at[pl.ds(slot, 1)], sems.at[slot])
+
+    def dma_sc(slot, blk):
+        return pltpu.make_async_copy(
+            sc_hbm.at[pl.ds(b, 1), pl.ds(blk * block, block), :],
+            scbuf.at[pl.ds(slot, 1)], sems.at[2 + slot])
+
+    dma_kv(0, 0).start()
+    dma_sc(0, 0).start()
+
+    def body(i, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < nblocks)
+        def _():
+            dma_kv(nxt, i + 1).start()
+            dma_sc(nxt, i + 1).start()
+
+        dma_kv(slot, i).wait()
+        dma_sc(slot, i).wait()
+
+        kvb = kbuf[slot]
+        kb = kvb[:, :hd].astype(jnp.float32)
+        vb = kvb[:, hd:].astype(jnp.float32)
+        ks = scbuf[slot][:, 0:1].astype(jnp.float32)
+        vs = scbuf[slot][:, 1:2].astype(jnp.float32)
+
+        s = jax.lax.dot_general(kb, qdiag, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * ks
+        rows_t = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) // num_heads
+        t_ids = i * block + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        s = jnp.where(t_ids <= index + rows_t, s, NEG_INF)
+
+        m_blk = jnp.max(s, axis=0, keepdims=True)
+        m_new = jnp.maximum(m, m_blk)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=0, keepdims=True)
+
+        p = p * vs
+        accs = []
+        for t in range(T):
+            p_t = p[:, t * num_heads:(t + 1) * num_heads]
+            a_t = alpha[:, t * num_heads:(t + 1) * num_heads]
+            p_exp = jax.lax.dot_general(p_t, E, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+            a_exp = jax.lax.dot_general(a_t, E, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+            accs.append(acc[t:t + 1] * a_exp
+                        + jnp.sum(p_exp * vb, axis=0, keepdims=True))
+        acc = jnp.concatenate(accs, axis=0)
+        return m_new, l, acc
+
+    m0 = jnp.full((1, TH), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((1, TH), jnp.float32)
+    acc0 = jnp.zeros((T, hd), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, nblocks, body, (m0, l0, acc0))
+
+    outs = []
+    for t in range(T):
+        l_t = l[:, t * num_heads:(t + 1) * num_heads]
+        l_exp = jax.lax.dot_general(jnp.where(l_t > 0, l_t, 1.0), E,
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        outs.append(acc[t:t + 1] / l_exp)
+    out_ref[0] = jnp.concatenate(outs, axis=0).astype(out_ref.dtype)
+
+
+def fused_decode_attention_q8_multi(q, kv_vals, scales, index,
+                                    *, num_heads: int,
+                                    block: int = DEFAULT_BLOCK):
+    """Multi-query verify, int8 cache. q: [B, T, hidden]; kv_vals: int8
+    [B, L, 2*hidden]; scales: bf16 [B, L, 128]; index: [B] base position."""
+    B, T, hd = q.shape
+    L = kv_vals.shape[1]
+    assert L % block == 0, f"cache length {L} not a multiple of block {block}"
+    head_dim = hd // num_heads
+    scale = 1.0 / np.sqrt(head_dim)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, T, hd), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, T, hd), lambda b, *_: (b, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, block, 2 * hd), jnp.int8),
+            pltpu.VMEM((2, block, 128), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel_q8_multi, num_heads=num_heads, head_dim=head_dim, block=block,
+        scale=scale, T=T)
+    (out,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, T, hd), q.dtype)],
+        interpret=jax.default_backend() != "tpu",
+    )(jnp.broadcast_to(jnp.asarray(index, jnp.int32), (B,)), q, kv_vals, scales)
+    return out

@@ -84,7 +84,11 @@ def tolerant_merge(model_params: Any, ckpt_params: Any, align_posemb: str = "rig
 
 class CheckpointManager:
     """Per-epoch save with `latest` pointer, `best` copy, keep-last-2 pruning
-    (reference: main.py:226-238)."""
+    (reference: main.py:226-238), plus optional mid-epoch step saves and a
+    `train_state.json` (step count, loader position, best loss) that makes
+    training resumable exactly — optimizer state, LR schedule position, and
+    the data pipeline's mid-epoch cursor all restore (the reference's resume
+    is weights-only; SURVEY §5)."""
 
     def __init__(self, workspace: str, keep: int = 2):
         self.workspace = workspace
@@ -93,12 +97,18 @@ class CheckpointManager:
         self.best_loss = float("inf")
         os.makedirs(workspace, exist_ok=True)
 
-    def save_epoch(self, epoch: int, params: Any, opt_state: Any = None,
-                   loss: Optional[float] = None, log=print):
-        save_dir = os.path.join(self.workspace, f"ep{epoch:04d}")
+    def _save(self, tag: str, params: Any, opt_state: Any = None,
+              loss: Optional[float] = None, train_state: Optional[dict] = None,
+              log=print):
+        save_dir = os.path.join(self.workspace, tag)
         save_pytree(os.path.join(save_dir, "model"), params)
         if opt_state is not None:
             save_pytree(os.path.join(save_dir, "opt_state"), opt_state)
+        if train_state is not None:
+            import json
+
+            with open(os.path.join(save_dir, "train_state.json"), "w") as f:
+                json.dump({**train_state, "best_loss": self.best_loss}, f)
 
         latest = os.path.join(self.workspace, "model")
         if os.path.islink(latest) or os.path.exists(latest):
@@ -106,7 +116,7 @@ class CheckpointManager:
                 os.unlink(latest)
             else:
                 shutil.rmtree(latest)
-        os.symlink(os.path.join(f"ep{epoch:04d}", "model"), latest)
+        os.symlink(os.path.join(tag, "model"), latest)
 
         if loss is not None and loss < self.best_loss:
             self.best_loss = loss
@@ -120,6 +130,34 @@ class CheckpointManager:
         if len(self.old_dirs) > self.keep:
             victim = self.old_dirs.pop(0)
             shutil.rmtree(victim, ignore_errors=True)
+
+    def save_epoch(self, epoch: int, params: Any, opt_state: Any = None,
+                   loss: Optional[float] = None,
+                   train_state: Optional[dict] = None, log=print):
+        self._save(f"ep{epoch:04d}", params, opt_state, loss, train_state, log)
+
+    def save_step(self, step: int, params: Any, opt_state: Any = None,
+                  train_state: Optional[dict] = None, log=print):
+        """Mid-epoch checkpoint (opt-in via --save_every_steps)."""
+        self._save(f"step{step:08d}", params, opt_state, None, train_state, log)
+
+
+def find_train_state(resume_path: str) -> Optional[dict]:
+    """Locate the train_state.json belonging to a --resume model dir (it sits
+    next to the model/ and opt_state/ dirs; `resume` may be the `model`
+    symlink at the workspace root, which realpaths into the epoch dir)."""
+    import json
+
+    real = os.path.realpath(resume_path)
+    for cand in (os.path.join(os.path.dirname(real), "train_state.json"),
+                 os.path.join(real, "..", "train_state.json")):
+        if os.path.exists(cand):
+            with open(cand) as f:
+                state = json.load(f)
+            opt_dir = os.path.join(os.path.dirname(real), "opt_state")
+            state["opt_state_path"] = opt_dir if os.path.exists(opt_dir) else None
+            return state
+    return None
 
 
 def init_lmm_params(model, opt, rng):

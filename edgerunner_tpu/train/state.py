@@ -96,9 +96,9 @@ def make_optimizer(opt, total_steps: int, frozen_keys: tuple = (),
     return tx, schedule
 
 
-def create_train_state(params, tx) -> TrainState:
+def create_train_state(params, tx, step: int = 0) -> TrainState:
     return TrainState(params=params, opt_state=tx.init(params),
-                      step=jnp.zeros((), jnp.int32))
+                      step=jnp.asarray(step, jnp.int32))
 
 
 def make_train_step(model, tx):

@@ -119,12 +119,40 @@ class Trainer:
             print(msg)
 
     # ---------------------------------------------------------------- setup --
-    def init_state(self, params):
+    def init_state(self, params, step: int = 0, opt_state_path: str = None):
+        """opt_state_path: restore a saved optimizer state (resumable
+        training — the reference's resume is weights-only, SURVEY §5);
+        `step` restarts the LR schedule where the run left off."""
         shardings = param_shardings(params, self.mesh)
         params = jax.tree.map(
             lambda x, s: jax.device_put(x, s), params, shardings)
-        self.state = create_train_state(params, self.tx)
+        self.state = create_train_state(params, self.tx, step=step)
         self._param_shardings = shardings
+
+        if opt_state_path:
+            from edgerunner_tpu.train.checkpoint import restore_pytree
+
+            restored = restore_pytree(opt_state_path,
+                                      target=self.state.opt_state)
+            # place each restored non-scalar leaf with the sharding tx.init
+            # chose (tx.init ran on mesh-sharded params, so moments carry the
+            # params' NamedSharding). Scalars (step counts) stay uncommitted —
+            # eager tx.init leaves them uncommitted too, and committing them
+            # to one device would conflict with the mesh-sharded args at jit
+            import jax.numpy as jnp
+
+            def _place(tmpl, arr):
+                if getattr(tmpl, "ndim", 0) > 0 and hasattr(tmpl, "sharding"):
+                    return jax.device_put(jnp.asarray(arr, tmpl.dtype),
+                                          tmpl.sharding)
+                # round-trip through host: orbax returns arrays committed to
+                # one device; jnp.asarray would keep that commitment and then
+                # conflict with mesh-sharded args at jit time
+                return jnp.asarray(np.asarray(arr),
+                                   getattr(tmpl, "dtype", None))
+
+            restored = jax.tree.map(_place, self.state.opt_state, restored)
+            self.state = self.state._replace(opt_state=restored)
 
         step_fn = self._step_builder(self.model, self.tx)
         self._train_step = jax.jit(step_fn, donate_argnums=(0,))

@@ -25,6 +25,7 @@ from edgerunner_tpu.data.dataset import (
 )
 from edgerunner_tpu.train.checkpoint import (
     CheckpointManager,
+    find_train_state,
     init_lmm_params,
     restore_pytree,
     tolerant_merge,
@@ -95,30 +96,55 @@ def main():
 
     # init + resume
     params = init_lmm_params(model, opt, rng)
+    start_epoch, resume_step, opt_state_path = 0, 0, None
     if opt.resume is not None:
         ckpt = restore_pytree(opt.resume)
         params = tolerant_merge(params, ckpt, align_posemb=opt.align_posemb,
                                 log=logger.warning)
+        if opt.resume_train_state:
+            ts = find_train_state(opt.resume)
+            if ts is not None:
+                resume_step = int(ts.get("step", 0))
+                if ts.get("loader"):
+                    train_loader.restore_state(ts["loader"])
+                    start_epoch = train_loader.epoch
+                opt_state_path = ts.get("opt_state_path")
+                logger.info(
+                    f"[resume] exact continuation: step {resume_step}, "
+                    f"epoch {start_epoch}, loader {ts.get('loader')}, "
+                    f"opt_state {'yes' if opt_state_path else 'no'}")
+            else:
+                logger.warning("[resume] --resume_train_state set but no "
+                               "train_state.json next to the checkpoint")
     num_params = sum(x.size for x in jax.tree.leaves(params))
     logger.info(f"total param count: {num_params/1e6:.3f} M")
 
-    trainer.init_state(params)
+    trainer.init_state(params, step=resume_step, opt_state_path=opt_state_path)
     manager = CheckpointManager(opt.workspace, keep=2)
 
-    on_step = None
     if opt.use_wandb:
         import wandb
 
         wandb.init(project="lmm", name=os.path.basename(opt.workspace),
                    config=vars(opt))
 
-        def on_step(step, metrics):
-            if step % 10 == 0:
-                wandb.log({k: float(v) for k, v in metrics.items()}, step=step)
+    def on_step(step, metrics):
+        if opt.use_wandb and step % 10 == 0:
+            import wandb
+
+            wandb.log({k: float(v) for k, v in metrics.items()}, step=step)
+        if opt.save_every_steps and step > 0 \
+                and step % opt.save_every_steps == 0:
+            manager.save_step(
+                step, trainer.state.params,
+                opt_state=(trainer.state.opt_state
+                           if opt.save_optimizer_state else None),
+                train_state={"step": step, "loader": train_loader.state()},
+                log=logger.info)
 
     profile_dir = os.path.join(opt.workspace, "profile")
 
-    for epoch in range(opt.num_epochs):
+    for epoch in range(start_epoch, opt.num_epochs):
         if not opt.debug_eval:
             avg_loss = trainer.train_epoch(train_loader, epoch, rng,
                                            profile_dir=profile_dir,
@@ -129,7 +155,10 @@ def main():
                 epoch, trainer.state.params,
                 opt_state=(trainer.state.opt_state
                            if opt.save_optimizer_state else None),
-                loss=avg_loss, log=logger.info)
+                loss=avg_loss,
+                train_state={"step": int(trainer.state.step),
+                             "loader": train_loader.state()},
+                log=logger.info)
             if opt.use_wandb:
                 import wandb
 

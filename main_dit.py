@@ -18,6 +18,7 @@ from edgerunner_tpu.data.dataset_dit import DiTMeshDataset, collate_dit
 from edgerunner_tpu.models.mdit import MDiT
 from edgerunner_tpu.train.checkpoint import (
     CheckpointManager,
+    find_train_state,
     restore_pytree,
     tolerant_merge,
 )
@@ -89,18 +90,47 @@ def main():
             ckpt = restore_pytree(path)
             params = tolerant_merge(params, ckpt, align_posemb=opt.align_posemb,
                                     log=logger.warning)
+    # exact continuation of the MDiT run itself (optimizer/schedule/loader)
+    start_epoch, resume_step, opt_state_path = 0, 0, None
+    if opt.resume_train_state and opt.resume2 is not None:
+        ts = find_train_state(opt.resume2)
+        if ts is not None:
+            resume_step = int(ts.get("step", 0))
+            if ts.get("loader"):
+                train_loader.restore_state(ts["loader"])
+                start_epoch = train_loader.epoch
+            opt_state_path = ts.get("opt_state_path")
+            logger.info(f"[resume] exact continuation: step {resume_step}, "
+                        f"epoch {start_epoch}")
 
     num_params = sum(x.size for x in jax.tree.leaves(params))
     logger.info(f"total param count: {num_params/1e6:.3f} M")
 
-    trainer.init_state(params)
+    trainer.init_state(params, step=resume_step, opt_state_path=opt_state_path)
     manager = CheckpointManager(opt.workspace, keep=2)
 
-    for epoch in range(opt.num_epochs):
+    def on_step(step, metrics):
+        if opt.save_every_steps and step > 0 \
+                and step % opt.save_every_steps == 0:
+            manager.save_step(
+                step, trainer.state.params,
+                opt_state=(trainer.state.opt_state
+                           if opt.save_optimizer_state else None),
+                train_state={"step": step, "loader": train_loader.state()},
+                log=logger.info)
+
+    for epoch in range(start_epoch, opt.num_epochs):
         if not opt.debug_eval:
-            avg_loss = trainer.train_epoch(train_loader, epoch, rng)
-            manager.save_epoch(epoch, trainer.state.params, loss=avg_loss,
-                               log=logger.info)
+            avg_loss = trainer.train_epoch(train_loader, epoch, rng,
+                                           on_step=on_step)
+            manager.save_epoch(
+                epoch, trainer.state.params,
+                opt_state=(trainer.state.opt_state
+                           if opt.save_optimizer_state else None),
+                loss=avg_loss,
+                train_state={"step": int(trainer.state.step),
+                             "loader": train_loader.state()},
+                log=logger.info)
         if opt.eval_mode == "loss":
             trainer.eval_epoch(test_loader, epoch, rng=rng)
 

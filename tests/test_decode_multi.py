@@ -1,0 +1,83 @@
+"""Multi-query (speculative-verify) decode attention: kernel vs einsum
+reference, per-row base indices, prefix isolation."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from edgerunner_tpu.ops.attention import decode_attention, decode_attention_multi
+from edgerunner_tpu.ops.decode_attention_pallas import (
+    fused_decode_attention_multi,
+    fused_decode_attention_q8_multi,
+)
+from edgerunner_tpu.ops.kv_quant import dequantize_rows, pack_scales, quantize_rows
+
+
+def _data(B, L, hd, T, seed=0):
+    r = np.random.default_rng(seed)
+    k = jnp.asarray(r.normal(size=(B, L, hd)).astype(np.float32))
+    v = jnp.asarray(r.normal(size=(B, L, hd)).astype(np.float32))
+    q = jnp.asarray(r.normal(size=(B, T, hd)).astype(np.float32))
+    return q, k, v
+
+
+def test_multi_reference_matches_single_at_t1():
+    B, L, H, Dh = 2, 64, 4, 32
+    hd = H * Dh
+    q, k, v = _data(B, L, hd, 1)
+    idx = jnp.asarray([3, 50], jnp.int32)
+    a = decode_attention_multi(q.reshape(B, 1, H, Dh), k.reshape(B, L, H, Dh),
+                               v.reshape(B, L, H, Dh), idx)
+    b = decode_attention(q.reshape(B, 1, H, Dh), k.reshape(B, L, H, Dh),
+                         v.reshape(B, L, H, Dh), idx + 1)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+@pytest.mark.parametrize("T", [1, 3, 4])
+def test_multi_kernel_matches_reference(T):
+    B, L, H, Dh = 3, 256, 4, 96
+    hd = H * Dh
+    q, k, v = _data(B, L, hd, T)
+    idx = jnp.asarray([5, 100, 251 - T], jnp.int32)  # per-row base positions
+    out = fused_decode_attention_multi(q, k, v, idx, num_heads=H, block=128)
+    ref = decode_attention_multi(
+        q.reshape(B, T, H, Dh), k.reshape(B, L, H, Dh),
+        v.reshape(B, L, H, Dh), idx).reshape(B, T, hd)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_multi_kernel_q8_matches_dequantized_reference():
+    B, L, H, Dh, T = 2, 256, 4, 96, 4
+    hd = H * Dh
+    q, k, v = _data(B, L, hd, T)
+    idx = jnp.asarray([17, 200], jnp.int32)
+    kq, ks = quantize_rows(k)
+    vq, vs = quantize_rows(v)
+    kv = jnp.concatenate([kq, vq], -1)
+    plane = pack_scales(ks, vs)
+    out = fused_decode_attention_q8_multi(q, kv, plane, idx, num_heads=H,
+                                          block=128)
+    kd = dequantize_rows(kq, plane, jnp.float32, 0)
+    vd = dequantize_rows(vq, plane, jnp.float32, 1)
+    ref = decode_attention_multi(
+        q.reshape(B, T, H, Dh), kd.reshape(B, L, H, Dh),
+        vd.reshape(B, L, H, Dh), idx).reshape(B, T, hd)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_multi_kernel_prefix_isolation():
+    """Rows beyond index+t must not affect query t (per row)."""
+    B, L, H, Dh, T = 2, 128, 2, 64, 3
+    hd = H * Dh
+    q, k, v = _data(B, L, hd, T, seed=1)
+    idx = jnp.asarray([10, 60], jnp.int32)
+    base = fused_decode_attention_multi(q, k, v, idx, num_heads=H, block=128)
+    k2, v2 = np.asarray(k).copy(), np.asarray(v).copy()
+    for b, i0 in enumerate([10, 60]):
+        k2[b, i0 + T:] = 1e6
+        v2[b, i0 + T:] = -1e6
+    pois = fused_decode_attention_multi(q, jnp.asarray(k2), jnp.asarray(v2),
+                                        idx, num_heads=H, block=128)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(pois), rtol=1e-6)

@@ -1,0 +1,136 @@
+"""Exact-continuation resume: loader cursor, optimizer state, schedule step.
+
+The reference's resume is weights-only (SURVEY §5); here an interrupted run
+restarted from a checkpoint must produce the SAME batch stream and the same
+losses as the uninterrupted run.
+"""
+
+import dataclasses
+import os
+
+import jax
+import numpy as np
+
+from edgerunner_tpu.config import Options
+from edgerunner_tpu.data.dataset import DataLoader, SyntheticMeshDataset
+from edgerunner_tpu.models.lmm import LMM
+from edgerunner_tpu.train.checkpoint import (
+    CheckpointManager,
+    find_train_state,
+    init_lmm_params,
+)
+from edgerunner_tpu.train.trainer import Trainer
+from edgerunner_tpu.utils import get_tokenizer
+
+# trainer meshes span all (8 virtual) devices: dp4 x tp2, batch 4 -> the
+# resume path is exercised with real shardings, not a single device
+TINY = dict(cond_mode="point", point_latent_size=16, num_cond_tokens=17,
+            point_hidden_dim=32, point_num_heads=4, point_latent_dim=8,
+            hidden_dim=64, num_layers=2, num_heads=4, max_seq_length=256,
+            point_num=64, checkpointing=False, batch_size=4, dp_size=4,
+            tp_size=2, use_num_face_cond=True, synthetic_size=12,
+            collate_bucket=64)
+
+
+def _loader(opt, tokenizer):
+    ds = SyntheticMeshDataset(opt, size=opt.synthetic_size, training=True,
+                              tokenizer=tokenizer)
+    return DataLoader(ds, opt, opt.batch_size, shuffle=True, seed=opt.seed,
+                      num_workers=2)
+
+
+def _batch_sig(b):
+    return (b["tokens"].tobytes(), b["lengths"].tobytes())
+
+
+def test_loader_state_resumes_mid_epoch():
+    opt = Options(**TINY)
+    tokenizer, _ = get_tokenizer(opt)
+
+    # uninterrupted: 2 epochs of batches
+    ref = _loader(opt, tokenizer)
+    ref_stream = [_batch_sig(b) for _ in range(2) for b in ref]
+
+    # interrupted after 2 of epoch 0's 3 batches
+    run = _loader(opt, tokenizer)
+    it = iter(run)
+    got = [_batch_sig(next(it)) for _ in range(2)]
+    state = run.state()
+    assert state == {"epoch": 0, "batch_in_epoch": 2}
+    del it
+
+    fresh = _loader(opt, tokenizer)
+    fresh.restore_state(state)
+    got += [_batch_sig(b) for b in fresh]   # rest of epoch 0
+    got += [_batch_sig(b) for b in fresh]   # all of epoch 1
+    assert got == ref_stream
+
+
+def test_exact_train_continuation(tmp_path):
+    opt = Options(**TINY, workspace=str(tmp_path), seed=7)
+    tokenizer, _ = get_tokenizer(opt)
+    model = LMM(opt)
+    rng = jax.random.PRNGKey(opt.seed)
+
+    def make_trainer():
+        t = Trainer(model, opt, total_steps=50)
+        t.log = lambda msg: None
+        return t
+
+    # ---- uninterrupted: 2 epochs, record losses
+    loader = _loader(opt, tokenizer)
+    tr = make_trainer()
+    tr.init_state(init_lmm_params(model, opt, rng))
+    ref_losses = []
+    for ep in range(2):
+        for batch in loader:
+            dev = {k: v for k, v in batch.items() if k != "paths"}
+            tr.state, m = tr._train_step(tr.state, dev, rng)
+            ref_losses.append(float(m["loss"]))
+
+    # ---- interrupted: 4 steps (spanning the epoch-0/1 boundary at 3 batches
+    # per epoch), checkpoint, restart from disk, continue
+    loader2 = _loader(opt, tokenizer)
+    tr2 = make_trainer()
+    tr2.init_state(init_lmm_params(model, opt, rng))
+    losses = []
+    done = 0
+    while done < 4:
+        for batch in loader2:
+            dev = {k: v for k, v in batch.items() if k != "paths"}
+            tr2.state, m = tr2._train_step(tr2.state, dev, rng)
+            losses.append(float(m["loss"]))
+            done += 1
+            if done == 4:
+                break
+
+    manager = CheckpointManager(str(tmp_path), keep=2)
+    manager.save_step(int(tr2.state.step), tr2.state.params,
+                      opt_state=tr2.state.opt_state,
+                      train_state={"step": int(tr2.state.step),
+                                   "loader": loader2.state()},
+                      log=lambda *a: None)
+
+    ts = find_train_state(os.path.join(str(tmp_path), "model"))
+    assert ts is not None and ts["step"] == 4
+    assert ts["opt_state_path"] is not None
+
+    from edgerunner_tpu.train.checkpoint import restore_pytree, tolerant_merge
+
+    params = init_lmm_params(model, opt, rng)
+    params = tolerant_merge(params, restore_pytree(
+        os.path.join(str(tmp_path), "model")), log=lambda *a: None)
+    loader3 = _loader(opt, tokenizer)
+    loader3.restore_state(ts["loader"])
+    tr3 = make_trainer()
+    tr3.init_state(params, step=ts["step"], opt_state_path=ts["opt_state_path"])
+
+    start_epoch = loader3.epoch
+    for ep in range(start_epoch, 2):
+        for batch in loader3:
+            dev = {k: v for k, v in batch.items() if k != "paths"}
+            tr3.state, m = tr3._train_step(tr3.state, dev, rng)
+            losses.append(float(m["loss"]))
+
+    assert len(losses) == len(ref_losses)
+    np.testing.assert_allclose(losses, ref_losses, rtol=1e-5)
