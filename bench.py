@@ -140,6 +140,10 @@ def main():
                     help="exact bf16 KV cache instead of the int8 default")
     ap.add_argument("--no_w_quant", action="store_true",
                     help="bf16 weights instead of the int8 weight default")
+    ap.add_argument("--spec", type=str, default=None, metavar="CKPT",
+                    help="speculative decoding: load CKPT (trained with "
+                         "--mtp_heads) and decode with draft verification")
+    ap.add_argument("--mtp_heads", type=int, default=2)
     ap.add_argument("--skip_train", action="store_true",
                     help="skip the training-step probe")
     ap.add_argument("--_train_probe", action="store_true",
@@ -165,6 +169,9 @@ def main():
     w_quant = not args.no_w_quant
     opt = dataclasses.replace(config_defaults["ArAE"], generate_mode="greedy",
                               kv_quant=kv_quant, w_quant=w_quant)
+    if args.spec:
+        opt = dataclasses.replace(opt, mtp_heads=args.mtp_heads,
+                                  spec_decode=True, resume=args.spec)
     if args.tiny:
         opt = _tiny(opt)
         args.faces = min(args.faces, 12)
@@ -178,8 +185,13 @@ def main():
     init_opt = dataclasses.replace(opt, w_quant=False)
     init_model = LMM(init_opt, dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
-    params = cast_params(init_lmm_params(init_model, init_opt, rng),
-                         jnp.bfloat16)
+    params = init_lmm_params(init_model, init_opt, rng)
+    if args.spec:
+        from edgerunner_tpu.train.checkpoint import restore_pytree, tolerant_merge
+
+        params = tolerant_merge(params, restore_pytree(args.spec),
+                                log=lambda *a: None)
+    params = cast_params(params, jnp.bfloat16)
     model = init_model
     if w_quant:
         from edgerunner_tpu.ops.w_quant import quantize_lmm_params

@@ -153,6 +153,15 @@ class Options:
     # int8 decoder projection weights for decoding (weight-only quantization,
     # per-output-column scales; halves the per-step weight HBM traffic)
     w_quant: bool = False
+    # Medusa-style multi-token-prediction draft heads: head k predicts token
+    # t+2+k; enables speculative decoding (--spec_decode). 0 = off.
+    mtp_heads: int = 0
+    # weight of the draft heads' auxiliary CE during training
+    mtp_loss_weight: float = 0.2
+    # speculative decoding at inference: propose 1 + mtp_heads tokens per
+    # decoder pass, verify in one multi-query pass, keep the accepted prefix
+    # (greedy mode only; output is IDENTICAL to vanilla greedy decode)
+    spec_decode: bool = False
     # gradient-checkpointing policy for the decoder layers: 'full' recomputes
     # everything in backward (default — measured equal speed on v5e since
     # XLA CSEs the replayed forward); 'attn' saves attention outputs

@@ -31,6 +31,10 @@ def round_up_bucket(n: int, bucket: int) -> int:
     return max(bucket, -(-n // bucket) * bucket)
 
 
+# segment length: device-program runtime bound (tests shrink it to exercise
+# segment boundaries)
+DECODE_CHUNK = 2048
+
 # jitted decode closures, keyed by (model identity, static decode shape/mode)
 _DECODE_CACHE: dict = {}
 
@@ -54,7 +58,7 @@ def _get_decode_fn(model: LMM, *, num_new: int, max_len: int, mode: str,
     # the decode runs in bounded segments (<= CHUNK steps per device program):
     # a single 16k-step while_loop is one very long XLA execution, which the
     # runtime can kill; segments also allow host-side early exit on EOS
-    CHUNK = 2048
+    CHUNK = DECODE_CHUNK
 
     def loop(params, tokens, next_logits, k_cache, v_cache, plen, init_state,
              done, rng, i, end):
@@ -107,7 +111,7 @@ def _get_decode_fn(model: LMM, *, num_new: int, max_len: int, mode: str,
     loop_jit = jax.jit(loop, donate_argnums=(1, 2, 3, 4, 6, 7))
 
     def decode(params, conds, num_faces, prompt_ids, init_state, rng):
-        next_logits, k_cache, v_cache, plen = prefill_jit(
+        next_logits, _, k_cache, v_cache, plen = prefill_jit(
             params, conds, num_faces, prompt_ids)
         B = prompt_ids.shape[0]
         tokens = jnp.zeros((B, num_new), jnp.int32)
@@ -121,6 +125,148 @@ def _get_decode_fn(model: LMM, *, num_new: int, max_len: int, mode: str,
             if bool(jnp.all(done)):
                 break
         return tokens, i
+
+    _DECODE_CACHE[key] = decode
+    return decode
+
+
+def _get_spec_decode_fn(model: LMM, *, num_new: int, max_len: int,
+                        num_draft: int, no_eos: bool = False):
+    """Speculative decoding (greedy, grammar-constrained): each iteration
+    proposes 1 + num_draft tokens (the model's own next greedy token + the
+    MTP draft heads, grammar-chained), verifies them in ONE multi-query
+    decoder pass (weights read once for all proposals), and keeps the
+    accepted prefix. Output is IDENTICAL to vanilla greedy decode — the
+    draft heads only change how many tokens each pass yields (1..T per
+    pass, plus rows advance independently via per-row cache indices)."""
+    key = (id(model), num_new, max_len, "spec", num_draft, no_eos)
+    if key in _DECODE_CACHE:
+        return _DECODE_CACHE[key]
+
+    opt = model.opt
+    vocab = vocab_size_for(opt)
+    T = 1 + num_draft
+
+    def prefill(params, conds, num_faces, prompt_ids):
+        return model.apply(params, conds, num_faces, prompt_ids, max_len,
+                           method=LMM.prefill)
+
+    CHUNK = DECODE_CHUNK
+
+    def masked_greedy(logits, gstate):
+        mask = S.grammar_mask(gstate, vocab)
+        if no_eos:
+            ids = jax.lax.broadcasted_iota(jnp.int32, mask.shape, 1)
+            mask = mask & (ids != S.EOS_ID)
+        return S.greedy_token(S.apply_mask(logits, mask))
+
+    def loop(params, tokens, next_logits, h_last, k_cache, v_cache, plen,
+             init_state, done, n, end):
+        B = next_logits.shape[0]
+
+        def cond_fn(carry):
+            n, done = carry[6], carry[5]
+            return ((~done) & (n < end)).any()
+
+        def body_fn(carry):
+            (tokens, logits_in, h_last, k_cache, v_cache, done, n,
+             gstate) = carry
+            logits = logits_in[:, 0].astype(jnp.float32)  # [B, V] frontier
+
+            # ---- propose T tokens, chaining the grammar FSM
+            g_chain = [gstate]
+            p0 = masked_greedy(logits, gstate)
+            props = [p0]
+            gs = S.grammar_advance(gstate, p0)
+            g_chain.append(gs)
+            draft = model.apply(params, h_last, method=LMM.mtp_logits)
+            for k in range(num_draft):
+                lg = draft[k][:, 0].astype(jnp.float32)
+                pk = masked_greedy(lg, gs)
+                props.append(pk)
+                gs = S.grammar_advance(gs, pk)
+                g_chain.append(gs)
+            P = jnp.stack(props, axis=1).astype(jnp.int32)  # [B, T]
+
+            # ---- verify all proposals in one pass (per-row positions)
+            idx_vec = (plen + n).astype(jnp.int32)
+            logits_v, h_v, k_cache, v_cache = model.apply(
+                params, P, k_cache, v_cache, idx_vec, method=LMM.verify_step)
+            logits_v = logits_v.astype(jnp.float32)         # [B, T, V]
+
+            # ---- accept the longest prefix the model itself would emit
+            acc = jnp.ones((B,), bool)
+            a = jnp.ones((B,), jnp.int32)                   # p0 always accepted
+            for t in range(1, T):
+                model_t = masked_greedy(logits_v[:, t - 1], g_chain[t])
+                acc = acc & (model_t == P[:, t]) & (P[:, t - 1] != S.EOS_ID)
+                a = a + acc.astype(jnp.int32)
+            a = jnp.minimum(a, end - n)
+            a = jnp.where(done, 0, a)
+
+            # ---- emit (tokens buffer is padded by T cols so per-row writes
+            # never clamp onto earlier positions; rejected slots get
+            # overwritten by the next iteration's writes)
+            P_emit = jnp.where(done[:, None], S.PAD_ID, P)
+            tokens = jax.vmap(
+                lambda row, p, i: jax.lax.dynamic_update_slice(row, p, (i,))
+            )(tokens, P_emit, n)
+
+            # ---- new frontier: logits/hidden at the last accepted position
+            # (cast back to the carry dtypes — verification math runs f32)
+            sel = jnp.maximum(a - 1, 0)
+            logits_new = jnp.take_along_axis(
+                logits_v, sel[:, None, None], axis=1)       # [B, 1, V]
+            logits_new = logits_new.astype(logits_in.dtype)
+            h_new = jnp.take_along_axis(
+                h_v, sel[:, None, None], axis=1).astype(h_last.dtype)
+            # keep the old frontier for rows that accepted nothing (done)
+            logits_new = jnp.where((a > 0)[:, None, None], logits_new,
+                                   logits_in)
+            h_new = jnp.where((a > 0)[:, None, None], h_new, h_last)
+
+            # ---- grammar state after the accepted prefix: g_chain[a]
+            counters = jnp.stack([g.counter for g in g_chain], 0)  # [T+1, B]
+            firsts = jnp.stack([g.is_first for g in g_chain], 0)
+            rows = jnp.arange(B)
+            gstate = S.GrammarState(counter=counters[a, rows],
+                                    is_first=firsts[a, rows])
+
+            t_ids = jnp.arange(T, dtype=jnp.int32)
+            emitted_eos = ((P == S.EOS_ID) & (t_ids[None] < a[:, None])).any(1)
+            # done tracks EOS only; rows at the segment boundary (n == end)
+            # stall via a == 0 and resume in the next segment
+            done = done | emitted_eos
+            n = n + a
+            return (tokens, logits_new, h_new, k_cache, v_cache, done, n,
+                    gstate)
+
+        carry = (tokens, next_logits, h_last, k_cache, v_cache, done, n,
+                 init_state)
+        return jax.lax.while_loop(cond_fn, body_fn, carry)
+
+    prefill_jit = jax.jit(prefill)
+    loop_jit = jax.jit(loop, donate_argnums=(1, 2, 3, 4, 5, 7, 8))
+
+    def decode(params, conds, num_faces, prompt_ids, init_state, rng):
+        next_logits, h_last, k_cache, v_cache, plen = prefill_jit(
+            params, conds, num_faces, prompt_ids)
+        B = prompt_ids.shape[0]
+        tokens = jnp.zeros((B, num_new + T), jnp.int32)  # +T: write headroom
+        done = jnp.zeros((B,), bool)
+        n = jnp.zeros((B,), jnp.int32)
+        for seg_end in range(CHUNK, num_new + CHUNK, CHUNK):
+            end = jnp.asarray(min(seg_end, num_new))
+            (tokens, next_logits, h_last, k_cache, v_cache, done, n,
+             init_state) = loop_jit(params, tokens, next_logits, h_last,
+                                    k_cache, v_cache, plen, init_state,
+                                    done, n, end)
+            if bool(jnp.all(done)):
+                break
+        # PAD everything past each row's emitted count (incl. headroom)
+        cols = jnp.arange(num_new + T)[None]
+        tokens = jnp.where(cols < n[:, None], tokens, S.PAD_ID)
+        return tokens[:, :num_new], n
 
     _DECODE_CACHE[key] = decode
     return decode
@@ -177,14 +323,27 @@ def generate_tokens(
     num_new = round_up_bucket(budget, opt.decode_bucket)
     num_new = min(num_new, round_up_bucket(limit, opt.decode_bucket))
     # cache length rounded to the pallas decode block so the fused
-    # decode-attention kernel applies (512-aligned)
+    # decode-attention kernel applies (512-aligned); speculative decode can
+    # write up to mtp_heads rows past the budget (rejected proposals)
+    spec_margin = (1 + opt.mtp_heads) if opt.spec_decode else 0
     max_len = round_up_bucket(
-        prompt.shape[1] + opt.num_cond_tokens + num_new, 512)
+        prompt.shape[1] + opt.num_cond_tokens + num_new + spec_margin, 512)
 
     nf = jnp.full((B,), num_faces, jnp.int32)
-    decode = _get_decode_fn(
-        model, num_new=int(num_new), max_len=int(max_len),
-        mode=opt.generate_mode, use_grammar=use_grammar, no_eos=bench_no_eos)
+    spec = (opt.spec_decode and opt.mtp_heads > 0
+            and opt.generate_mode == "greedy" and use_grammar)
+    if opt.spec_decode and not spec:
+        print("[WARN] spec_decode needs mtp_heads > 0, greedy mode and the "
+              "meto grammar; falling back to vanilla decode")
+    if spec:
+        decode = _get_spec_decode_fn(
+            model, num_new=int(num_new), max_len=int(max_len),
+            num_draft=opt.mtp_heads, no_eos=bench_no_eos)
+    else:
+        decode = _get_decode_fn(
+            model, num_new=int(num_new), max_len=int(max_len),
+            mode=opt.generate_mode, use_grammar=use_grammar,
+            no_eos=bench_no_eos)
     tokens, n = decode(params, jnp.asarray(conds), nf, jnp.asarray(prompt),
                        init_state, rng)
     tokens = np.asarray(tokens)

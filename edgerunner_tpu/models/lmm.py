@@ -87,6 +87,7 @@ class LMM(nn.Module):
             kv_quant=opt.kv_quant,
             kv_bits=opt.kv_bits,
             w_quant=opt.w_quant,
+            mtp_heads=opt.mtp_heads,
         )
         self.mesh_decoder = ShapeOPT(cfg, name="mesh_decoder")
 
@@ -143,7 +144,7 @@ class LMM(nn.Module):
         else:
             inputs_embeds = token_embeds
 
-        logits, loss_ce = self.mesh_decoder(
+        logits, loss_ce, loss_mtp = self.mesh_decoder(
             inputs_embeds, labels=labels, lengths=lengths,
             deterministic=not train)
 
@@ -152,6 +153,9 @@ class LMM(nn.Module):
         if opt.cond_mode == "point":
             out["loss_kl"] = kl
             loss = loss + opt.kl_weight * kl
+        if loss_mtp is not None:
+            out["loss_mtp"] = loss_mtp
+            loss = loss + opt.mtp_loss_weight * loss_mtp
         out["loss"] = loss
         return out
 
@@ -168,8 +172,15 @@ class LMM(nn.Module):
             embeds = jnp.concatenate([cond_embeds, tok], axis=1)
         else:
             embeds = tok
-        logits, k, v = self.mesh_decoder.prefill(embeds, max_len)
-        return logits, k, v, embeds.shape[1]
+        logits, h_last, k, v = self.mesh_decoder.prefill(embeds, max_len)
+        return logits, h_last, k, v, embeds.shape[1]
 
     def step(self, token_ids, k_cache, v_cache, index):
         return self.mesh_decoder.step(token_ids, k_cache, v_cache, index)
+
+    def verify_step(self, token_ids, k_cache, v_cache, index_vec):
+        return self.mesh_decoder.verify_step(token_ids, k_cache, v_cache,
+                                             index_vec)
+
+    def mtp_logits(self, h):
+        return self.mesh_decoder.mtp_logits(h)

@@ -63,6 +63,11 @@ class ShapeOPTConfig:
     kv_quant: bool = False  # quantized KV cache for decode
     kv_bits: int = 8        # 8 (int8) or 4 (packed nibbles) when kv_quant
     w_quant: bool = False   # int8 projection weights for decode
+    # multi-token-prediction draft heads (Medusa-style) for speculative
+    # decoding: head k predicts token t+2+k from the hidden state at t.
+    # 0 disables. Heads are a zero-init residual block + the shared lm_head,
+    # trained with an auxiliary CE (see ShapeOPT.__call__).
+    mtp_heads: int = 0
 
     @property
     def head_dim(self) -> int:
@@ -71,6 +76,14 @@ class ShapeOPTConfig:
 
 def scaled_out_init(std: float, num_layers: int):
     return nn.initializers.normal(stddev=std / jnp.sqrt(2 * num_layers))
+
+
+def _rows_update(cache, rows, idx_vec):
+    """Write rows [B, T, D] into cache [B, L, D] at per-row offsets idx_vec
+    [B] (vmapped dynamic_update_slice -> in-place scatter under donation)."""
+    return jax.vmap(
+        lambda c, r, i: jax.lax.dynamic_update_slice(c, r, (i, 0))
+    )(cache, rows.astype(cache.dtype), idx_vec)
 
 
 class OPTAttention(nn.Module):
@@ -180,6 +193,82 @@ class OPTAttention(nn.Module):
         vh = v_cache.reshape(B, L, c.num_attention_heads, c.head_dim)
         return decode_attention(q, kh, vh, index + 1).reshape(B, 1, -1)
 
+    def _attend_cache_multi(self, qf, k_cache, v_cache, index_vec):
+        """T-query attention over the cache (speculative verify pass).
+
+        qf: [B, T, C]; index_vec: [B] per-row base positions (the T proposal
+        rows are already written at index_vec[b] .. index_vec[b]+T-1)."""
+        c = self.cfg
+        B, T, _ = qf.shape
+        from edgerunner_tpu.ops.attention import decode_attention_multi
+        from edgerunner_tpu.ops.decode_attention_pallas import (
+            DEFAULT_BLOCK,
+            fused_decode_attention_multi,
+            fused_decode_attention_q8_multi,
+        )
+
+        H, Dh = c.num_attention_heads, c.head_dim
+        if c.kv_quant:
+            kv_vals, scales = k_cache, v_cache
+            L, hd2 = kv_vals.shape[1], kv_vals.shape[2]
+            if jax.default_backend() == "tpu" and c.kv_bits == 8 \
+                    and L % DEFAULT_BLOCK == 0 and hd2 % 256 == 0:
+                return fused_decode_attention_q8_multi(
+                    qf.reshape(B, T, -1), kv_vals, scales, index_vec,
+                    num_heads=H)
+            hd = hd2 // 2
+            if c.kv_bits == 4:
+                from edgerunner_tpu.ops.kv_quant import dequantize_rows_int4
+
+                kd = dequantize_rows_int4(kv_vals[..., :hd], scales, c.dtype, 0)
+                vd = dequantize_rows_int4(kv_vals[..., hd:], scales, c.dtype, 1)
+            else:
+                from edgerunner_tpu.ops.kv_quant import dequantize_rows
+
+                kd = dequantize_rows(kv_vals[..., :hd], scales, c.dtype, 0)
+                vd = dequantize_rows(kv_vals[..., hd:], scales, c.dtype, 1)
+            L2 = kd.shape[1]
+            return decode_attention_multi(
+                self._heads(qf), kd.reshape(B, L2, H, Dh),
+                vd.reshape(B, L2, H, Dh), index_vec).reshape(B, T, -1)
+        L = k_cache.shape[1]
+        if jax.default_backend() == "tpu" and L % DEFAULT_BLOCK == 0 \
+                and k_cache.shape[-1] % 128 == 0:
+            return fused_decode_attention_multi(
+                qf.reshape(B, T, -1), k_cache, v_cache, index_vec, num_heads=H)
+        return decode_attention_multi(
+            self._heads(qf), k_cache.reshape(B, L, H, Dh),
+            v_cache.reshape(B, L, H, Dh), index_vec).reshape(B, T, -1)
+
+    def verify_step(self, h, k_cache, v_cache, index_vec):
+        """h: [B, T, C] embeds of T proposal tokens; index_vec: [B] per-row
+        positions of proposal 0. Writes T cache rows per row, attends with
+        within-chunk causality, returns (out [B,T,C], caches)."""
+        c = self.cfg
+        qf = self.q_proj(h)
+        kf = self.k_proj(h)
+        vf = self.v_proj(h)
+
+        if c.kv_quant:
+            from edgerunner_tpu.ops.kv_quant import (
+                pack_scales,
+                quantize_rows,
+                quantize_rows_int4,
+            )
+
+            qfn = quantize_rows_int4 if c.kv_bits == 4 else quantize_rows
+            kq, ks = qfn(kf)
+            vq, vs = qfn(vf)
+            k_cache = _rows_update(k_cache, jnp.concatenate([kq, vq], -1),
+                                   index_vec)
+            v_cache = _rows_update(v_cache, pack_scales(ks, vs), index_vec)
+        else:
+            k_cache = _rows_update(k_cache, kf, index_vec)
+            v_cache = _rows_update(v_cache, vf, index_vec)
+
+        o = self._attend_cache_multi(qf, k_cache, v_cache, index_vec)
+        return self.out_proj(o), k_cache, v_cache
+
     def step(self, h, k_cache, v_cache, index):
         """h: [B, 1, C]; index: position. Cache per layer is either packed
         [B, L, H*Dh] (k_cache/v_cache) or, with kv_quant, k_cache = int8
@@ -249,6 +338,12 @@ class OPTDecoderLayer(nn.Module):
 
     def step(self, h, k_cache, v_cache, index):
         a, k_cache, v_cache = self.self_attn.step(h, k_cache, v_cache, index)
+        h = self.self_attn_layer_norm(h + a).astype(self.cfg.dtype)
+        return self._mlp(h, True), k_cache, v_cache
+
+    def verify_step(self, h, k_cache, v_cache, index_vec):
+        a, k_cache, v_cache = self.self_attn.verify_step(
+            h, k_cache, v_cache, index_vec)
         h = self.self_attn_layer_norm(h + a).astype(self.cfg.dtype)
         return self._mlp(h, True), k_cache, v_cache
 
@@ -353,6 +448,22 @@ class ShapeOPTDecoder(nn.Module):
             new_v.append(v)
         return h, tuple(new_k), tuple(new_v)
 
+    def verify_step(self, token_ids, k_cache, v_cache, index_vec):
+        """Speculative-verify forward: token_ids [B, T] proposals, index_vec
+        [B] per-row cache positions of proposal 0. One pass for all T tokens
+        (weights read once), causal within the chunk. Returns
+        (hidden [B, T, C], caches)."""
+        T = token_ids.shape[1]
+        h = self.embed_tokens(token_ids)
+        pos_ids = index_vec[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
+        h = h + self.embed_positions(pos_ids).astype(self.cfg.dtype)
+        new_k, new_v = [], []
+        for i, layer in enumerate(self.layers):
+            h, k, v = layer.verify_step(h, k_cache[i], v_cache[i], index_vec)
+            new_k.append(k)
+            new_v.append(v)
+        return h, tuple(new_k), tuple(new_v)
+
 
 class ShapeOPT(nn.Module):
     """Decoder + LM head (+ shifted-CE loss helper)
@@ -366,15 +477,36 @@ class ShapeOPT(nn.Module):
         # but its error would land directly on the sampled logits
         self.lm_head = Dense(self.cfg.vocab_size, use_bias=False,
                              dtype=self.cfg.dtype, name="lm_head")
+        if self.cfg.mtp_heads > 0:
+            # zero-init residual blocks: head k starts as the base lm_head
+            # distribution (Medusa-style warm start)
+            self.mtp_proj = [
+                Dense(self.cfg.hidden_dim, dtype=self.cfg.dtype,
+                      kernel_init=nn.initializers.zeros, name=f"mtp_{k}")
+                for k in range(self.cfg.mtp_heads)
+            ]
+
+    def mtp_logits(self, h):
+        """Draft-head logits from hidden states h [..., C]: returns a list of
+        cfg.mtp_heads arrays [..., V]; head k predicts the token 2+k
+        positions ahead of h's position."""
+        return [self.lm_head(h + jax.nn.silu(p(h)).astype(self.cfg.dtype))
+                for p in self.mtp_proj]
 
     def __call__(self, inputs_embeds, *, labels=None, lengths=None,
                  deterministic: bool = True):
         h = self.model(inputs_embeds, lengths=lengths, deterministic=deterministic)
         logits = self.lm_head(h)
         loss = None
+        loss_mtp = None
         if labels is not None:
             loss = shifted_cross_entropy(logits, labels)
-        return logits, loss
+            if self.cfg.mtp_heads > 0:
+                aux = []
+                for k, lg in enumerate(self.mtp_logits(h)):
+                    aux.append(shifted_cross_entropy(lg, labels, shift=2 + k))
+                loss_mtp = sum(aux) / len(aux)
+        return logits, loss, loss_mtp
 
     def embed_tokens(self, ids):
         return self.model.embed_tokens(ids)
@@ -382,18 +514,26 @@ class ShapeOPT(nn.Module):
     def prefill(self, inputs_embeds, max_len: int):
         h, k, v = self.model.prefill(inputs_embeds, max_len)
         logits = self.lm_head(h[:, -1:])  # next-token logits after the prompt
-        return logits, k, v
+        return logits, h[:, -1:], k, v
 
     def step(self, token_ids, k_cache, v_cache, index):
         h, k, v = self.model.step(token_ids, k_cache, v_cache, index)
         return self.lm_head(h), k, v
 
+    def verify_step(self, token_ids, k_cache, v_cache, index_vec):
+        """Speculative verify: returns (logits [B,T,V], hidden [B,T,C],
+        caches) for T proposal tokens at per-row positions index_vec."""
+        h, k, v = self.model.verify_step(token_ids, k_cache, v_cache, index_vec)
+        return self.lm_head(h), h, k, v
 
-def shifted_cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
-    """Mean CE of logits[:, :-1] vs labels[:, 1:], ignoring label == -100
-    (reference: modeling_opt.py:499-505)."""
-    shift_logits = logits[:, :-1].astype(jnp.float32)
-    shift_labels = labels[:, 1:]
+
+def shifted_cross_entropy(logits: jax.Array, labels: jax.Array,
+                          shift: int = 1) -> jax.Array:
+    """Mean CE of logits[:, :-shift] vs labels[:, shift:], ignoring
+    label == -100 (reference: modeling_opt.py:499-505; shift > 1 trains the
+    multi-token-prediction draft heads)."""
+    shift_logits = logits[:, :-shift].astype(jnp.float32)
+    shift_labels = labels[:, shift:]
     valid = shift_labels != -100
     safe = jnp.where(valid, shift_labels, 0)
     logp = jax.nn.log_softmax(shift_logits, axis=-1)

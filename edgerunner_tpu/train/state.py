@@ -125,6 +125,8 @@ def make_train_step(model, tx):
         }
         if "loss_kl" in out:
             metrics["loss_kl"] = out["loss_kl"]
+        if "loss_mtp" in out:
+            metrics["loss_mtp"] = out["loss_mtp"]
         return TrainState(params, opt_state, state.step + 1), metrics
 
     return train_step

@@ -54,10 +54,10 @@ def test_padding_invariance():
     embeds_fn = lambda p, i: model.apply(p, i, method=ShapeOPT.embed_tokens)
     params = model.init(RNG, ids)
     emb8 = embeds_fn(params, ids)
-    logits8, _ = model.apply(params, emb8, lengths=jnp.array([8]))
+    logits8, _, _ = model.apply(params, emb8, lengths=jnp.array([8]))
     ids12 = jnp.pad(ids, ((0, 0), (0, 4)))  # pad with PAD=0 tokens
     emb12 = embeds_fn(params, ids12)
-    logits12, _ = model.apply(params, emb12, lengths=jnp.array([8]))
+    logits12, _, _ = model.apply(params, emb12, lengths=jnp.array([8]))
     np.testing.assert_allclose(
         np.asarray(logits8), np.asarray(logits12[:, :8]), rtol=1e-4, atol=1e-5)
 
@@ -68,10 +68,10 @@ def test_prefill_step_matches_full_forward():
     ids = jax.random.randint(RNG, (2, 5), 3, 50)
     params = model.init(RNG, ids)
     emb = model.apply(params, ids, method=ShapeOPT.embed_tokens)
-    full_logits, _ = model.apply(params, emb)
+    full_logits, _, _ = model.apply(params, emb)
 
     prefix = emb[:, :3]
-    logits_p, k, v = model.apply(params, prefix, 16, method=ShapeOPT.prefill)
+    logits_p, _, k, v = model.apply(params, prefix, 16, method=ShapeOPT.prefill)
     np.testing.assert_allclose(
         np.asarray(logits_p[:, 0]), np.asarray(full_logits[:, 2]), rtol=2e-4, atol=1e-5)
     # step tokens 3 and 4

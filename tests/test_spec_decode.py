@@ -1,0 +1,155 @@
+"""Speculative decoding: the output must be IDENTICAL to vanilla greedy
+decode regardless of draft-head quality (the heads only change how many
+tokens each decoder pass yields), and the MTP training loss must wire up.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from edgerunner_tpu.config import Options
+from edgerunner_tpu.generate import generate_tokens
+from edgerunner_tpu.models.lmm import LMM
+
+RNG = jax.random.PRNGKey(0)
+
+
+def _opt(**kw):
+    return Options(cond_mode="point", point_latent_size=16, num_cond_tokens=17,
+                   point_hidden_dim=32, point_num_heads=4, point_latent_dim=8,
+                   hidden_dim=64, num_layers=2, num_heads=4, max_seq_length=256,
+                   use_num_face_cond=True, checkpointing=False, decode_bucket=64,
+                   generate_mode="greedy", point_num=64, **kw)
+
+
+def _init(model, opt, B=2):
+    conds = jax.random.normal(RNG, (B, 32, 3))
+    tokens = jnp.array([[1, 6, 7, 8, 2]] * B)
+    labels = jnp.concatenate([jnp.full((B, 18), -100), tokens[:, 1:]], axis=1)
+    params = model.init({"params": RNG, "nof": RNG, "dropout": RNG},
+                        conds, tokens, labels, jnp.full((B,), 100),
+                        jnp.full((B,), 23, jnp.int32))
+    return params, np.asarray(conds)
+
+
+def test_mtp_training_loss_wires_up():
+    opt = _opt(mtp_heads=2)
+    model = LMM(opt)
+    B = 2
+    conds = jax.random.normal(RNG, (B, 32, 3))
+    M = 24
+    tokens = jnp.concatenate(
+        [jnp.full((B, 1), 1), jnp.full((B, M), 7), jnp.full((B, 1), 2)], 1)
+    labels = jnp.concatenate(
+        [jnp.full((B, 18), -100), tokens[:, 1:]], axis=1)
+    params = model.init({"params": RNG, "nof": RNG, "dropout": RNG},
+                        conds, tokens, labels, jnp.full((B,), 100),
+                        jnp.full((B,), 18 + M + 1, jnp.int32))
+    out = model.apply(params, conds, tokens, labels, jnp.full((B,), 100),
+                      jnp.full((B,), 18 + M + 1, jnp.int32))
+    assert "loss_mtp" in out and np.isfinite(float(out["loss_mtp"]))
+    # zero-init heads: head k == base head, so its shifted CE is finite and
+    # the total loss includes the weighted aux term
+    assert float(out["loss"]) > float(out["loss_ce"]) - 1e-6
+    # params contain the head blocks
+    assert "mtp_0" in params["params"]["mesh_decoder"]
+    assert "mtp_1" in params["params"]["mesh_decoder"]
+
+
+@pytest.mark.parametrize("kv_quant", [False, True])
+def test_spec_decode_matches_vanilla_greedy(kv_quant):
+    opt_v = _opt(kv_quant=kv_quant)
+    opt_s = _opt(kv_quant=kv_quant, mtp_heads=2, spec_decode=True)
+
+    # params from the spec model (superset: heads extra); vanilla model reads
+    # the shared subset — flax ignores extra collections? No: use the spec
+    # params for both by dropping head params for the vanilla model.
+    model_s = LMM(opt_s)
+    params_s, conds = _init(model_s, opt_s)
+
+    params_v = jax.tree_util.tree_map(lambda x: x, params_s)  # shallow copy
+    dec = dict(params_v["params"]["mesh_decoder"])
+    dec.pop("mtp_0")
+    dec.pop("mtp_1")
+    inner = dict(params_v["params"])
+    inner["mesh_decoder"] = dec
+    params_v = {"params": inner}
+    model_v = LMM(opt_v)
+
+    out_v = generate_tokens(model_v, params_v, conds, num_faces=8, rng=RNG)
+    out_s = generate_tokens(model_s, params_s, conds, num_faces=8, rng=RNG)
+    np.testing.assert_array_equal(out_v, out_s)
+
+
+def test_spec_decode_with_trained_heads_still_exact():
+    """Make the draft heads actually predictive (copyable structure: train a
+    few steps so heads deviate from zero-init), then assert exactness again."""
+    import optax
+
+    opt_s = _opt(mtp_heads=2, spec_decode=True, kv_quant=False)
+    model = LMM(opt_s)
+    params, conds = _init(model, opt_s)
+
+    B, M = 2, 32
+    tokens = jnp.concatenate(
+        [jnp.full((B, 1), 1),
+         jnp.tile(jnp.array([[5] + [7] * 9] * B), (1, 3))[:, :M],
+         jnp.full((B, 1), 2)], 1)
+    labels = jnp.concatenate([jnp.full((B, 18), -100), tokens[:, 1:]], 1)
+    lengths = jnp.full((B,), 18 + M + 1, jnp.int32)
+    nf = jnp.full((B,), 100)
+
+    tx = optax.adam(1e-3)
+    ost = tx.init(params)
+
+    @jax.jit
+    def step(params, ost):
+        def loss_fn(p):
+            out = model.apply(p, conds, tokens, labels, nf, lengths)
+            return out["loss"]
+        g = jax.grad(loss_fn)(params)
+        up, ost2 = tx.update(g, ost)
+        return optax.apply_updates(params, up), ost2
+
+    for _ in range(5):
+        params, ost = step(params, ost)
+
+    params_v = {"params": dict(params["params"])}
+    dec = dict(params_v["params"]["mesh_decoder"])
+    dec.pop("mtp_0")
+    dec.pop("mtp_1")
+    params_v["params"]["mesh_decoder"] = dec
+    model_v = LMM(_opt(kv_quant=False))
+
+    out_v = generate_tokens(model_v, params_v, np.asarray(conds),
+                            num_faces=8, rng=RNG)
+    out_s = generate_tokens(model, params, np.asarray(conds),
+                            num_faces=8, rng=RNG)
+    np.testing.assert_array_equal(out_v, out_s)
+
+
+def test_spec_decode_across_segments(monkeypatch):
+    """Rows must resume decoding after a segment boundary (the loop stalls
+    rows at n == end, then continues them in the next device program)."""
+    import edgerunner_tpu.generate as G
+
+    monkeypatch.setattr(G, "DECODE_CHUNK", 16)
+    opt_s = _opt(mtp_heads=2, spec_decode=True)
+    model_s = LMM(opt_s)
+    params_s, conds = _init(model_s, opt_s)
+
+    params_v = {"params": dict(params_s["params"])}
+    dec = dict(params_v["params"]["mesh_decoder"])
+    dec.pop("mtp_0")
+    dec.pop("mtp_1")
+    params_v["params"]["mesh_decoder"] = dec
+    model_v = LMM(_opt())
+
+    out_s = generate_tokens(model_s, params_s, conds, num_faces=8, rng=RNG,
+                            bench_no_eos=True)  # force full-budget decode
+    out_v = generate_tokens(model_v, params_v, conds, num_faces=8, rng=RNG,
+                            bench_no_eos=True)
+    np.testing.assert_array_equal(out_v, out_s)
