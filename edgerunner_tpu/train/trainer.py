@@ -198,6 +198,8 @@ class Trainer:
                     log += f" loss_ce: {float(metrics['loss_ce']):.6f}"
                 if "loss_kl" in metrics:
                     log += f" loss_kl: {float(metrics['loss_kl']):.6f}"
+                if "loss_mtp" in metrics:
+                    log += f" loss_mtp: {float(metrics['loss_mtp']):.6f}"
                 self.log(log)
         dt = (time.time() - t_start) / 60
         avg = total_loss / max(n, 1)

@@ -42,14 +42,21 @@ def main():
     rng = jax.random.PRNGKey(opt.seed)
     tokenizer, _ = get_tokenizer(opt)
 
-    model = LMM(opt)
-    params = init_lmm_params(model, opt, rng)
+    # checkpoints store dense kernels: load with w_quant off, quantize after
+    load_opt = dataclasses.replace(opt, w_quant=False)
+    model = LMM(load_opt)
+    params = init_lmm_params(model, load_opt, rng)
     if opt.resume is not None:
         params = tolerant_merge(params, restore_pytree(opt.resume),
                                 align_posemb=opt.align_posemb)
         print(f"[INFO] Loaded ArAE checkpoint from {opt.resume}")
     else:
         print("[WARN] ArAE randomly initialized, are you sane?")
+    if opt.w_quant:
+        from edgerunner_tpu.ops.w_quant import quantize_lmm_params
+
+        model = LMM(opt)
+        params = quantize_lmm_params(params)
 
     model_dit = MDiT(opt)
     from main_dit import init_mdit_params

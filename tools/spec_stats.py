@@ -1,0 +1,140 @@
+"""Measure speculative-decoding draft-head acceptance from a checkpoint.
+
+Generates greedy streams (vanilla decode), then teacher-forces them once to
+compute each MTP head's argmax agreement with the actual stream:
+  head k at position t predicts token t+2+k; acceptance of proposal k+1
+  requires heads 1..k all correct, so expected tokens per decoder pass is
+  ~ 1 + m1 + m1*m2 + ... (mk = head-k match rate over grammar-valid
+  positions). The speedup upper bound is tokens/pass (verification passes
+  cost about one decode step each).
+
+Usage:
+    python tools/spec_stats.py --resume CKPT --mtp_heads 2 [--batch 4]
+        [--faces 300] [--out evidence/spec_stats.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--resume", required=True)
+    ap.add_argument("--mtp_heads", type=int, default=2)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--faces", type=int, default=300)
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--out", type=str, default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from edgerunner_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from edgerunner_tpu.config import config_defaults
+    from edgerunner_tpu.generate import generate_tokens
+    from edgerunner_tpu.models.lmm import LMM
+    from edgerunner_tpu.train.checkpoint import (
+        init_lmm_params,
+        restore_pytree,
+        tolerant_merge,
+    )
+    from edgerunner_tpu.utils import cast_params
+
+    opt = dataclasses.replace(config_defaults["ArAE"], generate_mode="greedy",
+                              mtp_heads=args.mtp_heads)
+    if args.tiny:
+        opt = dataclasses.replace(
+            opt, hidden_dim=64, num_layers=2, num_heads=4,
+            point_hidden_dim=32, point_num_heads=4, point_latent_size=16,
+            point_latent_dim=8, num_cond_tokens=17, max_seq_length=512,
+            point_num=128, checkpointing=False, decode_bucket=128)
+        args.faces = min(args.faces, 12)
+
+    model = LMM(opt, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    params = init_lmm_params(model, opt, rng)
+    params = tolerant_merge(params, restore_pytree(args.resume),
+                            log=lambda *a: None)
+    params = cast_params(params, jnp.bfloat16)
+
+    conds = np.random.default_rng(0).normal(
+        size=(args.batch, opt.point_num, 3)).astype(np.float32)
+    streams = np.asarray(generate_tokens(model, params, conds,
+                                         num_faces=args.faces, rng=rng))
+    B, M = streams.shape
+
+    # teacher-force: cond + BOS + stream -> hidden states; head-k argmax at
+    # position i (of the token part) should equal streams[i + 1 + k]
+    # (head k predicts t+2+k where logits at t predict t+1)
+    @jax.jit
+    def heads_on_stream(params, conds, tokens):
+        def fn(m, conds, tokens):
+            nf = jnp.full((tokens.shape[0],), args.faces, jnp.int32)
+            cond_embeds, _ = m.encode_cond(conds, nf)
+            tok = m.mesh_decoder.embed_tokens(
+                jnp.concatenate([jnp.full((tokens.shape[0], 1), 1,
+                                          jnp.int32), tokens], 1))
+            embeds = jnp.concatenate([cond_embeds, tok], axis=1)
+            h = m.mesh_decoder.model(embeds)
+            heads = m.mesh_decoder.mtp_logits(h)
+            return [jnp.argmax(lg, -1) for lg in heads]
+
+        return model.apply(params, conds, jnp.asarray(tokens), method=fn)
+
+    preds = [np.asarray(p) for p in heads_on_stream(params, conds, streams)]
+    C = opt.num_cond_tokens  # cond block before BOS; token j sits at C+1+j
+
+    rows = []
+    rates = []
+    for k, pk in enumerate(preds):
+        # prediction made at stream position j (hidden at C+1+j) targets
+        # stream token j + 1 + k
+        hits, total = 0, 0
+        for b in range(B):
+            end = np.nonzero(streams[b] == 2)[0]
+            end = int(end[0]) + 1 if len(end) else M
+            for j in range(0, end - 1 - k - 1):
+                total += 1
+                hits += int(pk[b, C + 1 + j] == streams[b, j + 1 + k])
+        rates.append(hits / max(total, 1))
+        rows.append({"head": k, "match_rate": round(rates[-1], 4),
+                     "n": total})
+
+    exp_tokens = 1.0
+    acc = 1.0
+    for m in rates:
+        acc *= m
+        exp_tokens += acc
+
+    result = {
+        "weights": args.resume,
+        "mtp_heads": args.mtp_heads,
+        "batch": B,
+        "stream_len": int(M),
+        "head_match_rates": [round(r, 4) for r in rates],
+        "expected_tokens_per_pass": round(exp_tokens, 3),
+        "rows": rows,
+    }
+    print(json.dumps(result, indent=1))
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
