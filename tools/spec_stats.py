@@ -100,15 +100,15 @@ def main():
     rows = []
     rates = []
     for k, pk in enumerate(preds):
-        # prediction made at stream position j (hidden at C+1+j) targets
-        # stream token j + 1 + k
+        # hidden at position C+1+j (stream token j): main logits predict
+        # stream[j+1]; head k is trained with shift 2+k, i.e. stream[j+2+k]
         hits, total = 0, 0
         for b in range(B):
             end = np.nonzero(streams[b] == 2)[0]
             end = int(end[0]) + 1 if len(end) else M
-            for j in range(0, end - 1 - k - 1):
+            for j in range(0, end - 2 - k):
                 total += 1
-                hits += int(pk[b, C + 1 + j] == streams[b, j + 1 + k])
+                hits += int(pk[b, C + 1 + j] == streams[b, j + 2 + k])
         rates.append(hits / max(total, 1))
         rows.append({"head": k, "match_rate": round(rates[-1], 4),
                      "n": total})
