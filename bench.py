@@ -13,7 +13,8 @@ overhead -> 4096-token bucket) with EOS masked out so every row decodes the
 full budget — measuring sustained decode throughput rather than how early a
 randomly-initialized model happens to emit EOS.
 
-Default configuration: int8 KV cache + int8 decoder weights, batch 16.
+Default configuration: int8 KV cache + int8 decoder weights, batch 20
+(sweep with both quants: b16 22.2, b20 22.5, b24 OOM).
 Quality evidence (greedy token streams vs the exact bf16 configuration from
 a trained checkpoint): int8 KV 97.5% token match
 (evidence/kv_quant_quality.json), int8 weights 94.7%
@@ -38,7 +39,7 @@ batch 4 (readme.md:55) implies ~6k tok/s for a *parallel* teacher-forcing
 fwd+bwd at seq ~6k; serial decode with per-token host sync is 2 orders of
 magnitude below that, consistent with the 50 tok/s estimate.
 
-Flags: --tiny (CPU smoke), --batch N (default 16), --faces N (default 1000),
+Flags: --tiny (CPU smoke), --batch N (default 20), --faces N (default 1000),
 --no_kv_quant (exact bf16 cache), --skip_train (decode only).
 """
 
@@ -133,9 +134,9 @@ def train_probe(tiny: bool = False, steps: int = 3):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true", help="CPU smoke scale")
-    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=20)
     ap.add_argument("--faces", type=int, default=1000)
-    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--no_kv_quant", action="store_true",
                     help="exact bf16 KV cache instead of the int8 default")
     ap.add_argument("--no_w_quant", action="store_true",

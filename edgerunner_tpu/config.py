@@ -348,9 +348,18 @@ def validate(opt: Options) -> Options:
 
 
 def vocab_size_for(opt: Options) -> int:
-    """Vocabulary size rules (reference: core/models.py:77-84)."""
+    """Vocabulary size rules (reference: core/models.py:77-84).
+
+    CLERS: the reference never wires CLERS into its LMM (models.py handles
+    LR/LR_ABSCO only); here it is a first-class backend. Its parallelogram
+    residuals span (-2*bins, 2*bins) offset by +2*bins (ids reach 4*bins),
+    plus 7 ops (C/L/E/R/S/BOM/EOM) + 3 specials. The reference's LR rule
+    (2*bins+6) would clip the upper residual range out of the vocabulary.
+    """
     if opt.use_meto:
-        if opt.meto_backend in ("LR", "CLERS"):
+        if opt.meto_backend == "CLERS":
+            return 4 * opt.discrete_bins + 7 + 3
+        if opt.meto_backend == "LR":
             return 2 * opt.discrete_bins + 3 + 3
         return opt.discrete_bins + 3 + 3  # LR_ABSCO
     return opt.discrete_bins + 3

@@ -47,6 +47,7 @@ def _get_decode_fn(model: LMM, *, num_new: int, max_len: int, mode: str,
 
     opt = model.opt
     vocab = vocab_size_for(opt)
+    G = S.get_grammar(opt.meto_backend)
 
     # prefill and the decode loop are separate jits with the caches donated
     # into the loop: inside one program XLA double-buffers the while carry
@@ -73,7 +74,7 @@ def _get_decode_fn(model: LMM, *, num_new: int, max_len: int, mode: str,
             logits = logits[:, 0].astype(jnp.float32)  # [B, V]
 
             if use_grammar:
-                mask = S.grammar_mask(gstate, vocab)
+                mask = G.mask(gstate, vocab)
             else:
                 mask = S.naive_grammar_mask(i, B, vocab)
             if no_eos:
@@ -89,7 +90,7 @@ def _get_decode_fn(model: LMM, *, num_new: int, max_len: int, mode: str,
                 nxt = S.sample_token(logits, sub, top_k=top_k)
             nxt = jnp.where(done, S.PAD_ID, nxt).astype(jnp.int32)
 
-            gstate = S.grammar_advance(gstate, nxt)
+            gstate = G.advance(gstate, nxt)
             done = done | (nxt == S.EOS_ID)
             tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, i))
 
@@ -145,6 +146,7 @@ def _get_spec_decode_fn(model: LMM, *, num_new: int, max_len: int,
 
     opt = model.opt
     vocab = vocab_size_for(opt)
+    G = S.get_grammar(opt.meto_backend)
     T = 1 + num_draft
 
     def prefill(params, conds, num_faces, prompt_ids):
@@ -154,7 +156,7 @@ def _get_spec_decode_fn(model: LMM, *, num_new: int, max_len: int,
     CHUNK = DECODE_CHUNK
 
     def masked_greedy(logits, gstate):
-        mask = S.grammar_mask(gstate, vocab)
+        mask = G.mask(gstate, vocab)
         if no_eos:
             ids = jax.lax.broadcasted_iota(jnp.int32, mask.shape, 1)
             mask = mask & (ids != S.EOS_ID)
@@ -177,14 +179,14 @@ def _get_spec_decode_fn(model: LMM, *, num_new: int, max_len: int,
             g_chain = [gstate]
             p0 = masked_greedy(logits, gstate)
             props = [p0]
-            gs = S.grammar_advance(gstate, p0)
+            gs = G.advance(gstate, p0)
             g_chain.append(gs)
             draft = model.apply(params, h_last, method=LMM.mtp_logits)
             for k in range(num_draft):
                 lg = draft[k][:, 0].astype(jnp.float32)
                 pk = masked_greedy(lg, gs)
                 props.append(pk)
-                gs = S.grammar_advance(gs, pk)
+                gs = G.advance(gs, pk)
                 g_chain.append(gs)
             P = jnp.stack(props, axis=1).astype(jnp.int32)  # [B, T]
 
@@ -226,11 +228,10 @@ def _get_spec_decode_fn(model: LMM, *, num_new: int, max_len: int,
             h_new = jnp.where((a > 0)[:, None, None], h_new, h_last)
 
             # ---- grammar state after the accepted prefix: g_chain[a]
-            counters = jnp.stack([g.counter for g in g_chain], 0)  # [T+1, B]
-            firsts = jnp.stack([g.is_first for g in g_chain], 0)
+            # (generic over the FSM's NamedTuple fields)
             rows = jnp.arange(B)
-            gstate = S.GrammarState(counter=counters[a, rows],
-                                    is_first=firsts[a, rows])
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs, 0), *g_chain)
+            gstate = jax.tree.map(lambda x: x[a, rows], stacked)
 
             t_ids = jnp.arange(T, dtype=jnp.int32)
             emitted_eos = ((P == S.EOS_ID) & (t_ids[None] < a[:, None])).any(1)
@@ -295,18 +296,17 @@ def generate_tokens(
     if rng is None:
         rng = jax.random.PRNGKey(opt.seed)
 
-    if use_grammar and opt.use_meto and opt.meto_backend == "CLERS":
-        # the counter FSM models the LR token layouts only; the reference
-        # likewise disables constraints for CLERS (models.py:273-275)
-        print("[WARN] grammar constraints not defined for meto backend CLERS")
-        use_grammar = False
+    # grammar dispatch: LR/LR_ABSCO use the counter FSM, CLERS the
+    # branch-counting FSM (the reference disables constraints for CLERS,
+    # models.py:273-275 — here it is constrained too)
+    G = S.get_grammar(opt.meto_backend)
 
     prompt = np.full((B, 1), opt.bos_token_id, np.int32)
     if resume_ids is not None:
         prompt = np.concatenate([prompt, np.asarray(resume_ids, np.int32)], axis=1)
-        init_state = S.grammar_replay(prompt[:, 1:])
+        init_state = G.replay(prompt[:, 1:])
     else:
-        init_state = S.grammar_init(B)
+        init_state = G.init(B)
 
     limit = opt.max_seq_length if max_new_tokens is None else max_new_tokens
     # token budget: the reference assumes 4 tokens/face (models.py:284), but

@@ -77,6 +77,110 @@ def grammar_replay(tokens) -> GrammarState:
     return GrammarState(counter=jnp.asarray(counter), is_first=jnp.asarray(is_first))
 
 
+# ------------------------------------------------------------- CLERS FSM --
+# CLERS token layout after the +3 offset: C=3 L=4 E=5 R=6 S=7 BOM=8 EOM=9,
+# residual coords >= 10 (7 special ops; metok.cpp EngineCLERS). The stream
+# per submesh is  BOM c*9 op [c*3 op]* EOM  in pre-order: every op except
+# the first is preceded by its face's 3 residual coords; S forks two
+# branches, E closes one. Validity needs only two counters — no stack:
+#   counter  coords still owed before the next op
+#   pending  open branches (BOM -> 1, S -> +1, E -> -1; 0 after E -> EOM)
+# The reference disables constraints for CLERS entirely (models.py:273-275);
+# this FSM exceeds it.
+
+C_ID, CL_L_ID, CE_ID, CR_ID, CS_ID, CBOM_ID, CEOM_ID = 3, 4, 5, 6, 7, 8, 9
+CLERS_COORD_START = 10
+
+# phases: 0 = expect BOM (or EOS once something was generated)
+#         1 = expect coords (counter > 0)
+#         2 = expect an op (C/L/E/R/S)
+#         3 = expect EOM
+
+
+class CLERSState(NamedTuple):
+    counter: jax.Array   # int32 [B]: coords still owed
+    pending: jax.Array   # int32 [B]: open branches
+    phase: jax.Array     # int32 [B]
+    is_first: jax.Array  # bool  [B]
+
+
+def clers_init(batch: int) -> CLERSState:
+    # distinct buffers: a shared zeros array would alias under donation
+    return CLERSState(counter=jnp.zeros((batch,), jnp.int32),
+                      pending=jnp.zeros((batch,), jnp.int32),
+                      phase=jnp.zeros((batch,), jnp.int32),
+                      is_first=jnp.ones((batch,), bool))
+
+
+def clers_advance(state: CLERSState, token: jax.Array) -> CLERSState:
+    t = token
+    is_coord = t >= CLERS_COORD_START
+    is_op = (t >= C_ID) & (t <= CS_ID)
+    is_s = t == CS_ID
+    is_e = t == CE_ID
+
+    counter = jnp.where(t == CBOM_ID, 9,
+                        jnp.where(is_coord, state.counter - 1,
+                                  state.counter))
+    pending = jnp.where(t == CBOM_ID, 1,
+                        state.pending + jnp.where(is_s, 1, 0)
+                        - jnp.where(is_e, 1, 0))
+
+    after_op_phase = jnp.where(is_e & (pending == 0), 3, 1)
+    after_op_counter = jnp.where(is_e & (pending == 0), 0, 3)
+    phase = jnp.where(
+        t == CBOM_ID, 1,
+        jnp.where(is_coord, jnp.where(counter > 0, 1, 2),
+                  jnp.where(is_op, after_op_phase,
+                            jnp.where(t == CEOM_ID, 0, state.phase))))
+    counter = jnp.where(is_op, after_op_counter, counter)
+    return CLERSState(counter=counter.astype(jnp.int32),
+                      pending=pending.astype(jnp.int32),
+                      phase=phase.astype(jnp.int32),
+                      is_first=jnp.zeros_like(state.is_first))
+
+
+def clers_mask(state: CLERSState, vocab_size: int) -> jax.Array:
+    B = state.phase.shape[0]
+    ids = jax.lax.broadcasted_iota(jnp.int32, (B, vocab_size), 1)
+    coords = ids >= CLERS_COORD_START
+    ops = (ids >= C_ID) & (ids <= CS_ID)
+    bom = ids == CBOM_ID
+    eom = ids == CEOM_ID
+    eos = ids == EOS_ID
+    ph = state.phase[:, None]
+    mask = jnp.where(ph == 1, coords,
+                     jnp.where(ph == 2, ops,
+                               jnp.where(ph == 3, eom, bom | eos)))
+    return jnp.where(state.is_first[:, None], bom, mask)
+
+
+def clers_replay(tokens) -> CLERSState:
+    """Host-side FSM replay over existing tokens (resume_ids support)."""
+    import numpy as np
+
+    tokens = np.asarray(tokens)
+    state = clers_init(tokens.shape[0])
+    for t in range(tokens.shape[1]):
+        state = clers_advance(state, jnp.asarray(tokens[:, t]))
+    return state
+
+
+class _Grammar(NamedTuple):
+    init: callable
+    advance: callable
+    mask: callable
+    replay: callable
+
+
+def get_grammar(backend: str) -> _Grammar:
+    """Grammar FSM for a meto backend ('LR'/'LR_ABSCO' share the counter
+    FSM; 'CLERS' uses the branch-counting FSM above)."""
+    if backend == "CLERS":
+        return _Grammar(clers_init, clers_advance, clers_mask, clers_replay)
+    return _Grammar(grammar_init, grammar_advance, grammar_mask, grammar_replay)
+
+
 def naive_grammar_mask(step_index: jax.Array, batch: int, vocab_size: int) -> jax.Array:
     """Naive (9-coords/face) tokenizer constraint: coords always allowed, EOS
     only when the sequence so far (incl. BOS) has length % 9 == 1

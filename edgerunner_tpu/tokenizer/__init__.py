@@ -90,7 +90,12 @@ class Engine:
             self.num_base_tokens = self.discrete_bins * 2
             self.num_special_tokens = 3
         else:  # CLERS
-            self.num_base_tokens = self.discrete_bins * 2
+            # parallelogram residuals span (-2*bins, 2*bins) and are offset
+            # by +2*bins (metok.cpp EngineCLERS.off), so ids reach 4*bins.
+            # The reference wrapper claims 2*bins here (meto/__init__.py:33)
+            # but its CLERS engine was never wired into a model — 2*bins
+            # would clip the upper half of the residual range.
+            self.num_base_tokens = self.discrete_bins * 4
             self.num_special_tokens = 7
         self.num_tokens = self.num_base_tokens + self.num_special_tokens
 

@@ -1,0 +1,87 @@
+"""CLERS grammar FSM: every real tokenizer stream must be accepted
+token-by-token, and constrained generation must emit decodable streams
+(the reference disables constraints for CLERS entirely, models.py:273-275).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from edgerunner_tpu.config import Options, vocab_size_for
+from edgerunner_tpu.generate import generate_tokens, trim_eos
+from edgerunner_tpu.models.lmm import LMM
+from edgerunner_tpu.ops import sampling as S
+from edgerunner_tpu.tokenizer import Engine
+
+from fixtures import fixture_zoo
+
+RNG = jax.random.PRNGKey(0)
+
+
+def _assert_stream_valid(stream, vocab):
+    """Replay `stream` (+3-offset CLERS tokens, one row) through the FSM,
+    asserting each token is allowed by the mask at its position."""
+    state = S.clers_init(1)
+    for i, t in enumerate(stream):
+        mask = np.asarray(S.clers_mask(state, vocab))[0]
+        assert mask[t], f"token {t} at {i} not allowed (phase={state.phase})"
+        state = S.clers_advance(state, jnp.asarray([t]))
+    return state
+
+
+def test_real_clers_streams_are_grammar_valid():
+    eng = Engine(128, backend="CLERS")
+    vocab = 4 * 128 + 7 + 3
+    checked = 0
+    for name, (v, f) in fixture_zoo().items():
+        try:
+            tokens, _, _ = eng.encode(np.asarray(v, np.float32),
+                                      np.asarray(f, np.int64))
+        except Exception:
+            continue  # non-manifold fixtures the engine rejects
+        stream = np.asarray(tokens) + 3
+        end = _assert_stream_valid(stream.tolist(), vocab)
+        # a complete mesh ends with all branches closed, ready for BOM/EOS
+        assert int(end.phase[0]) == 0
+        checked += 1
+    assert checked >= 5, f"only {checked} fixtures encoded"
+
+
+def test_eos_position_rules():
+    # EOS is only allowed where BOM is (after EOM), never first
+    s = S.clers_init(1)
+    vocab = 30
+    m = np.asarray(S.clers_mask(s, vocab))[0]
+    assert m[S.CBOM_ID] and not m[S.EOS_ID] and not m[S.C_ID]
+    s = S.clers_advance(s, jnp.asarray([S.CBOM_ID]))
+    m = np.asarray(S.clers_mask(s, vocab))[0]
+    assert not m[S.CBOM_ID] and m[10:].all() and not m[:10].any()
+
+
+def test_generation_with_clers_grammar_decodes():
+    opt = Options(cond_mode="point", point_latent_size=16, num_cond_tokens=17,
+                  point_hidden_dim=32, point_num_heads=4, point_latent_dim=8,
+                  hidden_dim=64, num_layers=2, num_heads=4, max_seq_length=256,
+                  use_num_face_cond=True, checkpointing=False, decode_bucket=64,
+                  generate_mode="sample", use_meto=True, meto_backend="CLERS",
+                  discrete_bins=128)
+    vocab = vocab_size_for(opt)
+    assert vocab == 4 * 128 + 10
+    model = LMM(opt)
+    conds = jax.random.normal(RNG, (2, 32, 3))
+    tokens = jnp.array([[1, 8, 11, 11, 11, 2]] * 2)
+    labels = jnp.concatenate([jnp.full((2, 18), -100), tokens[:, 1:]], axis=1)
+    params = model.init({"params": RNG, "nof": RNG, "dropout": RNG},
+                        conds, tokens, labels, jnp.array([10, 10]),
+                        jnp.array([24, 24], jnp.int32))
+    out = generate_tokens(model, params, np.asarray(conds), num_faces=6,
+                          rng=RNG)
+    eng = Engine(opt.discrete_bins, backend="CLERS")
+    for b in range(out.shape[0]):
+        stream = trim_eos(out[b])
+        stream = stream[stream >= 3]
+        _assert_stream_valid(stream.tolist(), vocab)
+        verts, faces, _ = eng.decode((stream - 3).astype(np.int64))
+        # grammar-valid streams decode without crashing; random weights may
+        # still produce few faces, but the BOM seed triangle always lands
+        assert len(verts) >= 3 or len(stream) == 0

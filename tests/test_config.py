@@ -33,6 +33,8 @@ def test_vocab_size_rules():
     assert vocab_size_for(o) == 518
     o = Options(use_meto=True, meto_backend="LR", discrete_bins=512)
     assert vocab_size_for(o) == 1030
+    o = Options(use_meto=True, meto_backend="CLERS", discrete_bins=512)
+    assert vocab_size_for(o) == 2058  # 4*bins residual span + 7 ops
     o = Options(use_meto=False, discrete_bins=512)
     assert vocab_size_for(o) == 515
 

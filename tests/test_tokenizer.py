@@ -113,7 +113,7 @@ def test_vocab_layout():
     e = Engine(512, backend="LR")
     assert (e.num_base_tokens, e.num_special_tokens, e.num_tokens) == (1024, 3, 1027)
     e = Engine(512, backend="CLERS")
-    assert (e.num_base_tokens, e.num_special_tokens, e.num_tokens) == (1024, 7, 1031)
+    assert (e.num_base_tokens, e.num_special_tokens, e.num_tokens) == (2048, 7, 2055)
 
 
 def test_compression_ratio():
