@@ -1,0 +1,226 @@
+"""Minimal production serving CLI: HTTP mesh generation over the batched
+decode engine (beyond the reference, which has no serving path — its
+generation is a B==1 script, reference infer.py).
+
+    python serve.py ArAE --resume ckpt_dir --port 8217 \
+        --test_batch_size 8 [--kv_quant true --w_quant true]
+
+API:
+    GET  /healthz           -> {"ok": true, "model": ..., "batch": N}
+    POST /generate          body: {"points": [[x,y,z], ...]  (conditioning
+                            point cloud; resampled/padded to opt.point_num),
+                            "num_faces": 1000, "seed": 0}
+                            -> {"vertices": [[x,y,z]...], "faces": [[a,b,c]...],
+                                "tokens": [...], "wall_s": float}
+
+Requests are micro-batched: a collector thread drains the queue up to
+`opt.test_batch_size` rows (waiting at most --max_wait_ms for stragglers),
+pads the batch to the fixed size with dummy rows, and runs ONE fixed-shape
+decode — each distinct (batch, budget) compiles once and is reused, the
+TPU-native answer to dynamic request arrival. num_faces is bucketed per
+batch (largest request wins) so budgets stay reusable.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+class Batcher:
+    """Collects generation requests into fixed-size batches."""
+
+    def __init__(self, opt, model, params, tokenizer, max_wait_ms: float = 30.0):
+        import jax
+
+        self.opt = opt
+        self.model = model
+        self.params = params
+        self.tokenizer = tokenizer
+        self.batch = max(1, opt.test_batch_size)
+        self.max_wait = max_wait_ms / 1e3
+        self.q: queue.Queue = queue.Queue()
+        self.rng = jax.random.PRNGKey(opt.seed)
+        self._stop = threading.Event()
+        self.thread = threading.Thread(target=self._worker, daemon=True)
+        self.thread.start()
+
+    def submit(self, points: np.ndarray, num_faces: int, seed: int) -> dict:
+        """Blocking: enqueue one request, wait for its result."""
+        done = threading.Event()
+        slot: dict = {}
+        self.q.put((points, num_faces, seed, slot, done))
+        done.wait()
+        if "error" in slot:
+            raise RuntimeError(slot["error"])
+        return slot
+
+    def shutdown(self):
+        self._stop.set()
+        self.q.put(None)
+
+    # ------------------------------------------------------------- worker --
+    def _drain(self):
+        """One micro-batch: first request blocks, stragglers up to max_wait."""
+        first = self.q.get()
+        if first is None:
+            return None
+        items = [first]
+        deadline = time.time() + self.max_wait
+        while len(items) < self.batch:
+            timeout = deadline - time.time()
+            if timeout <= 0:
+                break
+            try:
+                nxt = self.q.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if nxt is None:
+                return items
+            items.append(nxt)
+        return items
+
+    def _worker(self):
+        import jax
+
+        from edgerunner_tpu.data import save_mesh
+        from edgerunner_tpu.generate import generate_tokens, trim_eos
+
+        while not self._stop.is_set():
+            items = self._drain()
+            if items is None:
+                break
+            t0 = time.time()
+            try:
+                B = self.batch
+                conds = np.zeros((B, self.opt.point_num, 3), np.float32)
+                for i, (pts, _, _, _, _) in enumerate(items):
+                    conds[i] = pts
+                # bucket the face budget: largest request wins, so the
+                # compiled (batch, budget) pair is reused across traffic
+                num_faces = max(nf for _, nf, _, _, _ in items)
+                self.rng, sub = jax.random.split(self.rng)
+                if any(seed is not None for _, _, seed, _, _ in items):
+                    seeds = [s for _, _, s, _, _ in items if s is not None]
+                    sub = jax.random.fold_in(sub, int(seeds[0]))
+                tokens = generate_tokens(self.model, self.params, conds,
+                                         num_faces=num_faces, rng=sub)
+                wall = time.time() - t0
+                for i, (_, _, _, slot, done) in enumerate(items):
+                    verts, faces = save_mesh(tokens[i], self.opt, path=None,
+                                             tokenizer=self.tokenizer,
+                                             clean=True)
+                    slot["vertices"] = np.asarray(verts).tolist()
+                    slot["faces"] = np.asarray(faces).tolist()
+                    slot["tokens"] = (trim_eos(tokens[i]) - 3).tolist()
+                    slot["wall_s"] = round(wall, 3)
+                    done.set()
+            except Exception as e:  # noqa: BLE001
+                for _, _, _, slot, done in items:
+                    slot["error"] = str(e)
+                    done.set()
+
+
+def make_handler(batcher: Batcher, opt):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet
+            pass
+
+        def _json(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"ok": True, "cond_mode": opt.cond_mode,
+                                 "batch": batcher.batch})
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._json(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                pts = np.asarray(req.get("points", []), np.float32)
+                if pts.ndim != 2 or pts.shape[1] != 3 or len(pts) == 0:
+                    self._json(400, {"error": "points must be [[x,y,z], ...]"})
+                    return
+                # resample to the model's fixed point count
+                rng = np.random.default_rng(int(req.get("seed") or 0))
+                idx = rng.integers(0, len(pts), size=opt.point_num) \
+                    if len(pts) != opt.point_num else np.arange(opt.point_num)
+                pts = pts[idx]
+                num_faces = int(req.get("num_faces", opt.test_num_face[0]))
+                result = batcher.submit(pts, num_faces, req.get("seed"))
+                self._json(200, result)
+            except Exception as e:  # noqa: BLE001
+                self._json(500, {"error": str(e)})
+
+    return Handler
+
+
+def build_server(opt, port: int = 0, max_wait_ms: float = 30.0):
+    """Construct (server, batcher); separated from main() for tests."""
+    import jax
+    import jax.numpy as jnp
+
+    from edgerunner_tpu.models.lmm import LMM
+    from edgerunner_tpu.train.checkpoint import load_params_for_inference
+    from edgerunner_tpu.utils import cast_params, get_tokenizer
+
+    import dataclasses
+
+    tokenizer, _ = get_tokenizer(opt)
+    load_opt = dataclasses.replace(opt, w_quant=False)
+    model = LMM(load_opt, dtype=jnp.bfloat16)
+    params = cast_params(load_params_for_inference(model, load_opt,
+                                                   jax.random.PRNGKey(opt.seed)),
+                         jnp.bfloat16)
+    if opt.w_quant:
+        from edgerunner_tpu.ops.w_quant import quantize_lmm_params
+
+        model = LMM(opt, dtype=jnp.bfloat16)
+        params = quantize_lmm_params(params)
+
+    batcher = Batcher(opt, model, params, tokenizer, max_wait_ms=max_wait_ms)
+    server = ThreadingHTTPServer(("0.0.0.0", port), make_handler(batcher, opt))
+    return server, batcher
+
+
+def main():
+    import argparse
+
+    from edgerunner_tpu.config import parse_cli, validate
+    from edgerunner_tpu.utils import enable_compilation_cache
+
+    ap = argparse.ArgumentParser(add_help=False)
+    ap.add_argument("--port", type=int, default=8217)
+    ap.add_argument("--max_wait_ms", type=float, default=30.0)
+    args, rest = ap.parse_known_args()
+
+    import sys
+
+    sys.argv = [sys.argv[0]] + rest
+    opt = validate(parse_cli(prog="serve.py"))
+    enable_compilation_cache()
+
+    server, _ = build_server(opt, port=args.port, max_wait_ms=args.max_wait_ms)
+    print(f"[serve] listening on :{args.port} "
+          f"(batch {max(1, opt.test_batch_size)}, cond {opt.cond_mode})")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

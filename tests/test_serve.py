@@ -1,0 +1,77 @@
+"""Serving CLI: health check, micro-batched generation over HTTP."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from edgerunner_tpu.config import Options
+
+
+@pytest.fixture(scope="module")
+def server():
+    import serve as serve_mod
+
+    opt = Options(cond_mode="point", point_latent_size=16, num_cond_tokens=17,
+                  point_hidden_dim=32, point_num_heads=4, point_latent_dim=8,
+                  hidden_dim=64, num_layers=2, num_heads=4, max_seq_length=256,
+                  use_num_face_cond=True, checkpointing=False, decode_bucket=64,
+                  generate_mode="greedy", point_num=64, test_batch_size=2,
+                  test_num_face=(8,))
+    srv, batcher = serve_mod.build_server(opt, port=0, max_wait_ms=200.0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+    batcher.shutdown()
+
+
+def _post(url, obj, timeout=600):
+    req = urllib.request.Request(
+        url, data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(server + "/healthz", timeout=30) as r:
+        h = json.loads(r.read())
+    assert h["ok"] and h["batch"] == 2
+
+
+def test_generate_single(server):
+    pts = np.random.default_rng(0).normal(size=(100, 3)).tolist()
+    out = _post(server + "/generate", {"points": pts, "num_faces": 8,
+                                       "seed": 0})
+    assert "tokens" in out and "vertices" in out and "faces" in out
+    assert out["wall_s"] > 0
+
+
+def test_generate_concurrent_batches(server):
+    pts = np.random.default_rng(1).normal(size=(80, 3)).tolist()
+    results = [None] * 3
+
+    def call(i):
+        results[i] = _post(server + "/generate",
+                           {"points": pts, "num_faces": 8, "seed": i})
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(r is not None and "tokens" in r for r in results)
+
+
+def test_bad_request(server):
+    req = urllib.request.Request(
+        server + "/generate", data=b'{"points": []}',
+        headers={"Content-Type": "application/json"}, method="POST")
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
