@@ -101,9 +101,16 @@ class CheckpointManager:
               loss: Optional[float] = None, train_state: Optional[dict] = None,
               log=print):
         save_dir = os.path.join(self.workspace, tag)
+        # multi-host: orbax saves are collective (all processes call
+        # save_pytree), but the bookkeeping below — train_state.json,
+        # latest symlink, best copy, pruning — must run on one process
+        # or it races on shared storage
+        primary = jax.process_index() == 0
         save_pytree(os.path.join(save_dir, "model"), params)
         if opt_state is not None:
             save_pytree(os.path.join(save_dir, "opt_state"), opt_state)
+        if not primary:
+            return
         if train_state is not None:
             import json
 
