@@ -13,15 +13,17 @@ overhead -> 4096-token bucket) with EOS masked out so every row decodes the
 full budget — measuring sustained decode throughput rather than how early a
 randomly-initialized model happens to emit EOS.
 
-Default configuration: int8 KV cache + int8 decoder weights, batch 20
-(sweep with both quants: b16 22.2, b20 22.5, b24 OOM).
+Default configuration: int4 KV cache + int8 decoder weights, batch 40 —
+the int4 cache halves HBM again, which unlocks the larger batch that
+amortizes the weight stream (sweeps: int8+w b16 22.2 / b20 22.5 / b24 OOM;
+int4+w b24 23.4 / b32 24.0 / b40 24.9).
 Quality evidence (greedy token streams vs the exact bf16 configuration from
-a trained checkpoint): int8 KV 97.5% token match
-(evidence/kv_quant_quality.json), int8 weights 94.7%
-(evidence/w_only_quality.json), both 94.7% (evidence/w_quant_quality.json);
-decoded face counts match within 0.7% in every mode. tests/test_kv_quant.py
-and tests/test_w_quant.py assert quantized decode matches exact decode on a
-small model.
+a trained checkpoint): int8 KV 97.5% (evidence/kv_quant_quality.json),
+int4 KV 96.4% (evidence/kv4_quality.json), int8 weights 94.7%
+(evidence/w_only_quality.json), int4 KV + int8 weights — the default —
+95.1% (evidence/kv4_w_quality.json); decoded face counts match within 0.7%
+in every mode. tests/test_kv_quant*.py and tests/test_w_quant.py assert
+quantized decode matches exact decode on a small model.
 
 Baseline (vs_baseline): the reference publishes no per-mesh wall time
 (BASELINE.md), so the A100 estimate is derived from the reference's own
@@ -39,7 +41,7 @@ batch 4 (readme.md:55) implies ~6k tok/s for a *parallel* teacher-forcing
 fwd+bwd at seq ~6k; serial decode with per-token host sync is 2 orders of
 magnitude below that, consistent with the 50 tok/s estimate.
 
-Flags: --tiny (CPU smoke), --batch N (default 20), --faces N (default 1000),
+Flags: --tiny (CPU smoke), --batch N (default 40), --faces N (default 1000),
 --no_kv_quant (exact bf16 cache), --skip_train (decode only).
 """
 
@@ -134,13 +136,15 @@ def train_probe(tiny: bool = False, steps: int = 3):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true", help="CPU smoke scale")
-    ap.add_argument("--batch", type=int, default=20)
+    ap.add_argument("--batch", type=int, default=40)
     ap.add_argument("--faces", type=int, default=1000)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--no_kv_quant", action="store_true",
                     help="exact bf16 KV cache instead of the int8 default")
     ap.add_argument("--no_w_quant", action="store_true",
                     help="bf16 weights instead of the int8 weight default")
+    ap.add_argument("--kv_bits", type=int, default=4, choices=(4, 8),
+                    help="KV cache precision under --kv_quant")
     ap.add_argument("--spec", type=str, default=None, metavar="CKPT",
                     help="speculative decoding: load CKPT (trained with "
                          "--mtp_heads) and decode with draft verification")
@@ -169,7 +173,8 @@ def main():
     kv_quant = not args.no_kv_quant
     w_quant = not args.no_w_quant
     opt = dataclasses.replace(config_defaults["ArAE"], generate_mode="greedy",
-                              kv_quant=kv_quant, w_quant=w_quant)
+                              kv_quant=kv_quant, w_quant=w_quant,
+                              kv_bits=args.kv_bits)
     if args.spec:
         opt = dataclasses.replace(opt, mtp_heads=args.mtp_heads,
                                   spec_decode=True, resume=args.spec)
@@ -227,6 +232,7 @@ def main():
         "tokens_per_mesh": int(out.shape[1]),
         "decode_tokens_per_s": round(toks_per_s, 1),
         "kv_quant": kv_quant,
+        "kv_bits": args.kv_bits,
         "w_quant": w_quant,
         "backend": jax.default_backend(),
     }
