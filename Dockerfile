@@ -1,0 +1,41 @@
+# edgerunner-tpu container (counterpart of the reference's CUDA Dockerfile,
+# reference Dockerfile:1-40 — CUDA 11.7 + torch + flash-attn + pybind11).
+# TPU-native equivalent: a slim Python image with the pinned JAX/TPU stack;
+# the C++ tokenizer (tokenizer/src/metok.cpp) is compiled in-image with g++.
+#
+# Build:        docker build -t edgerunner-tpu .
+# Run (tests):  docker run --rm edgerunner-tpu python -m pytest tests/ -q
+# Run on TPU VMs: launch with --privileged --net=host (libtpu needs both),
+#   e.g. docker run --privileged --net=host --rm edgerunner-tpu \
+#        python bench.py
+FROM python:3.12-slim-bookworm
+
+# native toolchain for the metok tokenizer extension (C ABI, built by
+# tokenizer/build.py via g++ at first import) and general build tooling
+RUN apt-get update && apt-get install -y --no-install-recommends \
+        g++ make git \
+    && rm -rf /var/lib/apt/lists/*
+
+WORKDIR /opt/edgerunner-tpu
+
+# dependency layer first: pinned stack, cached across source edits
+COPY requirements.lock.txt .
+RUN pip install --no-cache-dir -r requirements.lock.txt
+
+# source
+COPY pyproject.toml README.md ./
+COPY edgerunner_tpu ./edgerunner_tpu
+COPY tests ./tests
+COPY tools ./tools
+COPY docs ./docs
+COPY main.py main_dit.py infer.py infer_dit.py serve.py bench.py ./
+
+# build the native tokenizer ahead of time (otherwise first import compiles)
+RUN python -c "import edgerunner_tpu.tokenizer as t; print('metok ready:', t.Engine(512).backend)"
+
+# pre-compile bytecode; tests force CPU (tests/conftest.py), so the image
+# verifies on any machine — TPU access is only needed at run time
+RUN python -m compileall -q edgerunner_tpu
+
+ENV PYTHONUNBUFFERED=1
+CMD ["python", "-m", "pytest", "tests/", "-q"]

@@ -35,13 +35,27 @@ def round_up_bucket(n: int, bucket: int) -> int:
 # segment boundaries)
 DECODE_CHUNK = 2048
 
-# jitted decode closures, keyed by (model identity, static decode shape/mode)
+# jitted decode closures, keyed by (model config, static decode shape/mode).
+# The key is a value fingerprint, NOT id(model): an id can be recycled after
+# GC and serve a stale compiled closure to a differently-configured model
 _DECODE_CACHE: dict = {}
 
 
+def _model_key(model: LMM) -> tuple:
+    def freeze(v):
+        return tuple(v) if isinstance(v, (list, tuple)) else v
+
+    return (type(model).__name__, str(model.dtype),
+            tuple(sorted((k, freeze(v)) for k, v in vars(model.opt).items()
+                         if isinstance(v, (int, float, str, bool, list, tuple,
+                                           type(None))))))
+
+
 def _get_decode_fn(model: LMM, *, num_new: int, max_len: int, mode: str,
-                   use_grammar: bool, top_k: int = 10, no_eos: bool = False):
-    key = (id(model), num_new, max_len, mode, use_grammar, top_k, no_eos)
+                   use_grammar: bool, top_k: int = 10, no_eos: bool = False,
+                   per_row_rng: bool = False):
+    key = (_model_key(model), num_new, max_len, mode, use_grammar, top_k,
+           no_eos, per_row_rng)
     if key in _DECODE_CACHE:
         return _DECODE_CACHE[key]
 
@@ -83,11 +97,19 @@ def _get_decode_fn(model: LMM, *, num_new: int, max_len: int, mode: str,
                 mask = mask & (ids != S.EOS_ID)
             logits = S.apply_mask(logits, mask)
 
-            rng, sub = jax.random.split(rng)
+            if per_row_rng:
+                # rng: [B] independent keys — a row's stream depends only on
+                # its own key (per-request seed reproducibility, serve.py)
+                keys = jax.vmap(jax.random.split)(rng)
+                rng, sub = keys[:, 0], keys[:, 1]
+            else:
+                rng, sub = jax.random.split(rng)
             if mode == "greedy":
                 nxt = S.greedy_token(logits)
             else:
-                nxt = S.sample_token(logits, sub, top_k=top_k)
+                nxt = (S.sample_token_per_row(logits, sub, top_k=top_k)
+                       if per_row_rng
+                       else S.sample_token(logits, sub, top_k=top_k))
             nxt = jnp.where(done, S.PAD_ID, nxt).astype(jnp.int32)
 
             gstate = G.advance(gstate, nxt)
@@ -140,7 +162,7 @@ def _get_spec_decode_fn(model: LMM, *, num_new: int, max_len: int,
     accepted prefix. Output is IDENTICAL to vanilla greedy decode — the
     draft heads only change how many tokens each pass yields (1..T per
     pass, plus rows advance independently via per-row cache indices)."""
-    key = (id(model), num_new, max_len, "spec", num_draft, no_eos)
+    key = (_model_key(model), num_new, max_len, "spec", num_draft, no_eos)
     if key in _DECODE_CACHE:
         return _DECODE_CACHE[key]
 
@@ -295,6 +317,12 @@ def generate_tokens(
     B = conds.shape[0]
     if rng is None:
         rng = jax.random.PRNGKey(opt.seed)
+    # rng may be one key (whole-batch stream, default) or a batch of B keys
+    # (per-row independent streams — per-request seeds in serve.py)
+    if jnp.issubdtype(jnp.asarray(rng).dtype, jax.dtypes.prng_key):
+        per_row_rng = jnp.asarray(rng).ndim == 1
+    else:
+        per_row_rng = jnp.asarray(rng).ndim == 2
 
     # grammar dispatch: LR/LR_ABSCO use the counter FSM, CLERS the
     # branch-counting FSM (the reference disables constraints for CLERS,
@@ -343,7 +371,7 @@ def generate_tokens(
         decode = _get_decode_fn(
             model, num_new=int(num_new), max_len=int(max_len),
             mode=opt.generate_mode, use_grammar=use_grammar,
-            no_eos=bench_no_eos)
+            no_eos=bench_no_eos, per_row_rng=per_row_rng)
     tokens, n = decode(params, jnp.asarray(conds), nf, jnp.asarray(prompt),
                        init_state, rng)
     tokens = np.asarray(tokens)

@@ -204,6 +204,7 @@ class OPTAttention(nn.Module):
         from edgerunner_tpu.ops.decode_attention_pallas import (
             DEFAULT_BLOCK,
             fused_decode_attention_multi,
+            fused_decode_attention_q4_multi,
             fused_decode_attention_q8_multi,
         )
 
@@ -211,9 +212,11 @@ class OPTAttention(nn.Module):
         if c.kv_quant:
             kv_vals, scales = k_cache, v_cache
             L, hd2 = kv_vals.shape[1], kv_vals.shape[2]
-            if jax.default_backend() == "tpu" and c.kv_bits == 8 \
-                    and L % DEFAULT_BLOCK == 0 and hd2 % 256 == 0:
-                return fused_decode_attention_q8_multi(
+            if jax.default_backend() == "tpu" and L % DEFAULT_BLOCK == 0 \
+                    and hd2 % 256 == 0:
+                fused = (fused_decode_attention_q4_multi if c.kv_bits == 4
+                         else fused_decode_attention_q8_multi)
+                return fused(
                     qf.reshape(B, T, -1), kv_vals, scales, index_vec,
                     num_heads=H)
             hd = hd2 // 2

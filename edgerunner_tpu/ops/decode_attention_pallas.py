@@ -651,6 +651,148 @@ def _kernel_q8_multi(index_ref, q_ref, kv_hbm, sc_hbm,
     out_ref[0] = jnp.concatenate(outs, axis=0).astype(out_ref.dtype)
 
 
+def _kernel_q4_multi(index_ref, q_ref, kv_hbm, sc_hbm,
+                     out_ref, kbuf, scbuf, sems,
+                     *, num_heads, head_dim, block, scale, T):
+    """Multi-query verify over the packed-nibble int4 cache (speculative
+    decoding with --kv_quant --kv_bits 4): _kernel_q4's unpack + the
+    T*H-column online softmax of _kernel_q8_multi."""
+    b = pl.program_id(0)
+    index = index_ref[jnp.minimum(b, index_ref.shape[0] - 1)]
+    hd = num_heads * head_dim
+    half = hd // 2
+    TH = T * num_heads
+
+    j_ids = jax.lax.broadcasted_iota(jnp.int32, (hd, num_heads), 0)
+    h_ids = jax.lax.broadcasted_iota(jnp.int32, (hd, num_heads), 1)
+    E = (j_ids // head_dim == h_ids).astype(jnp.float32)
+    qdiag = jnp.concatenate(
+        [q_ref[0, t, :].astype(jnp.float32)[:, None] * E * scale
+         for t in range(T)], axis=1)                              # [hd, TH]
+
+    nblocks = (index + T + block - 1) // block
+
+    def dma_kv(slot, blk):
+        return pltpu.make_async_copy(
+            kv_hbm.at[pl.ds(b, 1), pl.ds(blk * block, block), :],
+            kbuf.at[pl.ds(slot, 1)], sems.at[slot])
+
+    def dma_sc(slot, blk):
+        return pltpu.make_async_copy(
+            sc_hbm.at[pl.ds(b, 1), pl.ds(blk * block, block), :],
+            scbuf.at[pl.ds(slot, 1)], sems.at[2 + slot])
+
+    dma_kv(0, 0).start()
+    dma_sc(0, 0).start()
+
+    def unpack(w):  # int8 [BK, half] packed -> f32 [BK, hd] original order
+        w = w.astype(jnp.int32)
+        lo = (w << 28) >> 28
+        hi = (w << 24) >> 28
+        return jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
+
+    def body(i, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < nblocks)
+        def _():
+            dma_kv(nxt, i + 1).start()
+            dma_sc(nxt, i + 1).start()
+
+        dma_kv(slot, i).wait()
+        dma_sc(slot, i).wait()
+
+        kvb = kbuf[slot]                        # int8 [BK, hd] packed
+        kb = unpack(kvb[:, :half])              # f32 [BK, hd]
+        vb = unpack(kvb[:, half:])
+        ks = scbuf[slot][:, 0:1].astype(jnp.float32)
+        vs = scbuf[slot][:, 1:2].astype(jnp.float32)
+
+        s = jax.lax.dot_general(kb, qdiag, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * ks
+        rows_t = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) // num_heads
+        t_ids = i * block + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        s = jnp.where(t_ids <= index + rows_t, s, NEG_INF)
+
+        m_blk = jnp.max(s, axis=0, keepdims=True)
+        m_new = jnp.maximum(m, m_blk)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=0, keepdims=True)
+
+        p = p * vs
+        accs = []
+        for t in range(T):
+            p_t = p[:, t * num_heads:(t + 1) * num_heads]
+            a_t = alpha[:, t * num_heads:(t + 1) * num_heads]
+            p_exp = jax.lax.dot_general(p_t, E, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+            a_exp = jax.lax.dot_general(a_t, E, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+            accs.append(acc[t:t + 1] * a_exp
+                        + jnp.sum(p_exp * vb, axis=0, keepdims=True))
+        acc = jnp.concatenate(accs, axis=0)
+        return m_new, l, acc
+
+    m0 = jnp.full((1, TH), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((1, TH), jnp.float32)
+    acc0 = jnp.zeros((T, hd), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, nblocks, body, (m0, l0, acc0))
+
+    outs = []
+    for t in range(T):
+        l_t = l[:, t * num_heads:(t + 1) * num_heads]
+        l_exp = jax.lax.dot_general(jnp.where(l_t > 0, l_t, 1.0), E,
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        outs.append(acc[t:t + 1] / l_exp)
+    out_ref[0] = jnp.concatenate(outs, axis=0).astype(out_ref.dtype)
+
+
+def fused_decode_attention_q4_multi(q, kv_vals, scales, index,
+                                    *, num_heads: int,
+                                    block: int = DEFAULT_BLOCK):
+    """Multi-query verify, int4 cache. q: [B, T, hidden]; kv_vals: int8
+    [B, L, hidden] packed nibbles (K in lanes [:hidden/2], V in [hidden/2:]);
+    scales: bf16 [B, L, 128]; index: [B] base position."""
+    B, T, hd = q.shape
+    L = kv_vals.shape[1]
+    assert L % block == 0, f"cache length {L} not a multiple of block {block}"
+    head_dim = hd // num_heads
+    scale = 1.0 / np.sqrt(head_dim)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, T, hd), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, T, hd), lambda b, *_: (b, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, block, hd), jnp.int8),
+            pltpu.VMEM((2, block, 128), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel_q4_multi, num_heads=num_heads, head_dim=head_dim, block=block,
+        scale=scale, T=T)
+    (out,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, T, hd), q.dtype)],
+        interpret=jax.default_backend() != "tpu",
+    )(jnp.broadcast_to(jnp.asarray(index, jnp.int32), (B,)), q, kv_vals, scales)
+    return out
+
+
 def fused_decode_attention_q8_multi(q, kv_vals, scales, index,
                                     *, num_heads: int,
                                     block: int = DEFAULT_BLOCK):

@@ -202,5 +202,16 @@ def sample_token(logits: jax.Array, rng: jax.Array, *, top_k: int = 10) -> jax.A
     return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0]
 
 
+def sample_token_per_row(logits: jax.Array, rngs: jax.Array, *,
+                         top_k: int = 10) -> jax.Array:
+    """Top-k sampling with an independent key per batch row: a row's stream
+    depends only on its own key, so per-request seeds are reproducible no
+    matter what shares the micro-batch (serve.py). logits [B, V], rngs [B]
+    keys -> [B]."""
+    vals, idx = jax.lax.top_k(logits, top_k)
+    choice = jax.vmap(lambda v, k: jax.random.categorical(k, v))(vals, rngs)
+    return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0]
+
+
 def greedy_token(logits: jax.Array) -> jax.Array:
     return jnp.argmax(logits, axis=-1)

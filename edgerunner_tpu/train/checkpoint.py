@@ -111,6 +111,12 @@ class CheckpointManager:
             save_pytree(os.path.join(save_dir, "opt_state"), opt_state)
         if not primary:
             return
+        # update best BEFORE dumping train_state.json so a resume restores
+        # the true best-so-far (stale best_loss would let the first
+        # post-resume epoch overwrite best/ even when it is worse)
+        new_best = loss is not None and loss < self.best_loss
+        if new_best:
+            self.best_loss = loss
         if train_state is not None:
             import json
 
@@ -125,8 +131,7 @@ class CheckpointManager:
                 shutil.rmtree(latest)
         os.symlink(os.path.join(tag, "model"), latest)
 
-        if loss is not None and loss < self.best_loss:
-            self.best_loss = loss
+        if new_best:
             best = os.path.join(self.workspace, "best")
             if os.path.exists(best):
                 shutil.rmtree(best)

@@ -97,7 +97,6 @@ class Trainer:
             "sp_size > 1 currently requires tp_size == 1")
         self.mesh = make_mesh(opt.dp_size, opt.tp_size, sp)
         self.sp = self.mesh.shape.get("sp", 1)
-        set_sequence_parallel(self.mesh if self.sp > 1 else None)
         dp = self.mesh.shape["dp"]
         # batch_size is per host (reference semantics: per-GPU batch); the
         # global batch is batch_size * process_count and must tile dp
@@ -167,8 +166,23 @@ class Trainer:
         callback(step, metrics) for external metric sinks (wandb)."""
         assert self.state is not None, "call init_state first"
         bsh = batch_sharding(self.mesh)
-        total_loss, n = 0.0, 0
         t_start = time.time()
+        # scope the sp context to this loop's traces: a process-global leak
+        # would make any later attention trace (generation/eval, a second
+        # Trainer) silently take the ring shard_map path
+        set_sequence_parallel(self.mesh if self.sp > 1 else None)
+        try:
+            self._train_loop(loader, epoch, rng, profile_dir, on_step, bsh)
+        finally:
+            set_sequence_parallel(None)
+        total_loss, n = self._loop_loss, self._loop_n
+        dt = (time.time() - t_start) / 60
+        avg = total_loss / max(n, 1)
+        self.log(f"Train epoch: {epoch} loss: {avg:.6f} time: {dt:.2f}min")
+        return avg
+
+    def _train_loop(self, loader, epoch, rng, profile_dir, on_step, bsh):
+        total_loss, n = 0.0, 0
         t_step = time.time()
         num_batches = len(loader)
         for i, batch in enumerate(loader):
@@ -201,24 +215,25 @@ class Trainer:
                 if "loss_mtp" in metrics:
                     log += f" loss_mtp: {float(metrics['loss_mtp']):.6f}"
                 self.log(log)
-        dt = (time.time() - t_start) / 60
-        avg = total_loss / max(n, 1)
-        self.log(f"Train epoch: {epoch} loss: {avg:.6f} time: {dt:.2f}min")
-        return avg
+        self._loop_loss, self._loop_n = total_loss, n
 
     def eval_epoch(self, loader, epoch: int, rng=None) -> float:
         assert self.state is not None
         bsh = batch_sharding(self.mesh)
         total_loss, n = 0.0, 0
-        for batch in loader:
-            dev_batch = _device_batch(batch, bsh, sp=self.sp,
-                                      pad_token_id=self.opt.pad_token_id)
-            if self._eval_needs_rng:
-                out = self._eval_step(self.state.params, dev_batch, rng)
-            else:
-                out = self._eval_step(self.state.params, dev_batch)
-            total_loss += float(out["loss"])
-            n += 1
+        set_sequence_parallel(self.mesh if self.sp > 1 else None)
+        try:
+            for batch in loader:
+                dev_batch = _device_batch(batch, bsh, sp=self.sp,
+                                          pad_token_id=self.opt.pad_token_id)
+                if self._eval_needs_rng:
+                    out = self._eval_step(self.state.params, dev_batch, rng)
+                else:
+                    out = self._eval_step(self.state.params, dev_batch)
+                total_loss += float(out["loss"])
+                n += 1
+        finally:
+            set_sequence_parallel(None)
         avg = total_loss / max(n, 1)
         self.log(f"Eval epoch: {epoch} loss: {avg:.6f}")
         return avg

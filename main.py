@@ -80,7 +80,11 @@ def main():
     # DDP-rank split; see docs/MULTIHOST.md)
     if jax.process_count() > 1 and hasattr(train_dataset, "items"):
         rank, world = jax.process_index(), jax.process_count()
-        train_dataset.items = train_dataset.items[rank::world]
+        # trim every host to the same item count: a host with one extra item
+        # can cross a batch boundary and yield an extra step, deadlocking the
+        # collective train step when the others have exhausted their loaders
+        n = len(train_dataset.items) // world
+        train_dataset.items = train_dataset.items[rank::world][:n]
         logger.info(f"host {rank}/{world}: {len(train_dataset)} train items")
     logger.info(f"train dataset size: {len(train_dataset)}")
     logger.info(f"test dataset size: {len(test_dataset)}")
@@ -121,6 +125,12 @@ def main():
 
     trainer.init_state(params, step=resume_step, opt_state_path=opt_state_path)
     manager = CheckpointManager(opt.workspace, keep=2)
+    if opt.resume is not None and opt.resume_train_state:
+        ts = find_train_state(opt.resume)
+        if ts is not None and ts.get("best_loss") is not None:
+            # restore best-so-far: otherwise the first post-resume epoch
+            # overwrites best/ even when it is worse than the true best
+            manager.best_loss = float(ts["best_loss"])
 
     if opt.use_wandb:
         import wandb

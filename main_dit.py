@@ -68,7 +68,10 @@ def main():
     test_dataset = DiTMeshDataset(opt, training=False)
     if jax.process_count() > 1 and train_dataset.items:
         rank, world = jax.process_index(), jax.process_count()
-        train_dataset.items = train_dataset.items[rank::world]
+        # equal shard sizes on every host (see main.py: unequal counts can
+        # yield unequal steps/epoch and deadlock the collective train step)
+        n = len(train_dataset.items) // world
+        train_dataset.items = train_dataset.items[rank::world][:n]
     logger.info(f"train dataset size: {len(train_dataset)}")
 
     train_loader = DataLoader(train_dataset, opt, opt.batch_size, shuffle=True,

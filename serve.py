@@ -105,11 +105,19 @@ class Batcher:
                 # compiled (batch, budget) pair is reused across traffic
                 num_faces = max(nf for _, nf, _, _, _ in items)
                 self.rng, sub = jax.random.split(self.rng)
-                if any(seed is not None for _, _, seed, _, _ in items):
-                    seeds = [s for _, _, s, _, _ in items if s is not None]
-                    sub = jax.random.fold_in(sub, int(seeds[0]))
+                # per-row keys: a seeded request gets a key derived ONLY
+                # from its seed (reproducible regardless of co-batched
+                # traffic); unseeded rows draw from the advancing batch rng
+                import jax.numpy as jnp
+
+                keys = [jax.random.PRNGKey(int(seed)) if seed is not None
+                        else jax.random.fold_in(sub, i)
+                        for i, (_, _, seed, _, _) in enumerate(items)]
+                keys += [jax.random.fold_in(sub, i)
+                         for i in range(len(items), B)]
                 tokens = generate_tokens(self.model, self.params, conds,
-                                         num_faces=num_faces, rng=sub)
+                                         num_faces=num_faces,
+                                         rng=jnp.stack(keys))
                 wall = time.time() - t0
                 for i, (_, _, _, slot, done) in enumerate(items):
                     verts, faces = save_mesh(tokens[i], self.opt, path=None,

@@ -8,9 +8,16 @@ import pytest
 from edgerunner_tpu.ops.attention import decode_attention, decode_attention_multi
 from edgerunner_tpu.ops.decode_attention_pallas import (
     fused_decode_attention_multi,
+    fused_decode_attention_q4_multi,
     fused_decode_attention_q8_multi,
 )
-from edgerunner_tpu.ops.kv_quant import dequantize_rows, pack_scales, quantize_rows
+from edgerunner_tpu.ops.kv_quant import (
+    dequantize_rows,
+    dequantize_rows_int4,
+    pack_scales,
+    quantize_rows,
+    quantize_rows_int4,
+)
 
 
 def _data(B, L, hd, T, seed=0):
@@ -60,6 +67,26 @@ def test_multi_kernel_q8_matches_dequantized_reference():
                                           block=128)
     kd = dequantize_rows(kq, plane, jnp.float32, 0)
     vd = dequantize_rows(vq, plane, jnp.float32, 1)
+    ref = decode_attention_multi(
+        q.reshape(B, T, H, Dh), kd.reshape(B, L, H, Dh),
+        vd.reshape(B, L, H, Dh), idx).reshape(B, T, hd)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_multi_kernel_q4_matches_dequantized_reference():
+    B, L, H, Dh, T = 2, 256, 4, 96, 4
+    hd = H * Dh
+    q, k, v = _data(B, L, hd, T)
+    idx = jnp.asarray([17, 200], jnp.int32)
+    kq, ks = quantize_rows_int4(k)
+    vq, vs = quantize_rows_int4(v)
+    kv = jnp.concatenate([kq, vq], -1)       # [B, L, hd] packed nibbles
+    plane = pack_scales(ks, vs)
+    out = fused_decode_attention_q4_multi(q, kv, plane, idx, num_heads=H,
+                                          block=128)
+    kd = dequantize_rows_int4(kq, plane, jnp.float32, 0)
+    vd = dequantize_rows_int4(vq, plane, jnp.float32, 1)
     ref = decode_attention_multi(
         q.reshape(B, T, H, Dh), kd.reshape(B, L, H, Dh),
         vd.reshape(B, L, H, Dh), idx).reshape(B, T, hd)

@@ -102,6 +102,23 @@ def test_sampling_respects_seed(tiny_model):
     np.testing.assert_array_equal(a, b)
 
 
+def test_per_row_rng_isolates_requests(tiny_model):
+    """With a batch of per-row keys, a row's sampled stream depends only on
+    its own key — per-request seed reproducibility in serve.py no matter
+    what shares the micro-batch."""
+    model, params, conds = tiny_model
+    k_fixed = jax.random.PRNGKey(7)
+    a = generate_tokens(model, params, conds, num_faces=10,
+                        rng=jnp.stack([jax.random.PRNGKey(1), k_fixed]))
+    b = generate_tokens(model, params, conds, num_faces=10,
+                        rng=jnp.stack([jax.random.PRNGKey(2), k_fixed]))
+    np.testing.assert_array_equal(a[1], b[1])   # same key -> same stream
+    # and per-row streams are reproducible run-to-run
+    c = generate_tokens(model, params, conds, num_faces=10,
+                        rng=jnp.stack([jax.random.PRNGKey(1), k_fixed]))
+    np.testing.assert_array_equal(a, c)
+
+
 def test_batch_rows_match_single_row_greedy(tiny_model):
     """Batched decode must equal row-by-row decode (greedy, no RNG)."""
     model, params, conds = tiny_model
