@@ -84,6 +84,61 @@ def random_fan(rng: np.random.Generator, n: int = 12):
     return v, f
 
 
+def annulus(n: int = 32, r0: float = 0.5, r1: float = 1.0, h: float = 1.0):
+    """Closed annular ring — the counterpart of trimesh.creation.annulus used
+    by the reference demo (reference: meto/tests/engine.py:113-118): outer
+    wall, inner wall, flat top/bottom rings. Watertight, genus 1."""
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+
+    def ring(r, z):
+        return np.stack([r * np.cos(ang), r * np.sin(ang), np.full(n, z)], 1)
+
+    # vertex rows: 0 outer-bottom, 1 outer-top, 2 inner-top, 3 inner-bottom;
+    # the four quad strips between consecutive rows close into a torus
+    v = np.concatenate([ring(r1, -h / 2), ring(r1, h / 2),
+                        ring(r0, h / 2), ring(r0, -h / 2)])
+    f = []
+    for i in range(n):
+        j = (i + 1) % n
+        for row in range(4):
+            a, b = row * n, ((row + 1) % 4) * n
+            f += [[a + i, a + j, b + j], [a + i, b + j, b + i]]
+    return v, np.array(f, dtype=np.int64)
+
+
+def _random_watertight(zoo: dict):
+    """Random watertight meshes at several scales (SURVEY §4 test-pyramid
+    anchor (a)): icosphere/box/fan perturbations with per-seed jitter,
+    anisotropic scaling, and varying tessellation."""
+    cube_v = np.array(
+        [[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+         [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]], dtype=np.float64)
+    cube_f = np.array(
+        [[0, 1, 2], [0, 2, 3], [0, 4, 5], [0, 5, 1], [1, 5, 6], [1, 6, 2],
+         [2, 6, 7], [2, 7, 3], [3, 7, 4], [3, 4, 0], [4, 7, 6], [4, 6, 5]],
+        dtype=np.int64)
+
+    for i in range(16):
+        rng = np.random.default_rng(1000 + i)
+        v, f = icosphere(1 + i % 2)
+        sigma = (0.02, 0.06, 0.12)[i % 3]
+        v = v + rng.normal(0, sigma, v.shape)
+        v = v * rng.uniform(0.5, 1.5, (1, 3))       # anisotropic stretch
+        zoo[f"rw_sphere_{i}"] = (_norm(v), f)
+
+    for i in range(6):
+        rng = np.random.default_rng(2000 + i)
+        sigma = (0.05, 0.15, 0.3)[i % 3]
+        v = cube_v + rng.normal(0, sigma, cube_v.shape)
+        zoo[f"rw_box_{i}"] = (_norm(v), cube_f)
+
+    for i, n in enumerate((6, 12, 24, 48)):
+        rng = np.random.default_rng(3000 + i)
+        v, f = random_fan(rng, n)
+        v = v * rng.uniform(0.6, 1.4, (1, 3))
+        zoo[f"rw_fan_{i}"] = (_norm(v), f)
+
+
 def fixture_zoo() -> dict[str, tuple[np.ndarray, np.ndarray]]:
     zoo: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
@@ -169,4 +224,11 @@ def fixture_zoo() -> dict[str, tuple[np.ndarray, np.ndarray]]:
         rv = rv + np.random.default_rng(seed).normal(0, 0.03, rv.shape)
         zoo[f"bumpy_sphere_{seed}"] = (_norm(rv), rf)
 
+    # annulus (reference: meto/tests/engine.py:113-118) at two tessellations
+    av, af = annulus(32)
+    zoo["annulus"] = (_norm(av), af)
+    av8, af8 = annulus(8)
+    zoo["annulus8"] = (_norm(av8), af8)
+
+    _random_watertight(zoo)
     return zoo
