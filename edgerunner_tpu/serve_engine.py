@@ -1,0 +1,319 @@
+"""Continuous-batching decode engine for serving.
+
+The micro-batch server (serve.py Batcher) runs each batch to completion: a
+request arriving mid-decode waits for the whole batch. This engine keeps ONE
+persistent fixed-shape decode state of `batch` row slots and interleaves:
+
+    admit  — free slots take queued requests: a B=1 prefill encodes the new
+             request's conditioning, and its cache rows are written into the
+             slot (per-row cache indices — the machinery speculative decoding
+             already uses — make rows independent)
+    decode — a jitted `lax.while_loop` segment of `segment_steps` per-row
+             steps; every row advances at its own position (LMM.verify_step
+             with T=1), rows finish independently (EOS or budget)
+    finish — completed rows deliver their tokens and free the slot
+
+All shapes are static (TPU-native: one compile for the server's lifetime);
+"continuous" lives purely in the host-side slot management between segments.
+Greedy decode through this engine is bit-identical to the solo decode path
+(generate.py) — rows never influence each other.
+
+The reference has no serving path at all (its generation is a B==1 script,
+reference infer.py + models.py:216); this exceeds it.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from edgerunner_tpu.config import vocab_size_for
+from edgerunner_tpu.generate import round_up_bucket
+from edgerunner_tpu.models.lmm import LMM
+from edgerunner_tpu.ops import sampling as S
+
+
+class Request:
+    __slots__ = ("points", "num_faces", "seed", "slot_result", "done_event",
+                 "t_submit")
+
+    def __init__(self, points, num_faces, seed):
+        self.points = points
+        self.num_faces = num_faces
+        self.seed = seed
+        self.slot_result: dict = {}
+        self.done_event = threading.Event()
+        self.t_submit = time.time()
+
+
+class ContinuousEngine:
+    """Slot-based continuous batching over the fixed-shape decode state."""
+
+    def __init__(self, model: LMM, params, opt, *, batch: int,
+                 segment_steps: int = 128, max_faces: Optional[int] = None,
+                 bench_no_eos: bool = False):
+        self.model = model
+        self.params = params
+        self.opt = opt
+        self.B = max(1, batch)
+        self.segment_steps = segment_steps
+        self.vocab = vocab_size_for(opt)
+        self.G = S.get_grammar(opt.meto_backend)
+        self.mode = opt.generate_mode
+        # benchmarking/tests: mask EOS so every row decodes its full budget
+        self.no_eos = bench_no_eos
+
+        # static shapes: prompt is always [BOS]; budgets are bounded by the
+        # configured max face count
+        self.plen = opt.num_cond_tokens + 1
+        max_faces = max_faces or max(opt.test_num_face)
+        cap = min(opt.max_seq_length, max_faces * 5 + 64)
+        self.N = round_up_bucket(cap, opt.decode_bucket)
+        self.max_len = round_up_bucket(self.plen + self.N + 1, 512)
+
+        self.q: queue.Queue = queue.Queue()
+        self._stop = threading.Event()
+        self._slots: list[Optional[Request]] = [None] * self.B
+        self._rng_fallback = jax.random.PRNGKey(opt.seed)
+
+        self._build_fns()
+        self._init_state()
+        self.thread = threading.Thread(target=self._worker, daemon=True)
+        self.thread.start()
+
+    # ------------------------------------------------------------- public --
+    def submit(self, points: np.ndarray, num_faces: int,
+               seed: Optional[int]) -> dict:
+        req = Request(points, num_faces, seed)
+        self.q.put(req)
+        req.done_event.wait()
+        if "error" in req.slot_result:
+            raise RuntimeError(req.slot_result["error"])
+        return req.slot_result
+
+    def shutdown(self):
+        self._stop.set()
+        self.q.put(None)
+
+    # ------------------------------------------------------------ jit fns --
+    def _build_fns(self):
+        model, G, vocab = self.model, self.G, self.vocab
+        mode, plen = self.mode, self.plen
+
+        def prefill(params, conds, num_faces, prompt_ids):
+            return model.apply(params, conds, num_faces, prompt_ids,
+                               self.max_len, method=LMM.prefill)
+
+        self._prefill = jax.jit(prefill)
+
+        def admit(tokens, next_logits, k_cache, v_cache, pos, n, budget,
+                  gstate, done, rng, slot, row_logits, row_k, row_v,
+                  row_budget, row_key):
+            k_cache = tuple(
+                jax.lax.dynamic_update_slice(big, row, (slot, 0, 0))
+                for big, row in zip(k_cache, row_k))
+            v_cache = tuple(
+                jax.lax.dynamic_update_slice(big, row, (slot, 0, 0))
+                for big, row in zip(v_cache, row_v))
+            tokens = jax.lax.dynamic_update_slice(
+                tokens, jnp.zeros((1, tokens.shape[1]), tokens.dtype), (slot, 0))
+            next_logits = jax.lax.dynamic_update_slice(
+                next_logits, row_logits.astype(next_logits.dtype), (slot, 0, 0))
+            pos = pos.at[slot].set(plen)
+            n = n.at[slot].set(0)
+            budget = budget.at[slot].set(row_budget)
+            fresh = G.init(1)
+            gstate = jax.tree.map(lambda g, f: g.at[slot].set(f[0]),
+                                  gstate, fresh)
+            done = done.at[slot].set(False)
+            rng = rng.at[slot].set(row_key)
+            return tokens, next_logits, k_cache, v_cache, pos, n, budget, \
+                gstate, done, rng
+
+        self._admit = jax.jit(admit, donate_argnums=tuple(range(10)))
+
+        def segment(params, tokens, next_logits, k_cache, v_cache, pos, n,
+                    budget, gstate, done, rng, active, steps):
+            def cond_fn(carry):
+                i, _, _, _, _, _, n, done, _, _ = carry
+                live = active & ~done & (n < budget)
+                return (i < steps) & live.any()
+
+            def body_fn(carry):
+                (i, tokens, next_logits, k_cache, v_cache, pos, n, done,
+                 gstate, rng) = carry
+                logits = next_logits[:, 0].astype(jnp.float32)
+                mask = G.mask(gstate, vocab)
+                if self.no_eos:
+                    ids = jax.lax.broadcasted_iota(jnp.int32, mask.shape, 1)
+                    mask = mask & (ids != S.EOS_ID)
+                logits = S.apply_mask(logits, mask)
+                if mode == "greedy":
+                    nxt = S.greedy_token(logits)
+                    rng_next = rng
+                else:
+                    keys = jax.vmap(jax.random.split)(rng)
+                    rng_next, sub = keys[:, 0], keys[:, 1]
+                    nxt = S.sample_token_per_row(logits, sub)
+                live = active & ~done & (n < budget)
+                nxt = jnp.where(live, nxt, S.PAD_ID).astype(jnp.int32)
+                gstate = G.advance(gstate, nxt)
+                done = done | (live & (nxt == S.EOS_ID))
+                tokens = jax.vmap(
+                    lambda row, t, j: jax.lax.dynamic_update_slice(
+                        row, t[None], (j,)))(tokens, nxt, n)
+                n = n + live.astype(jnp.int32)
+                next_logits, _, k_cache, v_cache = model.apply(
+                    params, nxt[:, None], k_cache, v_cache, pos,
+                    method=LMM.verify_step)
+                pos = pos + live.astype(jnp.int32)
+                return (i + 1, tokens, next_logits, k_cache, v_cache, pos, n,
+                        done, gstate, rng_next)
+
+            # budget/active are closed-over constants, not carried
+            carry = (jnp.asarray(0), tokens, next_logits, k_cache, v_cache,
+                     pos, n, done, gstate, rng)
+            out = jax.lax.while_loop(cond_fn, body_fn, carry)
+            return out[1:]
+
+        self._segment = jax.jit(
+            segment, donate_argnums=(1, 2, 3, 4, 5, 6, 8, 9, 10))
+
+    # -------------------------------------------------------------- state --
+    def _init_state(self):
+        opt = self.opt
+        B = self.B
+        # one B=1 prefill on a dummy request provides the cache layout
+        # (dtype/shape depend on kv_quant/kv_bits)
+        conds = self._dummy_cond()
+        prompt = jnp.full((1, 1), opt.bos_token_id, jnp.int32)
+        logits, _, row_k, row_v, _ = self._prefill(
+            self.params, conds, jnp.full((1,), 100, jnp.int32), prompt)
+        zero = lambda r: jnp.zeros((B,) + r.shape[1:], r.dtype)  # noqa: E731
+        self.state = {
+            "tokens": jnp.zeros((B, self.N), jnp.int32),
+            "next_logits": jnp.zeros((B,) + logits.shape[1:], logits.dtype),
+            "k_cache": tuple(zero(r) for r in row_k),
+            "v_cache": tuple(zero(r) for r in row_v),
+            "pos": jnp.full((B,), self.plen, jnp.int32),
+            "n": jnp.zeros((B,), jnp.int32),
+            "budget": jnp.zeros((B,), jnp.int32),
+            "gstate": self.G.init(B),
+            "done": jnp.ones((B,), bool),
+            "rng": jnp.stack([jax.random.PRNGKey(opt.seed + i)
+                              for i in range(B)]),
+        }
+
+    def _dummy_cond(self):
+        opt = self.opt
+        if opt.cond_mode == "point":
+            return jnp.zeros((1, opt.point_num, 3), jnp.float32)
+        if opt.cond_mode == "point_latent":
+            return jnp.zeros((1, opt.point_latent_size, opt.point_latent_dim),
+                             jnp.float32)
+        if opt.cond_mode == "image":
+            return jnp.zeros((1, 224, 224, 3), jnp.float32)
+        return jnp.zeros((1, 0), jnp.float32)
+
+    # ------------------------------------------------------------- worker --
+    def _active_mask(self):
+        return jnp.asarray(
+            np.array([r is not None for r in self._slots], bool))
+
+    def _admit_one(self, slot: int, req: Request):
+        opt = self.opt
+        conds = jnp.asarray(req.points[None].astype(np.float32))
+        nf = jnp.full((1,), req.num_faces, jnp.int32)
+        prompt = jnp.full((1, 1), opt.bos_token_id, jnp.int32)
+        row_logits, _, row_k, row_v, _ = self._prefill(
+            self.params, conds, nf, prompt)
+        budget = round_up_bucket(min(req.num_faces * 5 + 64, self.N),
+                                 opt.decode_bucket)
+        if req.seed is not None:
+            key = jax.random.PRNGKey(int(req.seed))
+        else:
+            self._rng_fallback, key = jax.random.split(self._rng_fallback)
+        st = self.state
+        (st["tokens"], st["next_logits"], st["k_cache"], st["v_cache"],
+         st["pos"], st["n"], st["budget"], st["gstate"], st["done"],
+         st["rng"]) = self._admit(
+            st["tokens"], st["next_logits"], st["k_cache"], st["v_cache"],
+            st["pos"], st["n"], st["budget"], st["gstate"], st["done"],
+            st["rng"], jnp.asarray(slot), row_logits, row_k, row_v,
+            jnp.asarray(min(budget, self.N), jnp.int32), key)
+        self._slots[slot] = req
+
+    def _finish_row(self, slot: int, tokens_np, n_np):
+        req = self._slots[slot]
+        self._slots[slot] = None
+        if req is None:
+            return
+        toks = tokens_np[slot, :int(n_np[slot])]
+        req.slot_result["tokens"] = np.asarray(toks)
+        req.slot_result["wall_s"] = round(time.time() - req.t_submit, 3)
+        req.done_event.set()
+
+    def _worker(self):
+        while not self._stop.is_set():
+            # ---- admit into free slots
+            for slot in range(self.B):
+                if self._slots[slot] is not None:
+                    continue
+                try:
+                    req = self.q.get_nowait()
+                except queue.Empty:
+                    break
+                if req is None:
+                    return
+                try:
+                    self._admit_one(slot, req)
+                except Exception as e:  # noqa: BLE001
+                    req.slot_result["error"] = str(e)
+                    req.done_event.set()
+
+            if not any(r is not None for r in self._slots):
+                # idle: block until the next request (or shutdown)
+                req = self.q.get()
+                if req is None or self._stop.is_set():
+                    return
+                try:
+                    self._admit_one(0, req)
+                except Exception as e:  # noqa: BLE001
+                    req.slot_result["error"] = str(e)
+                    req.done_event.set()
+                continue
+
+            # ---- one decode segment
+            st = self.state
+            try:
+                (st["tokens"], st["next_logits"], st["k_cache"],
+                 st["v_cache"], st["pos"], st["n"], st["done"], st["gstate"],
+                 st["rng"]) = self._segment(
+                    self.params, st["tokens"], st["next_logits"],
+                    st["k_cache"], st["v_cache"], st["pos"], st["n"],
+                    st["budget"], st["gstate"], st["done"], st["rng"],
+                    self._active_mask(), jnp.asarray(self.segment_steps))
+            except Exception as e:  # noqa: BLE001
+                for slot, req in enumerate(self._slots):
+                    if req is not None:
+                        req.slot_result["error"] = str(e)
+                        req.done_event.set()
+                        self._slots[slot] = None
+                continue
+
+            # ---- deliver finished rows
+            n_np = np.asarray(st["n"])
+            done_np = np.asarray(st["done"])
+            budget_np = np.asarray(st["budget"])
+            finished = [s for s in range(self.B) if self._slots[s] is not None
+                        and (done_np[s] or n_np[s] >= budget_np[s])]
+            if finished:
+                tokens_np = np.asarray(st["tokens"])
+                for s in finished:
+                    self._finish_row(s, tokens_np, n_np)

@@ -13,12 +13,15 @@ API:
                             -> {"vertices": [[x,y,z]...], "faces": [[a,b,c]...],
                                 "tokens": [...], "wall_s": float}
 
-Requests are micro-batched: a collector thread drains the queue up to
-`opt.test_batch_size` rows (waiting at most --max_wait_ms for stragglers),
-pads the batch to the fixed size with dummy rows, and runs ONE fixed-shape
-decode — each distinct (batch, budget) compiles once and is reused, the
-TPU-native answer to dynamic request arrival. num_faces is bucketed per
-batch (largest request wins) so budgets stay reusable.
+Two scheduling engines:
+  * continuous (default): one persistent fixed-shape decode state of
+    `opt.test_batch_size` row slots; requests are admitted into free rows
+    between decode segments and finish independently — a request arriving
+    mid-decode does NOT wait for the batch (edgerunner_tpu/serve_engine.py).
+  * micro-batch (--no_continuous): a collector thread drains the queue up to
+    `opt.test_batch_size` rows (waiting at most --max_wait_ms for
+    stragglers) and runs ONE fixed-shape decode to completion; num_faces is
+    bucketed per batch (largest request wins) so budgets stay reusable.
 """
 
 from __future__ import annotations
@@ -134,7 +137,38 @@ class Batcher:
                     done.set()
 
 
-def make_handler(batcher: Batcher, opt):
+class ContinuousFrontend:
+    """Adapts ContinuousEngine (token-level) to the handler's result dict:
+    detokenization runs in the request's own thread, off the decode loop."""
+
+    def __init__(self, opt, model, params, tokenizer, batch: int,
+                 segment_steps: int = 128):
+        from edgerunner_tpu.serve_engine import ContinuousEngine
+
+        self.opt = opt
+        self.tokenizer = tokenizer
+        self.batch = batch
+        self.engine = ContinuousEngine(model, params, opt, batch=batch,
+                                       segment_steps=segment_steps)
+
+    def submit(self, points: np.ndarray, num_faces: int, seed) -> dict:
+        from edgerunner_tpu.data import save_mesh
+        from edgerunner_tpu.generate import trim_eos
+
+        res = self.engine.submit(points, num_faces, seed)
+        tokens = res["tokens"]
+        verts, faces = save_mesh(tokens, self.opt, path=None,
+                                 tokenizer=self.tokenizer, clean=True)
+        return {"vertices": np.asarray(verts).tolist(),
+                "faces": np.asarray(faces).tolist(),
+                "tokens": (trim_eos(tokens) - 3).tolist(),
+                "wall_s": res["wall_s"]}
+
+    def shutdown(self):
+        self.engine.shutdown()
+
+
+def make_handler(batcher, opt):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet
             pass
@@ -179,7 +213,8 @@ def make_handler(batcher: Batcher, opt):
     return Handler
 
 
-def build_server(opt, port: int = 0, max_wait_ms: float = 30.0):
+def build_server(opt, port: int = 0, max_wait_ms: float = 30.0,
+                 continuous: bool = True, segment_steps: int = 128):
     """Construct (server, batcher); separated from main() for tests."""
     import jax
     import jax.numpy as jnp
@@ -202,7 +237,13 @@ def build_server(opt, port: int = 0, max_wait_ms: float = 30.0):
         model = LMM(opt, dtype=jnp.bfloat16)
         params = quantize_lmm_params(params)
 
-    batcher = Batcher(opt, model, params, tokenizer, max_wait_ms=max_wait_ms)
+    if continuous:
+        batcher = ContinuousFrontend(opt, model, params, tokenizer,
+                                     batch=max(1, opt.test_batch_size),
+                                     segment_steps=segment_steps)
+    else:
+        batcher = Batcher(opt, model, params, tokenizer,
+                          max_wait_ms=max_wait_ms)
     server = ThreadingHTTPServer(("0.0.0.0", port), make_handler(batcher, opt))
     return server, batcher
 
@@ -216,6 +257,11 @@ def main():
     ap = argparse.ArgumentParser(add_help=False)
     ap.add_argument("--port", type=int, default=8217)
     ap.add_argument("--max_wait_ms", type=float, default=30.0)
+    ap.add_argument("--no_continuous", action="store_true",
+                    help="use the run-to-completion micro-batcher instead of "
+                         "continuous batching")
+    ap.add_argument("--segment_steps", type=int, default=128,
+                    help="decode steps between admission points (continuous)")
     args, rest = ap.parse_known_args()
 
     import sys
@@ -224,9 +270,13 @@ def main():
     opt = validate(parse_cli(prog="serve.py"))
     enable_compilation_cache()
 
-    server, _ = build_server(opt, port=args.port, max_wait_ms=args.max_wait_ms)
+    server, _ = build_server(opt, port=args.port, max_wait_ms=args.max_wait_ms,
+                             continuous=not args.no_continuous,
+                             segment_steps=args.segment_steps)
+    mode = "micro-batch" if args.no_continuous else "continuous"
     print(f"[serve] listening on :{args.port} "
-          f"(batch {max(1, opt.test_batch_size)}, cond {opt.cond_mode})")
+          f"(batch {max(1, opt.test_batch_size)}, cond {opt.cond_mode}, "
+          f"{mode})")
     server.serve_forever()
 
 

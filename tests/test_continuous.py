@@ -1,0 +1,121 @@
+"""Continuous-batching serve engine: greedy identity with the solo decode
+path, mid-flight admission (a request arriving during another's decode
+completes without waiting for it), and slot reuse."""
+
+import threading
+import time
+
+import jax
+import numpy as np
+import pytest
+
+from edgerunner_tpu.config import Options
+from edgerunner_tpu.generate import generate_tokens, trim_eos
+from edgerunner_tpu.models.lmm import LMM
+from edgerunner_tpu.serve_engine import ContinuousEngine
+
+RNG = jax.random.PRNGKey(0)
+
+
+@pytest.fixture(scope="module")
+def engine_and_model():
+    opt = Options(cond_mode="point", point_latent_size=16, num_cond_tokens=17,
+                  point_hidden_dim=32, point_num_heads=4, point_latent_dim=8,
+                  hidden_dim=64, num_layers=2, num_heads=4, max_seq_length=512,
+                  use_num_face_cond=True, checkpointing=False, decode_bucket=64,
+                  generate_mode="greedy", point_num=64, test_batch_size=2,
+                  test_num_face=(64,))
+    model = LMM(opt)
+    conds = jax.random.normal(RNG, (1, opt.point_num, 3))
+    import jax.numpy as jnp
+
+    tokens = jnp.array([[1, 6, 7, 8, 2]])
+    labels = jnp.concatenate([jnp.full((1, 18), -100), tokens[:, 1:]], axis=1)
+    params = model.init({"params": RNG, "nof": RNG, "dropout": RNG},
+                        conds, tokens, labels, jnp.array([100]),
+                        jnp.array([23], jnp.int32))
+    engine = ContinuousEngine(model, params, opt, batch=2, segment_steps=16)
+    yield engine, model, params, opt
+    engine.shutdown()
+
+
+def _pts(seed, n=64):
+    return np.random.default_rng(seed).normal(size=(n, 3)).astype(np.float32)
+
+
+def test_greedy_identity_with_solo_decode(engine_and_model):
+    """Greedy through the continuous engine is bit-identical to the solo
+    decode path — rows never influence each other."""
+    engine, model, params, opt = engine_and_model
+    pts = _pts(0)
+    res = engine.submit(pts, 8, seed=None)
+    solo = generate_tokens(model, params, pts[None], num_faces=8, rng=RNG)
+    np.testing.assert_array_equal(trim_eos(res["tokens"]), trim_eos(solo[0]))
+
+
+@pytest.fixture(scope="module")
+def engine_no_eos(engine_and_model):
+    """EOS-masked engine: rows decode their full budget, so finish order is
+    determined by budgets, not by when random weights happen to emit EOS."""
+    _, model, params, opt = engine_and_model
+    engine = ContinuousEngine(model, params, opt, batch=2, segment_steps=16,
+                              bench_no_eos=True)
+    yield engine
+    engine.shutdown()
+
+
+def test_midflight_admission_finishes_independently(engine_no_eos):
+    """A short request submitted while a long one decodes must complete
+    before the long one (no run-to-completion batching)."""
+    engine = engine_no_eos
+    t_done = {}
+
+    def run(name, nf, seed, delay):
+        time.sleep(delay)
+        engine.submit(_pts(seed), nf, seed=None)
+        t_done[name] = time.time()
+
+    # budgets: long = 64*5+64 -> 384 steps; short = 2*5+64 -> 128 steps;
+    # the short one is admitted into the free slot within one 16-step segment
+    a = threading.Thread(target=run, args=("long", 64, 1, 0.0))
+    b = threading.Thread(target=run, args=("short", 2, 2, 0.05))
+    a.start(), b.start()
+    a.join(), b.join()
+    assert t_done["short"] < t_done["long"], (
+        f"short finished at {t_done['short']}, long at {t_done['long']}")
+
+
+def test_long_request_unaffected_by_cobatched_traffic(engine_and_model):
+    """The long row's tokens must equal its solo decode even though a second
+    request came and went mid-flight."""
+    engine, model, params, opt = engine_and_model
+    pts = _pts(3)
+    out = {}
+
+    def long_run():
+        out["res"] = engine.submit(pts, 16, seed=None)
+
+    t = threading.Thread(target=long_run)
+    t.start()
+    time.sleep(0.05)
+    engine.submit(_pts(4), 2, seed=None)     # co-batched, finishes first
+    t.join()
+    solo = generate_tokens(model, params, pts[None], num_faces=16, rng=RNG)
+    np.testing.assert_array_equal(trim_eos(out["res"]["tokens"]),
+                                  trim_eos(solo[0]))
+
+
+def test_slots_are_reused_across_many_requests(engine_and_model):
+    """More requests than slots: all complete (slots recycle)."""
+    engine, model, params, opt = engine_and_model
+    results = [None] * 5
+
+    def call(i):
+        results[i] = engine.submit(_pts(10 + i), 4, seed=None)
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(5)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(r is not None and len(r["tokens"]) > 0 for r in results)

@@ -10,8 +10,8 @@ import pytest
 from edgerunner_tpu.config import Options
 
 
-@pytest.fixture(scope="module")
-def server():
+@pytest.fixture(scope="module", params=["continuous", "microbatch"])
+def server(request):
     import serve as serve_mod
 
     opt = Options(cond_mode="point", point_latent_size=16, num_cond_tokens=17,
@@ -20,7 +20,9 @@ def server():
                   use_num_face_cond=True, checkpointing=False, decode_bucket=64,
                   generate_mode="greedy", point_num=64, test_batch_size=2,
                   test_num_face=(8,))
-    srv, batcher = serve_mod.build_server(opt, port=0, max_wait_ms=200.0)
+    srv, batcher = serve_mod.build_server(
+        opt, port=0, max_wait_ms=200.0,
+        continuous=request.param == "continuous", segment_steps=16)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     yield f"http://127.0.0.1:{srv.server_address[1]}"
