@@ -70,9 +70,25 @@ def _tiny(opt):
         point_num=128, checkpointing=False, decode_bucket=128)
 
 
-def train_probe(tiny: bool = False, steps: int = 3):
+def _peak_hbm_gb():
+    import jax
+
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        peak = stats.get("peak_bytes_in_use")
+        if peak:
+            return round(peak / 1024**3, 2)
+    except Exception:
+        pass
+    return None
+
+
+def train_probe(tiny: bool = False, steps: int = 3, long_ctx: bool = False):
     """Flagship train-step timing: batch 2, 6147 positions (the README
-    configuration). Returns a dict for the bench JSON detail."""
+    configuration). With long_ctx: batch 1 at the FULL flagship envelope —
+    2049 cond + BOS + 40,958 mesh tokens + EOS = 43,009 positions (reference
+    core/options.py:170-171, core/models.py:93). Returns a dict for the
+    bench JSON detail."""
     import jax
 
     from edgerunner_tpu.utils import enable_compilation_cache
@@ -92,9 +108,16 @@ def train_probe(tiny: bool = False, steps: int = 3):
     opt = config_defaults["ArAE"]
     M = TRAIN_MESH_TOKENS
     B = TRAIN_BATCH
+    if long_ctx:
+        # max_seq_length mesh tokens minus BOS/EOS: the longest sample the
+        # flagship config ever trains on. remat_prevent_cse: without it XLA
+        # CSEs the remat replay and keeps every layer's [T, ffn] activation
+        # live (12GB at 43k) — measured OOM at 31.4G/15.75G
+        M, B = opt.max_seq_length - 2, 1
+        opt = dataclasses.replace(opt, remat_prevent_cse=True)
     if tiny:
         opt = _tiny(opt)
-        M, B = 64, 2
+        M, B = (256, 1) if long_ctx else (64, 2)
 
     model = LMM(opt, dtype=compute_dtype(opt))
     rng = jax.random.PRNGKey(0)
@@ -130,7 +153,62 @@ def train_probe(tiny: bool = False, steps: int = 3):
         "tokens_per_s": round(B * total_pos / dt, 1),
         "batch": B,
         "seq": total_pos,
+        "peak_hbm_gb": _peak_hbm_gb(),
     }
+
+
+def dit_train_probe(tiny: bool = False, steps: int = 3, batch: int = 32):
+    """Flagship DiT train-step timing (reference readme.md:56 publishes
+    ~7 s/iter @ batch 32 on A100-40G): frozen CLIP cond + frozen point
+    encoder targets + DiT fwd/bwd, the full main_dit.py step."""
+    import jax
+
+    from edgerunner_tpu.utils import compute_dtype, enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from edgerunner_tpu.config import config_defaults
+    from edgerunner_tpu.models.mdit import MDiT
+    from edgerunner_tpu.train.state import (
+        create_train_state,
+        frozen_param_keys,
+        make_dit_train_step,
+        make_optimizer,
+    )
+    from main_dit import init_mdit_params
+
+    opt = config_defaults["DiT"]
+    if tiny:
+        opt = dataclasses.replace(
+            _tiny(opt), dit_hidden_dim=64, dit_num_heads=4, dit_num_layers=2,
+            clip_hidden_dim=64, clip_num_layers=2, clip_num_heads=4,
+            point_num=128)
+        batch = 2
+
+    model = MDiT(opt, dtype=compute_dtype(opt))
+    rng = jax.random.PRNGKey(0)
+    params = init_mdit_params(model, opt, rng)
+    tx, _ = make_optimizer(opt, total_steps=1000,
+                           frozen_keys=frozen_param_keys(opt, "dit"))
+    state = create_train_state(params, tx)
+    step = jax.jit(make_dit_train_step(model, tx), donate_argnums=(0,))
+
+    rng_np = np.random.default_rng(0)
+    batch_data = {
+        "images": rng_np.uniform(0, 1, (batch, opt.clip_image_size,
+                                        opt.clip_image_size, 3)).astype(np.float32),
+        "points": rng_np.normal(size=(batch, opt.point_num, 3)).astype(np.float32),
+    }
+
+    state, metrics = step(state, batch_data, rng)  # compile + warmup
+    _ = float(metrics["loss"])
+    t0 = time.time()
+    for _ in range(steps):
+        state, metrics = step(state, batch_data, rng)
+    _ = float(metrics["loss"])  # sync (block_until_ready unreliable via tunnel)
+    dt = (time.time() - t0) / steps
+    return {"s_per_iter": round(dt, 3), "batch": batch,
+            "vs_ref_a100": round(7.0 / dt, 2) if not tiny else None}
 
 
 def main():
@@ -151,12 +229,21 @@ def main():
     ap.add_argument("--mtp_heads", type=int, default=2)
     ap.add_argument("--skip_train", action="store_true",
                     help="skip the training-step probe")
+    ap.add_argument("--skip_probes", action="store_true",
+                    help="headline decode only (no train/DiT/long-context "
+                         "probes)")
     ap.add_argument("--_train_probe", action="store_true",
                     help=argparse.SUPPRESS)  # subprocess entry
+    ap.add_argument("--_long_ctx", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--_dit_probe", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
 
     if args._train_probe:
-        print("TRAIN_JSON " + json.dumps(train_probe(tiny=args.tiny)))
+        print("TRAIN_JSON " + json.dumps(
+            train_probe(tiny=args.tiny, long_ctx=args._long_ctx)))
+        return
+    if args._dit_probe:
+        print("TRAIN_JSON " + json.dumps(dit_train_probe(tiny=args.tiny)))
         return
 
     import jax
@@ -237,23 +324,48 @@ def main():
         "backend": jax.default_backend(),
     }
 
-    if not args.skip_train:
-        # separate process: isolates the train state's HBM from the decode
-        # model, and a probe failure cannot lose the headline number
-        cmd = [sys.executable, __file__, "--_train_probe"]
+    detail["peak_hbm_gb"] = _peak_hbm_gb()
+
+    def _sub_probe(extra_flags, key, timeout=3000):
+        """Run a probe in a separate process: isolates its HBM from the
+        decode model, and a probe failure cannot lose the headline number."""
+        cmd = [sys.executable, __file__] + extra_flags
         if args.tiny:
             cmd.append("--tiny")
         try:
             proc = subprocess.run(cmd, capture_output=True, text=True,
-                                  timeout=3000)
+                                  timeout=timeout)
             for line in proc.stdout.splitlines():
                 if line.startswith("TRAIN_JSON "):
-                    detail["train"] = json.loads(line[len("TRAIN_JSON "):])
-                    break
-            else:
-                detail["train"] = {"error": (proc.stderr or "no output")[-300:]}
+                    detail[key] = json.loads(line[len("TRAIN_JSON "):])
+                    return
+                if line.startswith("{") and "\"metric\"" in line:
+                    sub = json.loads(line)
+                    detail[key] = {"meshes_per_min": sub["value"],
+                                   **sub["detail"]}
+                    detail[key].pop("backend", None)
+                    return
+            detail[key] = {"error": (proc.stderr or "no output")[-300:]}
         except Exception as e:  # noqa: BLE001
-            detail["train"] = {"error": str(e)[:300]}
+            detail[key] = {"error": str(e)[:300]}
+
+    if not args.skip_train:
+        _sub_probe(["--_train_probe"], "train")
+    if not (args.skip_train or args.skip_probes):
+        # the flagship long-context envelope: one train step at the full
+        # 43,009 positions (VERDICT r2 item 1a)
+        _sub_probe(["--_train_probe", "--_long_ctx"], "train_long")
+        # DiT train step at flagship dims (reference readme.md:56)
+        _sub_probe(["--_dit_probe"], "train_dit")
+        # 4000-face decode (BASELINE config 4; VERDICT r2 item 1b)
+        _sub_probe(["--batch", "12", "--faces", "4000", "--repeats", "1",
+                    "--skip_train", "--skip_probes"], "decode_long",
+                   timeout=4000)
+        # exact-bf16 headline at its best batch, machine-recorded next to
+        # the quantized default (VERDICT r2 item 4)
+        _sub_probe(["--no_kv_quant", "--no_w_quant", "--batch", "12",
+                    "--repeats", "2", "--skip_train", "--skip_probes"],
+                   "exact_bf16")
 
     print(json.dumps({
         "metric": "gen_meshes_per_min_per_chip",

@@ -167,6 +167,12 @@ class Options:
     # XLA CSEs the replayed forward); 'attn' saves attention outputs
     # (+B*T*hidden*2 bytes/layer) for configs where CSE doesn't fire
     remat_policy: str = "full"
+    # forbid XLA from CSE-ing the remat replay back into the forward. The
+    # default (False) is fastest when activations fit — XLA shares the
+    # replayed forward. At long context the CSE silently UNDOES remat
+    # (every layer's [T, ffn] activation stays live: 12GB at 43k positions,
+    # OOM); set True for long-context runs so recompute actually happens
+    remat_prevent_cse: bool = False
 
 
 # named presets (reference: core/options.py:152-211)

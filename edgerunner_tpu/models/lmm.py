@@ -84,6 +84,7 @@ class LMM(nn.Module):
             dtype=self.dtype,
             remat=opt.checkpointing,
             remat_policy=opt.remat_policy,
+            remat_prevent_cse=opt.remat_prevent_cse,
             kv_quant=opt.kv_quant,
             kv_bits=opt.kv_bits,
             w_quant=opt.w_quant,

@@ -60,6 +60,9 @@ class ShapeOPTConfig:
     # spends +B*T*hidden*2 bytes/layer of HBM. Default stays 'full'; the
     # policy knob remains for configs where CSE doesn't fire.
     remat_policy: str = "full"
+    # see Options.remat_prevent_cse: must be True for long-context training
+    # or XLA CSEs the replay and keeps every layer's activations live
+    remat_prevent_cse: bool = False
     kv_quant: bool = False  # quantized KV cache for decode
     kv_bits: int = 8        # 8 (int8) or 4 (packed nibbles) when kv_quant
     w_quant: bool = False   # int8 projection weights for decode
@@ -397,7 +400,7 @@ class ShapeOPTDecoder(nn.Module):
                 h = nn.remat(
                     lambda mdl, x: mdl(x, lengths=lengths,
                                        deterministic=deterministic),
-                    prevent_cse=False,
+                    prevent_cse=self.cfg.remat_prevent_cse,
                     policy=policy,
                 )(layer, h)
             else:

@@ -18,19 +18,58 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
+def _ensure_global(tree: Any) -> Any:
+    """Multi-host: orbax refuses host-local (single-device) arrays. Scalars
+    like step counters are identical on every host by construction, so
+    re-declare them as mesh-replicated global arrays; properly mesh-sharded
+    params pass through untouched."""
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils as mhu
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()), ("_all",))
+
+    def fix(x):
+        if isinstance(x, jax.Array) and x.is_fully_addressable \
+                and len(x.sharding.device_set) < jax.device_count():
+            return mhu.host_local_array_to_global_array(
+                np.asarray(x), mesh, P())
+        return x
+
+    return jax.tree.map(fix, tree)
+
+
 def save_pytree(path: str, tree: Any):
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, tree, force=True)
+    ckptr.save(path, _ensure_global(tree), force=True)
     ckptr.wait_until_finished()
 
 
 def restore_pytree(path: str, target: Optional[Any] = None) -> Any:
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    if target is None:
+    if target is not None:
+        return ckptr.restore(path, target=target)
+    try:
         return ckptr.restore(path)
-    return ckptr.restore(path, target=target)
+    except ValueError:
+        # cross-topology restore (e.g. a pod-sharded checkpoint opened on a
+        # single host, or CPU tests reading a TPU save): the recorded
+        # shardings reference devices that don't exist here — read every
+        # leaf as plain numpy instead
+        return _restore_numpy(path)
+
+
+def _restore_numpy(path: str) -> Any:
+    with ocp.PyTreeCheckpointer() as ckptr:
+        meta = ckptr.metadata(path)
+        tree = meta.item_metadata.tree if hasattr(meta, "item_metadata") \
+            else meta.tree
+        args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+        return ckptr.restore(path, restore_args=args)
 
 
 def _realign_posemb(ckpt_w: np.ndarray, model_w: np.ndarray, align: str) -> np.ndarray:

@@ -170,6 +170,40 @@ def test_export_lmm_names_match_reference():
         assert sd[k].shape == ref_sd[k].shape, (k, sd[k].shape, ref_sd[k].shape)
 
 
+@__import__("pytest").mark.skipif(
+    not os.environ.get("RUN_SLOW"),
+    reason="flagship-shape (1536x24, ~0.75B params); set RUN_SLOW=1")
+def test_flagship_convert_merge_export_roundtrip():
+    """The full interop path at the REAL flagship shape (VERDICT r2 item 8):
+    reference-named state_dict -> convert -> tolerant_merge into a 1536x24
+    model -> export -> bit-identical state_dict with the exact reference
+    name surface (reference main.py:63-93 load semantics). Tiny-shape
+    variants of each leg run in the default suite; this proves the flagship
+    shapes once per environment (committed log: evidence/flagship_convert.log)."""
+    import dataclasses
+
+    from export_reference_ckpt import export_lmm
+
+    from edgerunner_tpu.config import config_defaults
+
+    opt = dataclasses.replace(config_defaults["ArAE"], checkpointing=False)
+    sd = _fake_reference_lmm_sd(opt)
+    tree = convert_lmm(sd)
+
+    model = LMM(opt)
+    params = init_lmm_params(model, opt, RNG)
+    mismatches = []
+    merged = tolerant_merge(params, tree, log=lambda m: mismatches.append(m))
+    problems = [m for m in mismatches
+                if "mismatch" in m or "unexpected" in m or "missing" in m]
+    assert not problems, problems[:10]
+
+    back = export_lmm(merged)
+    assert set(back.keys()) == set(sd.keys()), set(back.keys()) ^ set(sd.keys())
+    for k in sd:
+        np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
+
+
 def test_export_mdit_roundtrip():
     from convert_reference_ckpt import convert_mdit
     from export_reference_ckpt import export_mdit

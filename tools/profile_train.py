@@ -1,0 +1,131 @@
+"""Profile the flagship ArAE train step on TPU and print an op-family
+time breakdown (the train-side counterpart of round-2's decode profiling,
+evidence/decode_profile.md).
+
+Captures a jax.profiler trace around N timed steps at the README probe shape
+(batch 2, 6147 positions by default; --long for the 43k envelope), then
+parses the xplane protobuf directly with
+tensorflow.tsl.profiler.protobuf.xplane_pb2 (the tensorboard profile plugin
+is protobuf-incompatible in this image).
+
+Usage:  python tools/profile_train.py [--steps 3] [--long] [--out DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import re
+import sys
+import time
+from collections import defaultdict
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def capture(out_dir: str, steps: int, long_ctx: bool):
+    import jax
+    import numpy as np
+
+    from bench import TRAIN_BATCH, TRAIN_MESH_TOKENS
+    from edgerunner_tpu.config import config_defaults
+    from edgerunner_tpu.models.lmm import LMM
+    from edgerunner_tpu.train.checkpoint import init_lmm_params
+    from edgerunner_tpu.train.state import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+    from edgerunner_tpu.utils import compute_dtype, enable_compilation_cache
+
+    enable_compilation_cache()
+    opt = config_defaults["ArAE"]
+    M = opt.max_seq_length - 2 if long_ctx else TRAIN_MESH_TOKENS
+    B = 1 if long_ctx else TRAIN_BATCH
+
+    model = LMM(opt, dtype=compute_dtype(opt))
+    rng = jax.random.PRNGKey(0)
+    params = init_lmm_params(model, opt, rng)
+    tx, _ = make_optimizer(opt, total_steps=1000)
+    state = create_train_state(params, tx)
+    step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
+
+    C = opt.num_cond_tokens
+    r = np.random.default_rng(0)
+    batch = {
+        "conds": r.normal(size=(B, opt.point_num, 3)).astype(np.float32),
+        "tokens": np.concatenate(
+            [np.full((B, 1), 1), r.integers(6, 100, (B, M)),
+             np.full((B, 1), 2)], axis=1).astype(np.int32),
+        "labels": np.concatenate(
+            [np.full((B, C + 1), -100), r.integers(6, 100, (B, M)),
+             np.full((B, 1), 2)], axis=1).astype(np.int32),
+        "lengths": np.full((B,), C + 1 + M + 1, np.int32),
+        "num_faces": np.full((B,), 1000, np.int32),
+    }
+
+    state, metrics = step(state, batch, rng)      # compile + warmup
+    _ = float(metrics["loss"])
+    jax.profiler.start_trace(out_dir)
+    t0 = time.time()
+    for _ in range(steps):
+        state, metrics = step(state, batch, rng)
+    _ = float(metrics["loss"])                    # tunnel-safe sync
+    dt = (time.time() - t0) / steps
+    jax.profiler.stop_trace()
+    print(f"[capture] {dt:.3f} s/it at b{B}/seq{C + 1 + M + 1}")
+    return dt
+
+
+def parse(out_dir: str, steps: int):
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = glob.glob(os.path.join(out_dir, "plugins/profile/*/*.xplane.pb"))
+    assert paths, f"no xplane under {out_dir}"
+    xs = xplane_pb2.XSpace()
+    with open(sorted(paths)[-1], "rb") as f:
+        xs.ParseFromString(f.read())
+
+    for plane in xs.planes:
+        if "TPU" not in plane.name:
+            continue
+        ev_names = plane.event_metadata
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            tot = defaultdict(float)
+            cnt = defaultdict(int)
+            for ev in line.events:
+                md = ev_names.get(ev.metadata_id)
+                name = md.name if md else "?"
+                base = re.sub(r"%([a-zA-Z0-9_.-]+?)(\.\d+)? = .*", r"\1", name)
+                m = re.match(r"%?([a-z-]+)", base)
+                fam = m.group(1) if m else base
+                if "custom-call" in name:
+                    fam = "custom-call(pallas)"
+                tot[fam] += ev.duration_ps / 1e12
+                cnt[fam] += 1
+            print(f"{'family':30s} {'total_s':>9s} {'ms/step':>10s} {'count':>9s}")
+            ssum = 0.0
+            for fam, t in sorted(tot.items(), key=lambda kv: -kv[1]):
+                ssum += t
+                print(f"{fam:30s} {t:9.3f} {t/steps*1e3:10.2f} {cnt[fam]:9d}")
+            print(f"{'TOTAL (device busy)':30s} {ssum:9.3f} {ssum/steps*1e3:10.2f}")
+        break
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--long", action="store_true")
+    ap.add_argument("--out", default="/tmp/train_trace")
+    ap.add_argument("--parse_only", action="store_true")
+    args = ap.parse_args()
+    if not args.parse_only:
+        capture(args.out, args.steps, args.long)
+    parse(args.out, args.steps)
+
+
+if __name__ == "__main__":
+    main()
