@@ -150,6 +150,11 @@ class Options:
     # traffic; larger quantization error — check tools/kv_quant_quality.py
     # on your checkpoint before enabling)
     kv_bits: int = 8
+    # int4 scale granularity in lanes per group (0 = one absmax scale per
+    # row; 96 = one per attention head at the flagship head_dim) — tighter
+    # int4 numerics at identical DMA traffic (the group scales ride the
+    # same packed 128-lane plane)
+    kv_group: int = 0
     # int8 decoder projection weights for decoding (weight-only quantization,
     # per-output-column scales; halves the per-step weight HBM traffic)
     w_quant: bool = False

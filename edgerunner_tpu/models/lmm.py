@@ -87,6 +87,7 @@ class LMM(nn.Module):
             remat_prevent_cse=opt.remat_prevent_cse,
             kv_quant=opt.kv_quant,
             kv_bits=opt.kv_bits,
+            kv_group=opt.kv_group,
             w_quant=opt.w_quant,
             mtp_heads=opt.mtp_heads,
         )

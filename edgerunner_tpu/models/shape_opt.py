@@ -65,6 +65,9 @@ class ShapeOPTConfig:
     remat_prevent_cse: bool = False
     kv_quant: bool = False  # quantized KV cache for decode
     kv_bits: int = 8        # 8 (int8) or 4 (packed nibbles) when kv_quant
+    # int4 group size in lanes (0 = one absmax scale per row; e.g. 96 = one
+    # scale per attention head) — tightens int4 numerics, same DMA traffic
+    kv_group: int = 0
     w_quant: bool = False   # int8 projection weights for decode
     # multi-token-prediction draft heads (Medusa-style) for speculative
     # decoding: head k predicts token t+2+k from the hidden state at t.
@@ -79,6 +82,51 @@ class ShapeOPTConfig:
 
 def scaled_out_init(std: float, num_layers: int):
     return nn.initializers.normal(stddev=std / jnp.sqrt(2 * num_layers))
+
+
+def _kv_quantize(c: "ShapeOPTConfig", kf, vf):
+    """Quantize one or more K/V rows per the config; returns (values row
+    [B,T,hd or 2hd or hd/2*2], packed scale plane [B,T,128])."""
+    from edgerunner_tpu.ops.kv_quant import (
+        pack_scales,
+        pack_scales_grouped,
+        quantize_rows,
+        quantize_rows_int4,
+        quantize_rows_int4_grouped,
+    )
+
+    if c.kv_bits == 4:
+        if c.kv_group:
+            kq, ks = quantize_rows_int4_grouped(kf, c.kv_group)
+            vq, vs = quantize_rows_int4_grouped(vf, c.kv_group)
+            return jnp.concatenate([kq, vq], -1), pack_scales_grouped(ks, vs)
+        kq, ks = quantize_rows_int4(kf)
+        vq, vs = quantize_rows_int4(vf)
+    else:
+        kq, ks = quantize_rows(kf)
+        vq, vs = quantize_rows(vf)
+    return jnp.concatenate([kq, vq], -1), pack_scales(ks, vs)
+
+
+def _kv_dequantize(c: "ShapeOPTConfig", kv_vals, scales):
+    """XLA-fallback dequant of the packed cache; returns (k, v) [B,L,hd]."""
+    from edgerunner_tpu.ops.kv_quant import (
+        dequantize_rows,
+        dequantize_rows_int4,
+        dequantize_rows_int4_grouped,
+    )
+
+    hd = kv_vals.shape[-1] // 2
+    if c.kv_bits == 4:
+        if c.kv_group:
+            return (dequantize_rows_int4_grouped(
+                        kv_vals[..., :hd], scales, c.kv_group, c.dtype, 0),
+                    dequantize_rows_int4_grouped(
+                        kv_vals[..., hd:], scales, c.kv_group, c.dtype, 1))
+        return (dequantize_rows_int4(kv_vals[..., :hd], scales, c.dtype, 0),
+                dequantize_rows_int4(kv_vals[..., hd:], scales, c.dtype, 1))
+    return (dequantize_rows(kv_vals[..., :hd], scales, c.dtype, 0),
+            dequantize_rows(kv_vals[..., hd:], scales, c.dtype, 1))
 
 
 def _rows_update(cache, rows, idx_vec):
@@ -159,25 +207,15 @@ class OPTAttention(nn.Module):
             # last (lane) dim, so tiny test configs fall back to XLA
             if jax.default_backend() == "tpu" and L % DEFAULT_BLOCK == 0 \
                     and hd2 % 256 == 0:
-                fused = (fused_decode_attention_q4 if c.kv_bits == 4
-                         else fused_decode_attention_q8)
-                return fused(
+                if c.kv_bits == 4:
+                    return fused_decode_attention_q4(
+                        qf.reshape(B, -1), kv_vals, scales, index,
+                        num_heads=c.num_attention_heads,
+                        group=c.kv_group).reshape(B, 1, -1)
+                return fused_decode_attention_q8(
                     qf.reshape(B, -1), kv_vals, scales, index,
                     num_heads=c.num_attention_heads).reshape(B, 1, -1)
-            if c.kv_bits == 4:
-                from edgerunner_tpu.ops.kv_quant import dequantize_rows_int4
-
-                hd = hd2 // 2
-                kd = dequantize_rows_int4(kv_vals[..., :hd], scales, c.dtype,
-                                          lane=0)
-                vd = dequantize_rows_int4(kv_vals[..., hd:], scales, c.dtype,
-                                          lane=1)
-            else:
-                from edgerunner_tpu.ops.kv_quant import dequantize_rows
-
-                hd = hd2 // 2
-                kd = dequantize_rows(kv_vals[..., :hd], scales, c.dtype, lane=0)
-                vd = dequantize_rows(kv_vals[..., hd:], scales, c.dtype, lane=1)
+            kd, vd = _kv_dequantize(c, kv_vals, scales)
             q = self._heads(qf)
             kh = kd.reshape(B, L, c.num_attention_heads, c.head_dim)
             vh = vd.reshape(B, L, c.num_attention_heads, c.head_dim)
@@ -217,22 +255,14 @@ class OPTAttention(nn.Module):
             L, hd2 = kv_vals.shape[1], kv_vals.shape[2]
             if jax.default_backend() == "tpu" and L % DEFAULT_BLOCK == 0 \
                     and hd2 % 256 == 0:
-                fused = (fused_decode_attention_q4_multi if c.kv_bits == 4
-                         else fused_decode_attention_q8_multi)
-                return fused(
+                if c.kv_bits == 4:
+                    return fused_decode_attention_q4_multi(
+                        qf.reshape(B, T, -1), kv_vals, scales, index_vec,
+                        num_heads=H, group=c.kv_group)
+                return fused_decode_attention_q8_multi(
                     qf.reshape(B, T, -1), kv_vals, scales, index_vec,
                     num_heads=H)
-            hd = hd2 // 2
-            if c.kv_bits == 4:
-                from edgerunner_tpu.ops.kv_quant import dequantize_rows_int4
-
-                kd = dequantize_rows_int4(kv_vals[..., :hd], scales, c.dtype, 0)
-                vd = dequantize_rows_int4(kv_vals[..., hd:], scales, c.dtype, 1)
-            else:
-                from edgerunner_tpu.ops.kv_quant import dequantize_rows
-
-                kd = dequantize_rows(kv_vals[..., :hd], scales, c.dtype, 0)
-                vd = dequantize_rows(kv_vals[..., hd:], scales, c.dtype, 1)
+            kd, vd = _kv_dequantize(c, kv_vals, scales)
             L2 = kd.shape[1]
             return decode_attention_multi(
                 self._heads(qf), kd.reshape(B, L2, H, Dh),
@@ -256,18 +286,9 @@ class OPTAttention(nn.Module):
         vf = self.v_proj(h)
 
         if c.kv_quant:
-            from edgerunner_tpu.ops.kv_quant import (
-                pack_scales,
-                quantize_rows,
-                quantize_rows_int4,
-            )
-
-            qfn = quantize_rows_int4 if c.kv_bits == 4 else quantize_rows
-            kq, ks = qfn(kf)
-            vq, vs = qfn(vf)
-            k_cache = _rows_update(k_cache, jnp.concatenate([kq, vq], -1),
-                                   index_vec)
-            v_cache = _rows_update(v_cache, pack_scales(ks, vs), index_vec)
+            kv_row, plane = _kv_quantize(c, kf, vf)
+            k_cache = _rows_update(k_cache, kv_row, index_vec)
+            v_cache = _rows_update(v_cache, plane, index_vec)
         else:
             k_cache = _rows_update(k_cache, kf, index_vec)
             v_cache = _rows_update(v_cache, vf, index_vec)
@@ -286,20 +307,11 @@ class OPTAttention(nn.Module):
         vf = self.v_proj(h)
 
         if c.kv_quant:
-            from edgerunner_tpu.ops.kv_quant import (
-                pack_scales,
-                quantize_rows,
-                quantize_rows_int4,
-            )
-
-            qfn = quantize_rows_int4 if c.kv_bits == 4 else quantize_rows
-            kq, ks = qfn(kf)
-            vq, vs = qfn(vf)
-            kv_row = jnp.concatenate([kq, vq], axis=-1)
+            kv_row, plane = _kv_quantize(c, kf, vf)
             kv_vals = jax.lax.dynamic_update_slice(
                 k_cache, kv_row, (0, index, 0))
             scales = jax.lax.dynamic_update_slice(
-                v_cache, pack_scales(ks, vs), (0, index, 0))
+                v_cache, plane, (0, index, 0))
             k_cache, v_cache = kv_vals, scales
         else:
             k_cache = jax.lax.dynamic_update_slice(
@@ -422,19 +434,11 @@ class ShapeOPTDecoder(nn.Module):
         pad = ((0, 0), (0, max_len - P), (0, 0))
         ks, vs = [], []
         if c.kv_quant:
-            from edgerunner_tpu.ops.kv_quant import (
-                pack_scales,
-                quantize_rows,
-                quantize_rows_int4,
-            )
-
-            qfn = quantize_rows_int4 if c.kv_bits == 4 else quantize_rows
             for layer in self.layers:
                 h, k, v = layer.prefill(h)
-                kq, ksc = qfn(k)
-                vq, vsc = qfn(v)
-                ks.append(jnp.pad(jnp.concatenate([kq, vq], -1), pad))
-                vs.append(jnp.pad(pack_scales(ksc, vsc), pad))
+                kv_row, plane = _kv_quantize(c, k, v)
+                ks.append(jnp.pad(kv_row, pad))
+                vs.append(jnp.pad(plane, pad))
             return h, tuple(ks), tuple(vs)
         for layer in self.layers:
             h, k, v = layer.prefill(h)

@@ -244,19 +244,31 @@ def _kernel_q8(index_ref, q_ref, kv_hbm, sc_hbm,
 
 # ------------------------------------------------------- int4 KV variant --
 
+def _group_expand_mat(hd: int, group: int):
+    """Onehot [G, hd] matrix: row g covers lanes [g*group, (g+1)*group) —
+    expands per-group scales to per-lane via one small MXU dot."""
+    G = hd // group
+    g_ids = jax.lax.broadcasted_iota(jnp.int32, (G, hd), 0)
+    j_ids = jax.lax.broadcasted_iota(jnp.int32, (G, hd), 1)
+    return (j_ids // group == g_ids).astype(jnp.float32)
+
+
 def _kernel_q4(index_ref, q_ref, kv_hbm, sc_hbm,
                out_ref, kbuf, scbuf, sems,
-               *, num_heads, head_dim, block, scale):
+               *, num_heads, head_dim, block, scale, group=0):
     """Like _kernel_q8 but the cache holds packed int4 nibbles.
 
     kv_hbm: int8 [B, L, hd] — lanes [:hd/2] hold K's packed nibbles, lanes
     [hd/2:] hold V's (each byte j = original lanes (j, j + hd/2), low/high
-    nibble; see ops/kv_quant.py). sc_hbm: bf16 [B, L, 128] packed row scales.
+    nibble; see ops/kv_quant.py). sc_hbm: bf16 [B, L, 128] packed row scales
+    (or, with group > 0, per-group scales: K at lanes [0,G), V at [64,64+G)
+    — scaling then happens on the unpacked values before the dots).
     """
     b = pl.program_id(0)
     index = index_ref[jnp.minimum(b, index_ref.shape[0] - 1)]
     hd = num_heads * head_dim
     half = hd // 2
+    Gmat = _group_expand_mat(hd, group) if group else None
 
     j_ids = jax.lax.broadcasted_iota(jnp.int32, (hd, num_heads), 0)
     h_ids = jax.lax.broadcasted_iota(jnp.int32, (hd, num_heads), 1)
@@ -301,12 +313,26 @@ def _kernel_q4(index_ref, q_ref, kv_hbm, sc_hbm,
         kvb = kbuf[slot]                        # int8 [BK, hd] packed
         kb = unpack(kvb[:, :half])              # f32 [BK, hd]
         vb = unpack(kvb[:, half:])
-        ks = scbuf[slot][:, 0:1].astype(jnp.float32)
-        vs = scbuf[slot][:, 1:2].astype(jnp.float32)
+        sc = scbuf[slot]
+        if group:
+            G = hd // group
+            ksg = sc[:, 0:G].astype(jnp.float32)           # [BK, G]
+            vsg = sc[:, 64:64 + G].astype(jnp.float32)
+            kb = kb * jax.lax.dot_general(
+                ksg, Gmat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            vb = vb * jax.lax.dot_general(
+                vsg, Gmat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ks = vs = None
+        else:
+            ks = sc[:, 0:1].astype(jnp.float32)
+            vs = sc[:, 1:2].astype(jnp.float32)
 
         s = jax.lax.dot_general(kb, qdiag, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        s = s * ks
+        if not group:
+            s = s * ks
         t_ids = i * block + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
         s = jnp.where(t_ids <= index, s, NEG_INF)
 
@@ -316,7 +342,8 @@ def _kernel_q4(index_ref, q_ref, kv_hbm, sc_hbm,
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=0, keepdims=True)
 
-        p = p * vs
+        if not group:
+            p = p * vs
         p_exp = jax.lax.dot_general(p, E, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
         alpha_exp = jax.lax.dot_general(alpha, E, (((1,), (1,)), ((), ())),
@@ -336,7 +363,8 @@ def _kernel_q4(index_ref, q_ref, kv_hbm, sc_hbm,
 
 
 def fused_decode_attention_q4(q, kv_vals, scales, index,
-                              *, num_heads: int, block: int = DEFAULT_BLOCK):
+                              *, num_heads: int, block: int = DEFAULT_BLOCK,
+                              group: int = 0):
     """int4-cache decode attention.
 
     q: [B, hidden]; kv_vals: int8 [B, L, hidden] of packed nibbles (K's in
@@ -367,7 +395,7 @@ def fused_decode_attention_q4(q, kv_vals, scales, index,
     )
     kernel = functools.partial(
         _kernel_q4, num_heads=num_heads, head_dim=head_dim, block=block,
-        scale=scale)
+        scale=scale, group=group)
     (out,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -653,7 +681,7 @@ def _kernel_q8_multi(index_ref, q_ref, kv_hbm, sc_hbm,
 
 def _kernel_q4_multi(index_ref, q_ref, kv_hbm, sc_hbm,
                      out_ref, kbuf, scbuf, sems,
-                     *, num_heads, head_dim, block, scale, T):
+                     *, num_heads, head_dim, block, scale, T, group=0):
     """Multi-query verify over the packed-nibble int4 cache (speculative
     decoding with --kv_quant --kv_bits 4): _kernel_q4's unpack + the
     T*H-column online softmax of _kernel_q8_multi."""
@@ -662,6 +690,7 @@ def _kernel_q4_multi(index_ref, q_ref, kv_hbm, sc_hbm,
     hd = num_heads * head_dim
     half = hd // 2
     TH = T * num_heads
+    Gmat = _group_expand_mat(hd, group) if group else None
 
     j_ids = jax.lax.broadcasted_iota(jnp.int32, (hd, num_heads), 0)
     h_ids = jax.lax.broadcasted_iota(jnp.int32, (hd, num_heads), 1)
@@ -707,12 +736,20 @@ def _kernel_q4_multi(index_ref, q_ref, kv_hbm, sc_hbm,
         kvb = kbuf[slot]                        # int8 [BK, hd] packed
         kb = unpack(kvb[:, :half])              # f32 [BK, hd]
         vb = unpack(kvb[:, half:])
-        ks = scbuf[slot][:, 0:1].astype(jnp.float32)
-        vs = scbuf[slot][:, 1:2].astype(jnp.float32)
+        sc = scbuf[slot]
+        if group:
+            G = hd // group
+            kb = kb * jax.lax.dot_general(
+                sc[:, 0:G].astype(jnp.float32), Gmat,
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            vb = vb * jax.lax.dot_general(
+                sc[:, 64:64 + G].astype(jnp.float32), Gmat,
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
         s = jax.lax.dot_general(kb, qdiag, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        s = s * ks
+        if not group:
+            s = s * sc[:, 0:1].astype(jnp.float32)
         rows_t = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) // num_heads
         t_ids = i * block + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
         s = jnp.where(t_ids <= index + rows_t, s, NEG_INF)
@@ -723,7 +760,8 @@ def _kernel_q4_multi(index_ref, q_ref, kv_hbm, sc_hbm,
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=0, keepdims=True)
 
-        p = p * vs
+        if not group:
+            p = p * sc[:, 1:2].astype(jnp.float32)
         accs = []
         for t in range(T):
             p_t = p[:, t * num_heads:(t + 1) * num_heads]
@@ -754,7 +792,8 @@ def _kernel_q4_multi(index_ref, q_ref, kv_hbm, sc_hbm,
 
 def fused_decode_attention_q4_multi(q, kv_vals, scales, index,
                                     *, num_heads: int,
-                                    block: int = DEFAULT_BLOCK):
+                                    block: int = DEFAULT_BLOCK,
+                                    group: int = 0):
     """Multi-query verify, int4 cache. q: [B, T, hidden]; kv_vals: int8
     [B, L, hidden] packed nibbles (K in lanes [:hidden/2], V in [hidden/2:]);
     scales: bf16 [B, L, 128]; index: [B] base position."""
@@ -783,7 +822,7 @@ def fused_decode_attention_q4_multi(q, kv_vals, scales, index,
     )
     kernel = functools.partial(
         _kernel_q4_multi, num_heads=num_heads, head_dim=head_dim, block=block,
-        scale=scale, T=T)
+        scale=scale, T=T, group=group)
     (out,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -29,8 +29,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+# Block sizes: 512x512 is the measured sweet spot on v5e (train profile,
+# round 3). Larger blocks were tried to amortize the per-program fixed cost
+# (~half the causal kernel time at seq 6k):
+#   - 1024x1024 fwd: pads q/o residuals 6656 -> 7168, +75MB HBM -> OOM at
+#     the README probe shape (b2/seq6147)
+#   - 512(q) x 1024(k) fwd: compiled, then TPU runtime Internal error on
+#     execute (worker crash under HBM pressure)
+# The backward must stay <= 512x512 regardless: it holds 4 extra [BQ, BK]
+# f32 intermediates (s/p/dp/ds) in VMEM. Causal dead-block DMA is elided
+# via block-index remapping (see _fwd), worth ~7% end-to-end.
 DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 512
+DEFAULT_BWD_BLOCK = 512
 
 
 def _interpret() -> bool:
@@ -62,9 +73,14 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
     @pl.when(run)
     def _():
-        q = q_ref[0, 0].astype(jnp.float32)  # [BQ, D]
-        k = k_ref[0, 0].astype(jnp.float32)  # [BK, D]
-        v = v_ref[0, 0].astype(jnp.float32)  # [BK, D]
+        # bf16 inputs keep bf16 dot operands (f32 accumulation via
+        # preferred_element_type) — the MXU runs bf16 at ~4x its f32 rate
+        # and this matches the CUDA flash-attn numerics the reference uses;
+        # f32 inputs (tests) keep full-precision dots
+        dd = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+        q = q_ref[0, 0].astype(dd)  # [BQ, D]
+        k = k_ref[0, 0].astype(dd)  # [BK, D]
+        v = v_ref[0, 0].astype(dd)  # [BK, D]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale  # [BQ, BK]
@@ -85,7 +101,8 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
         m_ref[:, :1] = m_new
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            p.astype(dd), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     @pl.when(ik == nk - 1)
     def _():
@@ -104,13 +121,22 @@ def _fwd(q, k, v, kv_len, *, causal, block_q, block_k, d_orig):
     nk = M // block_k
     scale = 1.0 / np.sqrt(d_orig)
 
+    # causal: blocks strictly above the diagonal never run (pl.when in the
+    # kernel) — remap their kv index to the last LIVE block so the pipeline
+    # sees an unchanged block index and elides the dead blocks' K/V DMA
+    # (~2x HBM traffic on the causal fwd otherwise)
+    if causal:
+        kv_ix = lambda b, h, iq, ik, *_: (  # noqa: E731
+            b, h, jnp.minimum(ik, ((iq + 1) * block_q - 1) // block_k), 0)
+    else:
+        kv_ix = lambda b, h, iq, ik, *_: (b, h, ik, 0)  # noqa: E731
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, H, nq, nk),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, D), lambda b, h, iq, ik, *_: (b, h, iq, 0)),
-            pl.BlockSpec((1, 1, block_k, D), lambda b, h, iq, ik, *_: (b, h, ik, 0)),
-            pl.BlockSpec((1, 1, block_k, D), lambda b, h, iq, ik, *_: (b, h, ik, 0)),
+            pl.BlockSpec((1, 1, block_k, D), kv_ix),
+            pl.BlockSpec((1, 1, block_k, D), kv_ix),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, block_q, D), lambda b, h, iq, ik, *_: (b, h, iq, 0)),
@@ -163,10 +189,11 @@ def _bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     @pl.when(run)
     def _():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
-        do = do_ref[0, 0].astype(jnp.float32)
+        dd = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+        q = q_ref[0, 0].astype(dd)
+        k = k_ref[0, 0].astype(dd)
+        v = v_ref[0, 0].astype(dd)
+        do = do_ref[0, 0].astype(dd)
         lse = lse_ref[0, 0]      # [BQ, 1]
         delta = delta_ref[0, 0]  # [BQ, 1]
 
@@ -183,7 +210,8 @@ def _bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         ds = p * (dp - delta)                              # [BQ, BK]
         dq_acc[:] = dq_acc[:] + scale * jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            ds.astype(dd), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     @pl.when(ik == nk - 1)
     def _():
@@ -211,10 +239,11 @@ def _bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     @pl.when(run)
     def _():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
-        do = do_ref[0, 0].astype(jnp.float32)
+        dd = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+        q = q_ref[0, 0].astype(dd)
+        k = k_ref[0, 0].astype(dd)
+        v = v_ref[0, 0].astype(dd)
+        do = do_ref[0, 0].astype(dd)
         lse = lse_ref[0, 0]      # [BQ, 1]
         delta = delta_ref[0, 0]  # [BQ, 1]
 
@@ -230,13 +259,15 @@ def _bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
         # dv += P^T dO
         dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            p.astype(dd), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         ds = p * (dp - delta)  # [BQ, BK]
         # dk += dS^T Q * scale
         dk_acc[:] = dk_acc[:] + scale * jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            ds.astype(dd), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     @pl.when(iq == nq - 1)
     def _():
@@ -255,10 +286,22 @@ def _bwd(q, k, v, do, o, lse, kv_len, *, causal, block_q, block_k, d_orig):
                     axis=-1, keepdims=True)  # [B,H,N,1]
     lse = lse[..., None]
 
+    # dead causal blocks (pl.when-skipped) remap to the last live block so
+    # their K/V (dq pass) / Q-side (dkv pass) DMAs are elided — same trick
+    # as the forward (see _fwd)
+    if causal:
+        kv_ix = lambda b, h, i, j, *_: (  # noqa: E731
+            b, h, jnp.minimum(j, ((i + 1) * block_q - 1) // block_k), 0)
+        q_ix_dkv = lambda b, h, j, i, *_: (  # noqa: E731
+            b, h, jnp.maximum(i, (j * block_k) // block_q), 0)
+    else:
+        kv_ix = lambda b, h, i, j, *_: (b, h, j, 0)  # noqa: E731
+        q_ix_dkv = lambda b, h, j, i, *_: (b, h, i, 0)  # noqa: E731
+
     common_in = [
         pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j, *_: (b, h, i, 0)),
-        pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j, *_: (b, h, j, 0)),
-        pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j, *_: (b, h, j, 0)),
+        pl.BlockSpec((1, 1, block_k, D), kv_ix),
+        pl.BlockSpec((1, 1, block_k, D), kv_ix),
         pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j, *_: (b, h, i, 0)),
         pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j, *_: (b, h, i, 0)),
         pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j, *_: (b, h, i, 0)),
@@ -280,12 +323,12 @@ def _bwd(q, k, v, do, o, lse, kv_len, *, causal, block_q, block_k, d_orig):
 
     # dkv pass: kv blocks outer, q blocks inner
     dkv_in = [
-        pl.BlockSpec((1, 1, block_q, D), lambda b, h, j, i, *_: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, block_q, D), q_ix_dkv),
         pl.BlockSpec((1, 1, block_k, D), lambda b, h, j, i, *_: (b, h, j, 0)),
         pl.BlockSpec((1, 1, block_k, D), lambda b, h, j, i, *_: (b, h, j, 0)),
-        pl.BlockSpec((1, 1, block_q, D), lambda b, h, j, i, *_: (b, h, i, 0)),
-        pl.BlockSpec((1, 1, block_q, 1), lambda b, h, j, i, *_: (b, h, i, 0)),
-        pl.BlockSpec((1, 1, block_q, 1), lambda b, h, j, i, *_: (b, h, i, 0)),
+        pl.BlockSpec((1, 1, block_q, D), q_ix_dkv),
+        pl.BlockSpec((1, 1, block_q, 1), q_ix_dkv),
+        pl.BlockSpec((1, 1, block_q, 1), q_ix_dkv),
     ]
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, causal=causal,
@@ -314,23 +357,29 @@ def _bwd(q, k, v, do, o, lse, kv_len, *, causal, block_q, block_k, d_orig):
 
 # ------------------------------------------------------- differentiable op --
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _flash_core(q, k, v, kv_len, causal, block_q, block_k, d_orig):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _flash_core(q, k, v, kv_len, causal, block_q, block_k, d_orig,
+                bwd_block_q, bwd_block_k):
     o, _ = _fwd(q, k, v, kv_len, causal=causal, block_q=block_q,
                 block_k=block_k, d_orig=d_orig)
     return o
 
 
-def _flash_core_fwd(q, k, v, kv_len, causal, block_q, block_k, d_orig):
+def _flash_core_fwd(q, k, v, kv_len, causal, block_q, block_k, d_orig,
+                    bwd_block_q, bwd_block_k):
     o, lse = _fwd(q, k, v, kv_len, causal=causal, block_q=block_q,
                   block_k=block_k, d_orig=d_orig)
     return o, (q, k, v, o, lse, kv_len)
 
 
-def _flash_core_bwd(causal, block_q, block_k, d_orig, res, g):
+def _flash_core_bwd(causal, block_q, block_k, d_orig, bwd_block_q,
+                    bwd_block_k, res, g):
+    # the backward holds 4 extra [BQ, BK] f32 intermediates (s/p/dp/ds) in
+    # VMEM, so it keeps its own (smaller) block sizes; the padded N from the
+    # forward stays divisible as long as both block sets are powers of two
     q, k, v, o, lse, kv_len = res
     dq, dk, dv = _bwd(q, k, v, g, o, lse, kv_len, causal=causal,
-                      block_q=block_q, block_k=block_k, d_orig=d_orig)
+                      block_q=bwd_block_q, block_k=bwd_block_k, d_orig=d_orig)
     return dq, dk, dv, np.zeros(kv_len.shape, jax.dtypes.float0)
 
 
@@ -351,6 +400,8 @@ def flash_attention(
     kv_len: Optional[jax.Array] = None,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
+    bwd_block_q: int = DEFAULT_BWD_BLOCK,
+    bwd_block_k: int = DEFAULT_BWD_BLOCK,
 ) -> jax.Array:
     """q: [B, N, H, D]; k/v: [B, M, H, D]; prefix length masks [B].
     Returns [B, N, H, D]; rows beyond q_len are zeroed."""
@@ -359,8 +410,10 @@ def flash_attention(
 
     block_q = min(block_q, _round_up(N, 128))
     block_k = min(block_k, _round_up(M, 128))
-    Np = _round_up(N, block_q)
-    Mp = _round_up(M, block_k)
+    Np = _round_up(N, max(block_q, bwd_block_q))
+    Mp = _round_up(M, max(block_k, bwd_block_k))
+    bwd_block_q = min(bwd_block_q, Np)
+    bwd_block_k = min(bwd_block_k, Mp)
     Dp = _round_up(D, 128)
 
     if kv_len is None:
@@ -375,7 +428,8 @@ def flash_attention(
     kp = prep(k, M, Mp)
     vp = prep(v, M, Mp)
 
-    o = _flash_core(qp, kp, vp, kv_len, causal, block_q, block_k, D)
+    o = _flash_core(qp, kp, vp, kv_len, causal, block_q, block_k, D,
+                    bwd_block_q, bwd_block_k)
     o = jnp.transpose(o[:, :, :N, :D], (0, 2, 1, 3))
     if q_len is not None:
         rows = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1) < q_len[:, None]

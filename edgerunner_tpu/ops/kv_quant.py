@@ -79,3 +79,58 @@ def dequantize_rows_int4(packed: jax.Array, scales: jax.Array,
                          dtype=jnp.bfloat16, lane: int = 0):
     s = scales[..., lane:lane + 1] if scales.shape[-1] > 1 else scales
     return (unpack_int4(packed) * s.astype(jnp.float32)).astype(dtype)
+
+
+# ---------------------------------------------------------- grouped int4 --
+# Per-group absmax scales (opt-in: --kv_group N = lanes per group, e.g. 96 =
+# one scale per attention head): tightens int4 numerics where one outlier
+# lane otherwise scales the whole row. Scale-plane layout: K group scales at
+# lanes [0, G), V group scales at lanes [64, 64+G) of the SAME [B, T, 128]
+# bf16 plane — no extra DMA stream vs the per-row layout (needs G <= 64).
+
+V_GROUP_BASE = 64
+
+
+def quantize_rows_int4_grouped(x: jax.Array, group: int):
+    """x: [B, T, HD] -> (packed int8 [B,T,HD/2], scales f32 [B,T,G]),
+    G = HD // group, absmax per `group` contiguous lanes."""
+    hd = x.shape[-1]
+    assert hd % 2 == 0 and hd % group == 0, (hd, group)
+    G = hd // group
+    assert G <= V_GROUP_BASE, f"{G} group scales exceed the packed plane"
+    xf = x.astype(jnp.float32)
+    xg = xf.reshape(*x.shape[:-1], G, group)
+    absmax = jnp.max(jnp.abs(xg), axis=-1)                      # [B,T,G]
+    scale = jnp.maximum(absmax, 1e-6) / 7.0
+    q = jnp.clip(jnp.round(xg / scale[..., None]), -7, 7)
+    q = q.reshape(*x.shape[:-1], hd).astype(jnp.int32)
+    lo, hi = q[..., : hd // 2], q[..., hd // 2:]
+    packed = (lo & 0xF) | ((hi & 0xF) << 4)
+    return packed.astype(jnp.int8), scale
+
+
+def pack_scales_grouped(k_scale: jax.Array, v_scale: jax.Array) -> jax.Array:
+    """[B,T,G] k/v group scales -> bf16 [B,T,128] plane (K at lanes [0,G),
+    V at lanes [64, 64+G))."""
+    G = k_scale.shape[-1]
+    B_T = k_scale.shape[:-1]
+    plane = jnp.zeros((*B_T, SCALE_LANES), jnp.float32)
+    plane = jax.lax.dynamic_update_slice_in_dim(
+        plane, k_scale.astype(jnp.float32), 0, axis=plane.ndim - 1)
+    plane = jax.lax.dynamic_update_slice_in_dim(
+        plane, v_scale.astype(jnp.float32), V_GROUP_BASE, axis=plane.ndim - 1)
+    return plane.astype(jnp.bfloat16)
+
+
+def dequantize_rows_int4_grouped(packed: jax.Array, plane: jax.Array,
+                                 group: int, dtype=jnp.bfloat16,
+                                 lane: int = 0):
+    """Inverse (XLA fallback path / tests). `plane` is the packed [.., 128]
+    grouped plane; lane 0 = K (base 0), lane 1 = V (base 64)."""
+    vals = unpack_int4(packed)                                   # [.., HD]
+    hd = vals.shape[-1]
+    G = hd // group
+    base = V_GROUP_BASE if lane == 1 else 0
+    s = plane[..., base:base + G].astype(jnp.float32)            # [.., G]
+    s_exp = jnp.repeat(s, group, axis=-1)
+    return (vals * s_exp).astype(dtype)

@@ -86,3 +86,106 @@ def test_generate_with_int4_cache_runs():
     out_f = generate_tokens(model_f, params, np.asarray(conds), num_faces=8,
                             rng=RNG)
     assert out.shape == out_f.shape
+
+
+# ------------------------------------------------------------ grouped int4 --
+
+def test_int4_grouped_roundtrip_tighter_than_per_row():
+    from edgerunner_tpu.ops.kv_quant import (
+        dequantize_rows_int4_grouped,
+        pack_scales_grouped,
+        quantize_rows_int4_grouped,
+    )
+
+    # rows with one outlier lane: per-row absmax crushes everything else,
+    # per-group scales keep the other groups exact
+    x = jax.random.normal(RNG, (2, 16, 384))
+    x = x.at[..., 0].set(40.0)
+    vals, scales = quantize_rows_int4_grouped(x, group=96)
+    assert vals.shape == (2, 16, 192) and scales.shape == (2, 16, 4)
+    plane = pack_scales_grouped(scales, scales)
+    back = dequantize_rows_int4_grouped(vals, plane, 96, jnp.float32, 0)
+    rel_g = float(jnp.linalg.norm(back - x) / jnp.linalg.norm(x))
+
+    vals_r, scales_r = quantize_rows_int4(x)
+    back_r = dequantize_rows_int4(vals_r, scales_r, jnp.float32)
+    rel_r = float(jnp.linalg.norm(back_r - x) / jnp.linalg.norm(x))
+    assert rel_g < rel_r * 0.6, (rel_g, rel_r)
+
+
+@pytest.mark.parametrize("index", [0, 70, 255])
+def test_q4_grouped_kernel_matches_dequantized_reference(index):
+    from edgerunner_tpu.ops.kv_quant import (
+        dequantize_rows_int4_grouped,
+        pack_scales_grouped,
+        quantize_rows_int4_grouped,
+    )
+
+    B, L, H, Dh = 2, 256, 4, 96
+    hd = H * Dh
+    r = np.random.default_rng(0)
+    k = jnp.asarray(r.normal(size=(B, L, hd)).astype(np.float32))
+    v = jnp.asarray(r.normal(size=(B, L, hd)).astype(np.float32))
+    q = jnp.asarray(r.normal(size=(B, hd)).astype(np.float32))
+    kq, ks = quantize_rows_int4_grouped(k, 96)
+    vq, vs = quantize_rows_int4_grouped(v, 96)
+    kv = jnp.concatenate([kq, vq], axis=-1)
+    plane = pack_scales_grouped(ks, vs)
+    out = fused_decode_attention_q4(q, kv, plane, index, num_heads=H,
+                                    block=128, group=96)
+    kd = dequantize_rows_int4_grouped(kq, plane, 96, jnp.float32, 0)
+    vd = dequantize_rows_int4_grouped(vq, plane, 96, jnp.float32, 1)
+    ref = decode_attention(q.reshape(B, 1, H, Dh), kd.reshape(B, L, H, Dh),
+                           vd.reshape(B, L, H, Dh), index + 1).reshape(B, hd)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_q4_grouped_multi_kernel_matches_reference():
+    from edgerunner_tpu.ops.attention import decode_attention_multi
+    from edgerunner_tpu.ops.decode_attention_pallas import (
+        fused_decode_attention_q4_multi,
+    )
+    from edgerunner_tpu.ops.kv_quant import (
+        dequantize_rows_int4_grouped,
+        pack_scales_grouped,
+        quantize_rows_int4_grouped,
+    )
+
+    B, L, H, Dh, T = 2, 256, 4, 96, 3
+    hd = H * Dh
+    r = np.random.default_rng(1)
+    k = jnp.asarray(r.normal(size=(B, L, hd)).astype(np.float32))
+    v = jnp.asarray(r.normal(size=(B, L, hd)).astype(np.float32))
+    q = jnp.asarray(r.normal(size=(B, T, hd)).astype(np.float32))
+    idx = jnp.asarray([17, 200], jnp.int32)
+    kq, ks = quantize_rows_int4_grouped(k, 96)
+    vq, vs = quantize_rows_int4_grouped(v, 96)
+    kv = jnp.concatenate([kq, vq], axis=-1)
+    plane = pack_scales_grouped(ks, vs)
+    out = fused_decode_attention_q4_multi(q, kv, plane, idx, num_heads=H,
+                                          block=128, group=96)
+    kd = dequantize_rows_int4_grouped(kq, plane, 96, jnp.float32, 0)
+    vd = dequantize_rows_int4_grouped(vq, plane, 96, jnp.float32, 1)
+    ref = decode_attention_multi(
+        q.reshape(B, T, H, Dh), kd.reshape(B, L, H, Dh),
+        vd.reshape(B, L, H, Dh), idx).reshape(B, T, hd)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_generate_with_grouped_int4_cache_runs():
+    opt = Options(cond_mode="point", point_latent_size=16, num_cond_tokens=17,
+                  point_hidden_dim=32, point_num_heads=4, point_latent_dim=8,
+                  hidden_dim=64, num_layers=2, num_heads=4, max_seq_length=256,
+                  use_num_face_cond=True, checkpointing=False, decode_bucket=64,
+                  generate_mode="greedy", kv_quant=True, kv_bits=4, kv_group=16)
+    model = LMM(opt)
+    conds = jax.random.normal(RNG, (2, 32, 3))
+    tokens = jnp.array([[1, 6, 7, 8, 2]] * 2)
+    labels = jnp.concatenate([jnp.full((2, 18), -100), tokens[:, 1:]], axis=1)
+    params = model.init({"params": RNG, "nof": RNG, "dropout": RNG},
+                        conds, tokens, labels, jnp.array([100, 100]),
+                        jnp.array([23, 23], jnp.int32))
+    out = generate_tokens(model, params, np.asarray(conds), num_faces=8, rng=RNG)
+    assert out.shape[0] == 2

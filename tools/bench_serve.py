@@ -1,0 +1,163 @@
+"""Serving-engine benchmark: continuous batching vs run-to-completion
+micro-batching under staggered request arrivals.
+
+Drives both engines in-process (no HTTP, token-level — detokenization is
+host-side and identical for both) with the same Poisson-ish arrival trace
+and reports per-request latency percentiles + throughput.
+
+    python tools/bench_serve.py [--requests 24] [--batch 8] [--faces 500]
+        [--arrival_ms 800] [--kv_quant] [--w_quant] [--resume CKPT]
+
+Writes a JSON summary to stdout (and evidence/serve_bench.json with --save).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def build_model(args):
+    import jax
+    import jax.numpy as jnp
+
+    from edgerunner_tpu.config import config_defaults
+    from edgerunner_tpu.models.lmm import LMM
+    from edgerunner_tpu.train.checkpoint import (
+        init_lmm_params,
+        restore_pytree,
+        tolerant_merge,
+    )
+    from edgerunner_tpu.utils import cast_params, enable_compilation_cache
+
+    enable_compilation_cache()
+    opt = dataclasses.replace(
+        config_defaults["ArAE"], generate_mode="greedy",
+        kv_quant=args.kv_quant, w_quant=args.w_quant, kv_bits=args.kv_bits,
+        test_batch_size=args.batch, test_num_face=(args.faces,))
+    if args.tiny:
+        opt = dataclasses.replace(
+            opt, hidden_dim=64, num_layers=2, num_heads=4,
+            point_hidden_dim=32, point_num_heads=4, point_latent_size=16,
+            point_latent_dim=8, num_cond_tokens=17, max_seq_length=512,
+            point_num=128, checkpointing=False, decode_bucket=128)
+
+    init_opt = dataclasses.replace(opt, w_quant=False)
+    model = LMM(init_opt, dtype=jnp.bfloat16)
+    params = init_lmm_params(model, init_opt, jax.random.PRNGKey(0))
+    if args.resume:
+        params = tolerant_merge(params, restore_pytree(args.resume),
+                                log=lambda *a: None)
+    params = cast_params(params, jnp.bfloat16)
+    if args.w_quant:
+        from edgerunner_tpu.ops.w_quant import quantize_lmm_params
+
+        model = LMM(opt, dtype=jnp.bfloat16)
+        params = quantize_lmm_params(params)
+    return model, params, opt
+
+
+def run_trace(submit, args, label):
+    """Submit `requests` staggered requests; return latency stats."""
+    rng = np.random.default_rng(0)
+    lat = [None] * args.requests
+    threads = []
+    t0 = time.time()
+
+    def one(i):
+        t_sub = time.time()
+        submit(rng_pts(i, args), args.faces, i)
+        lat[i] = time.time() - t_sub
+
+    for i in range(args.requests):
+        th = threading.Thread(target=one, args=(i,))
+        th.start()
+        threads.append(th)
+        time.sleep(args.arrival_ms / 1e3)
+    for th in threads:
+        th.join()
+    wall = time.time() - t0
+    lat = np.array(lat)
+    return {
+        "engine": label,
+        "requests": args.requests,
+        "arrival_ms": args.arrival_ms,
+        "p50_s": round(float(np.percentile(lat, 50)), 2),
+        "p95_s": round(float(np.percentile(lat, 95)), 2),
+        "mean_s": round(float(lat.mean()), 2),
+        "wall_s": round(wall, 2),
+        "req_per_min": round(args.requests / wall * 60, 2),
+    }
+
+
+def rng_pts(i, args):
+    n = 128 if args.tiny else 8192
+    return np.random.default_rng(i).normal(size=(n, 3)).astype(np.float32)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--requests", type=int, default=24)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--faces", type=int, default=500)
+    ap.add_argument("--arrival_ms", type=float, default=800.0)
+    ap.add_argument("--kv_quant", action="store_true")
+    ap.add_argument("--kv_bits", type=int, default=4)
+    ap.add_argument("--w_quant", action="store_true")
+    ap.add_argument("--resume", default=None)
+    ap.add_argument("--segment_steps", type=int, default=128)
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--engines", default="continuous,microbatch")
+    ap.add_argument("--save", action="store_true")
+    args = ap.parse_args()
+
+    model, params, opt = build_model(args)
+    results = []
+
+    if "continuous" in args.engines:
+        from edgerunner_tpu.serve_engine import ContinuousEngine
+
+        eng = ContinuousEngine(model, params, opt, batch=args.batch,
+                               segment_steps=args.segment_steps)
+        # warm the compiles outside the measured trace
+        eng.submit(rng_pts(999, args), args.faces, 0)
+        results.append(run_trace(eng.submit, args, "continuous"))
+        eng.shutdown()
+
+    if "microbatch" in args.engines:
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from serve import Batcher
+
+        from edgerunner_tpu.utils import get_tokenizer
+
+        tokenizer, _ = get_tokenizer(opt)
+        bat = Batcher(opt, model, params, tokenizer, max_wait_ms=100.0)
+        bat.submit(rng_pts(999, args), args.faces, 0)
+
+        def submit_tok(pts, nf, seed):
+            # token-level comparison: strip the mesh-decode part of the dict
+            return bat.submit(pts, nf, seed)
+
+        results.append(run_trace(submit_tok, args, "microbatch"))
+        bat.shutdown()
+
+    out = {"faces": args.faces, "batch": args.batch, "results": results}
+    print(json.dumps(out, indent=2))
+    if args.save:
+        path = os.path.join(os.path.dirname(__file__), "..", "evidence",
+                            "serve_bench.json")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

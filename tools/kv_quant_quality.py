@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--faces", type=int, default=500)
     ap.add_argument("--mode", choices=("kv", "w", "both"), default="kv")
     ap.add_argument("--kv_bits", type=int, default=8, choices=(4, 8))
+    ap.add_argument("--kv_group", type=int, default=0,
+                    help="int4 scale group size in lanes (0 = per-row)")
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
     assert args.resume or args.random, "--resume CKPT or --random required"
@@ -79,7 +81,7 @@ def main():
         kv = quant and args.mode in ("kv", "both")
         wq = quant and args.mode in ("w", "both")
         o = dataclasses.replace(opt, kv_quant=kv, w_quant=wq,
-                                kv_bits=args.kv_bits)
+                                kv_bits=args.kv_bits, kv_group=args.kv_group)
         load_o = dataclasses.replace(o, w_quant=False)
         model = LMM(load_o, dtype=jnp.bfloat16)
         params = cast_params(init_lmm_params(model, load_o, rng), jnp.bfloat16)
