@@ -355,6 +355,13 @@ def validate(opt: Options) -> Options:
             f"num_cond_tokens ({opt.num_cond_tokens}) must equal CLIP patch"
             f" tokens + cls + use_num_face_cond ({expected}) in image cond mode"
         )
+    if (opt.max_seq_length + opt.num_cond_tokens > 16384
+            and opt.checkpointing and not opt.remat_prevent_cse):
+        print("[WARN] long-context training with remat_prevent_cse=false: "
+              "XLA may CSE the remat replay and keep every layer's "
+              "activations live (measured OOM at 43k positions on 16GB "
+              "HBM). Set --remat_prevent_cse true if training near "
+              "max_seq_length.")
     return opt
 
 
