@@ -372,6 +372,9 @@ def main():
                     "--repeats", "2", "--skip_train", "--skip_probes"],
                    "exact_bf16")
 
+    # vs_baseline divides by a DERIVED A100 estimate (0.75 meshes/min; see
+    # module docstring) — the reference publishes no per-mesh wall time
+    detail["baseline_is_estimate"] = True
     print(json.dumps({
         "metric": "gen_meshes_per_min_per_chip",
         "value": round(meshes_per_min, 3),

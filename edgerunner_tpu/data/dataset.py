@@ -395,6 +395,14 @@ class DataLoader:
         self.epoch = 0
         self._skip = 0      # batches to skip at the next __iter__ (resume)
         self._yielded = 0   # batches yielded in the current/last epoch
+        # persistent cross-epoch producer: after the last batch of epoch e
+        # is queued it rolls straight into epoch e+1 (the first batches of
+        # the next epoch are ready when the trainer comes back; the old
+        # per-epoch pool joined at every epoch boundary)
+        self._q: Optional[queue.Queue] = None
+        self._stop: Optional[threading.Event] = None
+        self._thread: Optional[threading.Thread] = None
+        self._next_expected: Optional[tuple] = None  # (epoch, skip) queued next
 
     def __len__(self) -> int:
         n = len(self.dataset) // self.batch_size
@@ -411,50 +419,105 @@ class DataLoader:
         self._skip = int(state.get("batch_in_epoch", 0))
         self._yielded = self._skip
 
-    def __iter__(self) -> Iterator[dict]:
+    def _plan(self, epoch: int) -> list:
         order = np.arange(len(self.dataset))
         if self.shuffle:
-            np.random.default_rng(self.seed + self.epoch).shuffle(order)
-        if hasattr(self.dataset, "epoch"):
-            self.dataset.epoch = self.epoch
-
+            np.random.default_rng(self.seed + epoch).shuffle(order)
         batches = [order[i:i + self.batch_size]
                    for i in range(0, len(order), self.batch_size)]
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
-        skip, self._skip = self._skip, 0
-        self._yielded = skip
-        batches = batches[skip:]
+        return batches
 
+    def _stop_producer(self):
+        if self._stop is not None:
+            self._stop.set()
+            # unblock a producer parked on a full queue
+            try:
+                while True:
+                    self._q.get_nowait()
+            except queue.Empty:
+                pass
+        self._q = None
+        self._thread = None
+        self._stop = None
+        self._next_expected = None
+
+    def _start_producer(self, epoch: int, skip: int):
+        self._stop_producer()
         q: queue.Queue = queue.Queue(maxsize=4)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # bounded put that aborts on stop: a producer parked on a full
+            # queue of an abandoned iterator must exit, not leak
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
+            ep, sk = epoch, skip
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
-                    for idxs in batches:
-                        if stop.is_set():
-                            break
-                        items = list(pool.map(self.dataset.__getitem__, idxs))
-                        q.put(self.collate_fn(items, self.opt, self.bucket))
-                q.put(None)
-            except BaseException as e:  # surface worker failures to the consumer
-                q.put(e)
+                    while not stop.is_set():
+                        if hasattr(self.dataset, "epoch"):
+                            self.dataset.epoch = ep
+                        for idxs in self._plan(ep)[sk:]:
+                            if stop.is_set():
+                                return
+                            items = list(pool.map(self.dataset.__getitem__,
+                                                  idxs))
+                            if not put(("batch",
+                                        self.collate_fn(items, self.opt,
+                                                        self.bucket))):
+                                return
+                        if not put(("end", ep)):
+                            return
+                        ep, sk = ep + 1, 0
+            except BaseException as e:  # surface worker failures
+                put(("err", e))
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
+        self._q, self._stop, self._thread = q, stop, t
+        self._next_expected = (epoch, skip)
+
+    def shutdown(self):
+        self._stop_producer()
+
+    def __iter__(self) -> Iterator[dict]:
+        skip, self._skip = self._skip, 0
+        self._yielded = skip
+        # reuse the running producer only when it is queued exactly at the
+        # position this epoch starts from (normal epoch-after-epoch flow);
+        # anything else — first use, resume, an abandoned iterator — restarts
+        if self._q is None or self._next_expected != (self.epoch, skip):
+            self._start_producer(self.epoch, skip)
+        # the producer now works ahead; whatever it queues after this
+        # epoch's "end" marker belongs to (epoch + 1, 0)
+        self._next_expected = (self.epoch + 1, 0)
+        clean_exit = False
         try:
             while True:
-                batch = q.get()
-                if batch is None:
+                kind, payload = self._q.get()
+                if kind == "end":
                     self.epoch += 1   # epoch fully consumed
                     self._yielded = 0
+                    clean_exit = True
                     break
-                if isinstance(batch, BaseException):
-                    raise batch
+                if kind == "err":
+                    raise payload
                 # count before handing out: a checkpoint taken while the
                 # consumer holds this batch must not replay it on resume
                 self._yielded += 1
-                yield batch
+                yield payload
         finally:
-            stop.set()
+            if not clean_exit:
+                # abandoned mid-epoch (break / error): the queue holds
+                # batches the caller never saw — drop the producer so the
+                # next __iter__ starts from a clean position
+                self._stop_producer()
