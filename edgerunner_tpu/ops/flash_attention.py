@@ -8,8 +8,14 @@ core/transformer/attention.py:20-21,46,81-89). Differences by design:
   reference's unpad/cu_seqlens varlen scheme (TPU wants static shapes)
 * online-softmax forward with log-sum-exp residuals; two backward kernels
   (dq and dkv passes) recomputing probabilities from the lse, all in fp32
-* grid is (B, H, q_blocks, kv_blocks) with the kv axis innermost; causal
-  blocks strictly above the diagonal are predicated off
+* causal grids are LINEARIZED TRIANGULAR: the grid is (B, H, T) where T
+  enumerates only the live (q_block, kv_block) pairs, with the pair decoded
+  from a scalar-prefetch lookup table inside index maps and kernel. A
+  rectangular (B, H, nq, nk) grid predicates off the ~half-dead blocks above
+  the diagonal but still pays their program sequencing (~0.8us/program fixed
+  cost — measured as the dominant train-step overhead, see
+  evidence/train_profile.md); the triangular grid does not emit them at all.
+  Non-causal grids stay rectangular (B, H, q_blocks, kv_blocks).
 * head_dim is zero-padded to the 128-lane boundary in the wrapper (ArAE uses
   head_dim 96), sequence lengths padded to the block size with length masks
 
@@ -30,15 +36,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 # Block sizes: 512x512 is the measured sweet spot on v5e (train profile,
-# round 3). Larger blocks were tried to amortize the per-program fixed cost
-# (~half the causal kernel time at seq 6k):
+# round 3). Larger blocks were tried to amortize the per-program fixed cost:
 #   - 1024x1024 fwd: pads q/o residuals 6656 -> 7168, +75MB HBM -> OOM at
 #     the README probe shape (b2/seq6147)
 #   - 512(q) x 1024(k) fwd: compiled, then TPU runtime Internal error on
 #     execute (worker crash under HBM pressure)
 # The backward must stay <= 512x512 regardless: it holds 4 extra [BQ, BK]
-# f32 intermediates (s/p/dp/ds) in VMEM. Causal dead-block DMA is elided
-# via block-index remapping (see _fwd), worth ~7% end-to-end.
+# f32 intermediates (s/p/dp/ds) in VMEM. The triangular causal grid (module
+# docstring) removes the dead-program cost that larger blocks were meant to
+# amortize, without the padding cost.
 DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 512
 DEFAULT_BWD_BLOCK = 512
@@ -49,7 +55,72 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+@functools.lru_cache(maxsize=32)
+def _tri_pairs_q_outer(n: int) -> np.ndarray:
+    """[2, T] int32: t -> (iq, ik) over live causal pairs, q block outer.
+    T = n(n+1)/2 (equal block sizes: kv block ik is live iff ik <= iq)."""
+    iq = np.concatenate([np.full(i + 1, i, np.int32) for i in range(n)])
+    ik = np.concatenate([np.arange(i + 1, dtype=np.int32) for i in range(n)])
+    return np.stack([iq, ik])
+
+
+@functools.lru_cache(maxsize=32)
+def _tri_pairs_kv_outer(n: int) -> np.ndarray:
+    """[2, T] int32: t -> (iq, ik) over live causal pairs, kv block outer
+    (the dkv pass accumulates over q blocks iq = ik..n-1 per kv block)."""
+    iq = np.concatenate([np.arange(j, n, dtype=np.int32) for j in range(n)])
+    ik = np.concatenate([np.full(n - j, j, np.int32) for j in range(n)])
+    return np.stack([iq, ik])
+
+
 # ---------------------------------------------------------------- forward --
+
+def _fwd_reset(acc_ref, m_ref, l_ref):
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+    l_ref[:] = jnp.zeros_like(l_ref)
+
+
+def _fwd_compute(len_ref, b, iq, ik, q_ref, k_ref, v_ref,
+                 acc_ref, m_ref, l_ref, *, scale, causal, block_q, block_k):
+    # bf16 inputs keep bf16 dot operands (f32 accumulation via
+    # preferred_element_type) — the MXU runs bf16 at ~4x its f32 rate
+    # and this matches the CUDA flash-attn numerics the reference uses;
+    # f32 inputs (tests) keep full-precision dots
+    dd = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+    q = q_ref[0, 0].astype(dd)  # [BQ, D]
+    k = k_ref[0, 0].astype(dd)  # [BK, D]
+    v = v_ref[0, 0].astype(dd)  # [BK, D]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # [BQ, BK]
+
+    cols = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    valid = cols < len_ref[b]
+    if causal:
+        rows = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        valid = valid & (cols <= rows)
+    s = jnp.where(valid, s, NEG_INF)
+
+    m_old = m_ref[:, :1]                       # [BQ, 1]
+    m_blk = jnp.max(s, axis=1, keepdims=True)  # [BQ, 1]
+    m_new = jnp.maximum(m_old, m_blk)
+    p = jnp.exp(s - m_new)                     # [BQ, BK]
+    alpha = jnp.exp(m_old - m_new)             # [BQ, 1]
+
+    l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    m_ref[:, :1] = m_new
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p.astype(dd), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _fwd_store(o_ref, lse_ref, acc_ref, m_ref, l_ref):
+    l = l_ref[:, :1]
+    safe_l = jnp.where(l > 0, l, 1.0)
+    o_ref[0, 0] = (acc_ref[:] / safe_l).astype(o_ref.dtype)
+    lse_ref[0, 0] = m_ref[:, :1] + jnp.log(safe_l)
+
 
 def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                 acc_ref, m_ref, l_ref, *, scale, causal, block_q, block_k):
@@ -60,56 +131,43 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
     @pl.when(ik == 0)
     def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
-
-    q_start = iq * block_q
-    kv_start = ik * block_k
+        _fwd_reset(acc_ref, m_ref, l_ref)
 
     run = True
     if causal:
-        run = kv_start <= q_start + block_q - 1
+        run = ik * block_k <= iq * block_q + block_q - 1
 
     @pl.when(run)
     def _():
-        # bf16 inputs keep bf16 dot operands (f32 accumulation via
-        # preferred_element_type) — the MXU runs bf16 at ~4x its f32 rate
-        # and this matches the CUDA flash-attn numerics the reference uses;
-        # f32 inputs (tests) keep full-precision dots
-        dd = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
-        q = q_ref[0, 0].astype(dd)  # [BQ, D]
-        k = k_ref[0, 0].astype(dd)  # [BK, D]
-        v = v_ref[0, 0].astype(dd)  # [BK, D]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # [BQ, BK]
-
-        cols = kv_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        valid = cols < len_ref[b]
-        if causal:
-            rows = q_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-            valid = valid & (cols <= rows)
-        s = jnp.where(valid, s, NEG_INF)
-
-        m_old = m_ref[:, :1]                       # [BQ, 1]
-        m_blk = jnp.max(s, axis=1, keepdims=True)  # [BQ, 1]
-        m_new = jnp.maximum(m_old, m_blk)
-        p = jnp.exp(s - m_new)                     # [BQ, BK]
-        alpha = jnp.exp(m_old - m_new)             # [BQ, 1]
-
-        l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
-        m_ref[:, :1] = m_new
-        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p.astype(dd), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        _fwd_compute(len_ref, b, iq, ik, q_ref, k_ref, v_ref,
+                     acc_ref, m_ref, l_ref, scale=scale, causal=causal,
+                     block_q=block_q, block_k=block_k)
 
     @pl.when(ik == nk - 1)
     def _():
-        l = l_ref[:, :1]
-        safe_l = jnp.where(l > 0, l, 1.0)
-        o_ref[0, 0] = (acc_ref[:] / safe_l).astype(o_ref.dtype)
-        lse_ref[0, 0] = m_ref[:, :1] + jnp.log(safe_l)
+        _fwd_store(o_ref, lse_ref, acc_ref, m_ref, l_ref)
+
+
+def _fwd_kernel_tri(len_ref, tri_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                    acc_ref, m_ref, l_ref, *, scale, block_q, block_k):
+    """Causal forward on the linearized triangular grid: program t handles
+    live pair (iq, ik) = tri_ref[:, t]; every program does useful work."""
+    b = pl.program_id(0)
+    t = pl.program_id(2)
+    iq = tri_ref[0, t]
+    ik = tri_ref[1, t]
+
+    @pl.when(ik == 0)
+    def _():
+        _fwd_reset(acc_ref, m_ref, l_ref)
+
+    _fwd_compute(len_ref, b, iq, ik, q_ref, k_ref, v_ref,
+                 acc_ref, m_ref, l_ref, scale=scale, causal=True,
+                 block_q=block_q, block_k=block_k)
+
+    @pl.when(ik == iq)  # last live kv block of this q block (equal blocks)
+    def _():
+        _fwd_store(o_ref, lse_ref, acc_ref, m_ref, l_ref)
 
 
 def _fwd(q, k, v, kv_len, *, causal, block_q, block_k, d_orig):
@@ -121,46 +179,72 @@ def _fwd(q, k, v, kv_len, *, causal, block_q, block_k, d_orig):
     nk = M // block_k
     scale = 1.0 / np.sqrt(d_orig)
 
-    # causal: blocks strictly above the diagonal never run (pl.when in the
-    # kernel) — remap their kv index to the last LIVE block so the pipeline
-    # sees an unchanged block index and elides the dead blocks' K/V DMA
-    # (~2x HBM traffic on the causal fwd otherwise)
-    if causal:
-        kv_ix = lambda b, h, iq, ik, *_: (  # noqa: E731
-            b, h, jnp.minimum(ik, ((iq + 1) * block_q - 1) // block_k), 0)
+    out_shape = [
+        jax.ShapeDtypeStruct((B, H, N, D), q.dtype),
+        jax.ShapeDtypeStruct((B, H, N, 1), jnp.float32),
+    ]
+    scratch = [
+        pltpu.VMEM((block_q, D), jnp.float32),
+        pltpu.VMEM((block_q, 128), jnp.float32),
+        pltpu.VMEM((block_q, 128), jnp.float32),
+    ]
+
+    if causal and block_q == block_k and nq == nk:
+        tmap = jnp.asarray(_tri_pairs_q_outer(nq))
+        q_ix = lambda b, h, t, lens, tri: (b, h, tri[0, t], 0)  # noqa: E731
+        kv_ix = lambda b, h, t, lens, tri: (b, h, tri[1, t], 0)  # noqa: E731
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, H, tmap.shape[1]),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, D), q_ix),
+                pl.BlockSpec((1, 1, block_k, D), kv_ix),
+                pl.BlockSpec((1, 1, block_k, D), kv_ix),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, block_q, D), q_ix),
+                pl.BlockSpec((1, 1, block_q, 1), q_ix),
+            ],
+            scratch_shapes=scratch,
+        )
+        kernel = functools.partial(
+            _fwd_kernel_tri, scale=scale, block_q=block_q, block_k=block_k)
+        o, lse = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape,
+            interpret=_interpret())(kv_len, tmap, q, k, v)
     else:
-        kv_ix = lambda b, h, iq, ik, *_: (b, h, ik, 0)  # noqa: E731
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B, H, nq, nk),
-        in_specs=[
-            pl.BlockSpec((1, 1, block_q, D), lambda b, h, iq, ik, *_: (b, h, iq, 0)),
-            pl.BlockSpec((1, 1, block_k, D), kv_ix),
-            pl.BlockSpec((1, 1, block_k, D), kv_ix),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, block_q, D), lambda b, h, iq, ik, *_: (b, h, iq, 0)),
-            pl.BlockSpec((1, 1, block_q, 1),
-                         lambda b, h, iq, ik, *_: (b, h, iq, 0)),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((block_q, D), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-        ],
-    )
-    kernel = functools.partial(
-        _fwd_kernel, scale=scale, causal=causal,
-        block_q=block_q, block_k=block_k)
-    o, lse = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((B, H, N, D), q.dtype),
-            jax.ShapeDtypeStruct((B, H, N, 1), jnp.float32),
-        ],
-        interpret=_interpret(),
-    )(kv_len, q, k, v)
+        # rectangular fallback (non-causal, or causal with unequal blocks):
+        # causal dead blocks are pl.when-skipped; remap their kv index to the
+        # last LIVE block so the pipeline sees an unchanged block index and
+        # elides the dead blocks' K/V DMA
+        if causal:
+            kv_ix = lambda b, h, iq, ik, *_: (  # noqa: E731
+                b, h, jnp.minimum(ik, ((iq + 1) * block_q - 1) // block_k), 0)
+        else:
+            kv_ix = lambda b, h, iq, ik, *_: (b, h, ik, 0)  # noqa: E731
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, H, nq, nk),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, D),
+                             lambda b, h, iq, ik, *_: (b, h, iq, 0)),
+                pl.BlockSpec((1, 1, block_k, D), kv_ix),
+                pl.BlockSpec((1, 1, block_k, D), kv_ix),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, block_q, D),
+                             lambda b, h, iq, ik, *_: (b, h, iq, 0)),
+                pl.BlockSpec((1, 1, block_q, 1),
+                             lambda b, h, iq, ik, *_: (b, h, iq, 0)),
+            ],
+            scratch_shapes=scratch,
+        )
+        kernel = functools.partial(
+            _fwd_kernel, scale=scale, causal=causal,
+            block_q=block_q, block_k=block_k)
+        o, lse = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape,
+            interpret=_interpret())(kv_len, q, k, v)
     # squeeze the residual dense: a [B,H,N,1] f32 buffer is lane-padded 128x
     # in HBM (208MB/layer at flagship scale); the barrier pins an actual
     # compact copy so XLA can't keep the padded kernel buffer alive as the
@@ -169,6 +253,33 @@ def _fwd(q, k, v, kv_len, *, causal, block_q, block_k, d_orig):
 
 
 # --------------------------------------------------------------- backward --
+
+def _dq_compute(len_ref, b, iq, ik, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                delta_ref, dq_acc, *, scale, causal, block_q, block_k):
+    dd = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+    q = q_ref[0, 0].astype(dd)
+    k = k_ref[0, 0].astype(dd)
+    v = v_ref[0, 0].astype(dd)
+    do = do_ref[0, 0].astype(dd)
+    lse = lse_ref[0, 0]      # [BQ, 1]
+    delta = delta_ref[0, 0]  # [BQ, 1]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    cols = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    valid = cols < len_ref[b]
+    if causal:
+        rows = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        valid = valid & (cols <= rows)
+    p = jnp.where(valid, jnp.exp(s - lse), 0.0)       # [BQ, BK]
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)                              # [BQ, BK]
+    dq_acc[:] = dq_acc[:] + scale * jax.lax.dot_general(
+        ds.astype(dd), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
 
 def _bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                    dq_ref, dq_acc, *, scale, causal, block_q, block_k):
@@ -181,41 +292,74 @@ def _bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     def _():
         dq_acc[:] = jnp.zeros_like(dq_acc)
 
-    q_start = iq * block_q
-    kv_start = ik * block_k
     run = True
     if causal:
-        run = kv_start <= q_start + block_q - 1
+        run = ik * block_k <= iq * block_q + block_q - 1
 
     @pl.when(run)
     def _():
-        dd = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
-        q = q_ref[0, 0].astype(dd)
-        k = k_ref[0, 0].astype(dd)
-        v = v_ref[0, 0].astype(dd)
-        do = do_ref[0, 0].astype(dd)
-        lse = lse_ref[0, 0]      # [BQ, 1]
-        delta = delta_ref[0, 0]  # [BQ, 1]
-
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        cols = kv_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        valid = cols < len_ref[b]
-        if causal:
-            rows = q_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-            valid = valid & (cols <= rows)
-        p = jnp.where(valid, jnp.exp(s - lse), 0.0)       # [BQ, BK]
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)                              # [BQ, BK]
-        dq_acc[:] = dq_acc[:] + scale * jax.lax.dot_general(
-            ds.astype(dd), k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        _dq_compute(len_ref, b, iq, ik, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                    delta_ref, dq_acc, scale=scale, causal=causal,
+                    block_q=block_q, block_k=block_k)
 
     @pl.when(ik == nk - 1)
     def _():
         dq_ref[0, 0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _bwd_dq_kernel_tri(len_ref, tri_ref, q_ref, k_ref, v_ref, do_ref,
+                       lse_ref, delta_ref, dq_ref, dq_acc,
+                       *, scale, block_q, block_k):
+    b = pl.program_id(0)
+    t = pl.program_id(2)
+    iq = tri_ref[0, t]
+    ik = tri_ref[1, t]
+
+    @pl.when(ik == 0)
+    def _():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    _dq_compute(len_ref, b, iq, ik, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                delta_ref, dq_acc, scale=scale, causal=True,
+                block_q=block_q, block_k=block_k)
+
+    @pl.when(ik == iq)
+    def _():
+        dq_ref[0, 0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _dkv_compute(len_ref, b, iq, ik, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                 delta_ref, dk_acc, dv_acc, *, scale, causal,
+                 block_q, block_k):
+    dd = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+    q = q_ref[0, 0].astype(dd)
+    k = k_ref[0, 0].astype(dd)
+    v = v_ref[0, 0].astype(dd)
+    do = do_ref[0, 0].astype(dd)
+    lse = lse_ref[0, 0]      # [BQ, 1]
+    delta = delta_ref[0, 0]  # [BQ, 1]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # [BQ, BK]
+    cols = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    valid = cols < len_ref[b]
+    if causal:
+        rows = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        valid = valid & (cols <= rows)
+    p = jnp.where(valid, jnp.exp(s - lse), 0.0)
+
+    # dv += P^T dO
+    dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
+        p.astype(dd), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)  # [BQ, BK]
+    # dk += dS^T Q * scale
+    dk_acc[:] = dk_acc[:] + scale * jax.lax.dot_general(
+        ds.astype(dd), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
 
 def _bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
@@ -231,43 +375,38 @@ def _bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    q_start = iq * block_q
-    kv_start = ik * block_k
     run = True
     if causal:
-        run = kv_start <= q_start + block_q - 1
+        run = ik * block_k <= iq * block_q + block_q - 1
 
     @pl.when(run)
     def _():
-        dd = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
-        q = q_ref[0, 0].astype(dd)
-        k = k_ref[0, 0].astype(dd)
-        v = v_ref[0, 0].astype(dd)
-        do = do_ref[0, 0].astype(dd)
-        lse = lse_ref[0, 0]      # [BQ, 1]
-        delta = delta_ref[0, 0]  # [BQ, 1]
+        _dkv_compute(len_ref, b, iq, ik, q_ref, k_ref, v_ref, do_ref,
+                     lse_ref, delta_ref, dk_acc, dv_acc, scale=scale,
+                     causal=causal, block_q=block_q, block_k=block_k)
 
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # [BQ, BK]
-        cols = kv_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        valid = cols < len_ref[b]
-        if causal:
-            rows = q_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-            valid = valid & (cols <= rows)
-        p = jnp.where(valid, jnp.exp(s - lse), 0.0)
+    @pl.when(iq == nq - 1)
+    def _():
+        dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
 
-        # dv += P^T dO
-        dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
-            p.astype(dd), do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        ds = p * (dp - delta)  # [BQ, BK]
-        # dk += dS^T Q * scale
-        dk_acc[:] = dk_acc[:] + scale * jax.lax.dot_general(
-            ds.astype(dd), q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+
+def _bwd_dkv_kernel_tri(len_ref, tri_ref, q_ref, k_ref, v_ref, do_ref,
+                        lse_ref, delta_ref, dk_ref, dv_ref, dk_acc, dv_acc,
+                        *, scale, block_q, block_k, nq):
+    b = pl.program_id(0)
+    t = pl.program_id(2)
+    iq = tri_ref[0, t]
+    ik = tri_ref[1, t]
+
+    @pl.when(iq == ik)  # first live q block for this kv block (equal blocks)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    _dkv_compute(len_ref, b, iq, ik, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                 delta_ref, dk_acc, dv_acc, scale=scale, causal=True,
+                 block_q=block_q, block_k=block_k)
 
     @pl.when(iq == nq - 1)
     def _():
@@ -286,22 +425,79 @@ def _bwd(q, k, v, do, o, lse, kv_len, *, causal, block_q, block_k, d_orig):
                     axis=-1, keepdims=True)  # [B,H,N,1]
     lse = lse[..., None]
 
-    # dead causal blocks (pl.when-skipped) remap to the last live block so
-    # their K/V (dq pass) / Q-side (dkv pass) DMAs are elided — same trick
-    # as the forward (see _fwd)
+    dq_shape = [jax.ShapeDtypeStruct((B, H, N, D), q.dtype)]
+    dkv_shape = [
+        jax.ShapeDtypeStruct((B, H, M, D), k.dtype),
+        jax.ShapeDtypeStruct((B, H, M, D), v.dtype),
+    ]
+
+    if causal and block_q == block_k and nq == nk:
+        # linearized triangular grids (see module docstring): dq keeps the
+        # q block outer, dkv keeps the kv block outer so each pass's
+        # accumulator lives across its inner dimension
+        tq = jnp.asarray(_tri_pairs_q_outer(nq))
+        tkv = jnp.asarray(_tri_pairs_kv_outer(nq))
+        q_ix = lambda b, h, t, lens, tri: (b, h, tri[0, t], 0)  # noqa: E731
+        kv_ix = lambda b, h, t, lens, tri: (b, h, tri[1, t], 0)  # noqa: E731
+        tri_in = [
+            pl.BlockSpec((1, 1, block_q, D), q_ix),
+            pl.BlockSpec((1, 1, block_k, D), kv_ix),
+            pl.BlockSpec((1, 1, block_k, D), kv_ix),
+            pl.BlockSpec((1, 1, block_q, D), q_ix),
+            pl.BlockSpec((1, 1, block_q, 1), q_ix),
+            pl.BlockSpec((1, 1, block_q, 1), q_ix),
+        ]
+        dq = pl.pallas_call(
+            functools.partial(_bwd_dq_kernel_tri, scale=scale,
+                              block_q=block_q, block_k=block_k),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(B, H, tq.shape[1]),
+                in_specs=tri_in,
+                out_specs=[pl.BlockSpec((1, 1, block_q, D), q_ix)],
+                scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+            ),
+            out_shape=dq_shape,
+            interpret=_interpret(),
+        )(kv_len, tq, q, k, v, do, lse, delta)[0]
+
+        dk, dv = pl.pallas_call(
+            functools.partial(_bwd_dkv_kernel_tri, scale=scale,
+                              block_q=block_q, block_k=block_k, nq=nq),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(B, H, tkv.shape[1]),
+                in_specs=tri_in,
+                out_specs=[
+                    pl.BlockSpec((1, 1, block_k, D), kv_ix),
+                    pl.BlockSpec((1, 1, block_k, D), kv_ix),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((block_k, D), jnp.float32),
+                    pltpu.VMEM((block_k, D), jnp.float32),
+                ],
+            ),
+            out_shape=dkv_shape,
+            interpret=_interpret(),
+        )(kv_len, tkv, q, k, v, do, lse, delta)
+        return dq, dk, dv
+
+    # rectangular fallback: dead causal blocks (pl.when-skipped) remap to the
+    # last live block so their K/V (dq pass) / Q-side (dkv pass) DMAs are
+    # elided — same trick as the forward
     if causal:
-        kv_ix = lambda b, h, i, j, *_: (  # noqa: E731
+        r_kv_ix = lambda b, h, i, j, *_: (  # noqa: E731
             b, h, jnp.minimum(j, ((i + 1) * block_q - 1) // block_k), 0)
-        q_ix_dkv = lambda b, h, j, i, *_: (  # noqa: E731
+        r_q_ix_dkv = lambda b, h, j, i, *_: (  # noqa: E731
             b, h, jnp.maximum(i, (j * block_k) // block_q), 0)
     else:
-        kv_ix = lambda b, h, i, j, *_: (b, h, j, 0)  # noqa: E731
-        q_ix_dkv = lambda b, h, j, i, *_: (b, h, i, 0)  # noqa: E731
+        r_kv_ix = lambda b, h, i, j, *_: (b, h, j, 0)  # noqa: E731
+        r_q_ix_dkv = lambda b, h, j, i, *_: (b, h, i, 0)  # noqa: E731
 
     common_in = [
         pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j, *_: (b, h, i, 0)),
-        pl.BlockSpec((1, 1, block_k, D), kv_ix),
-        pl.BlockSpec((1, 1, block_k, D), kv_ix),
+        pl.BlockSpec((1, 1, block_k, D), r_kv_ix),
+        pl.BlockSpec((1, 1, block_k, D), r_kv_ix),
         pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j, *_: (b, h, i, 0)),
         pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j, *_: (b, h, i, 0)),
         pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j, *_: (b, h, i, 0)),
@@ -317,18 +513,18 @@ def _bwd(q, k, v, do, o, lse, kv_len, *, causal, block_q, block_k, d_orig):
                                     lambda b, h, i, j, *_: (b, h, i, 0))],
             scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
         ),
-        out_shape=[jax.ShapeDtypeStruct((B, H, N, D), q.dtype)],
+        out_shape=dq_shape,
         interpret=_interpret(),
     )(kv_len, q, k, v, do, lse, delta)[0]
 
     # dkv pass: kv blocks outer, q blocks inner
     dkv_in = [
-        pl.BlockSpec((1, 1, block_q, D), q_ix_dkv),
+        pl.BlockSpec((1, 1, block_q, D), r_q_ix_dkv),
         pl.BlockSpec((1, 1, block_k, D), lambda b, h, j, i, *_: (b, h, j, 0)),
         pl.BlockSpec((1, 1, block_k, D), lambda b, h, j, i, *_: (b, h, j, 0)),
-        pl.BlockSpec((1, 1, block_q, D), q_ix_dkv),
-        pl.BlockSpec((1, 1, block_q, 1), q_ix_dkv),
-        pl.BlockSpec((1, 1, block_q, 1), q_ix_dkv),
+        pl.BlockSpec((1, 1, block_q, D), r_q_ix_dkv),
+        pl.BlockSpec((1, 1, block_q, 1), r_q_ix_dkv),
+        pl.BlockSpec((1, 1, block_q, 1), r_q_ix_dkv),
     ]
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, causal=causal,
@@ -346,10 +542,7 @@ def _bwd(q, k, v, do, o, lse, kv_len, *, causal, block_q, block_k, d_orig):
                 pltpu.VMEM((block_k, D), jnp.float32),
             ],
         ),
-        out_shape=[
-            jax.ShapeDtypeStruct((B, H, M, D), k.dtype),
-            jax.ShapeDtypeStruct((B, H, M, D), v.dtype),
-        ],
+        out_shape=dkv_shape,
         interpret=_interpret(),
     )(kv_len, q, k, v, do, lse, delta)
     return dq, dk, dv

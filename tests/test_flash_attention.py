@@ -85,6 +85,28 @@ def test_gradients_with_kv_len():
                                    rtol=5e-4, atol=5e-4, err_msg=f"d{name}")
 
 
+def test_gradients_causal_four_blocks():
+    # nq=nk=4 exercises the linearized triangular grid (T=10) well past the
+    # trivial 1-2 block cases: per-pair decode, accumulator reset/store at
+    # tri boundaries, and the kv-outer dkv ordering
+    q, k, v = _rand(1, 512, 1, 64, key=6)
+    kv_len = jnp.array([400], jnp.int32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=True, q_len=kv_len,
+                                       kv_len=kv_len, block_q=128, block_k=128) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_reference(q, k, v, causal=True, q_len=kv_len,
+                                           kv_len=kv_len) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4, err_msg=f"d{name}")
+
+
 def test_bfloat16_inputs():
     q, k, v = _rand(1, 128, 2, 64, key=5)
     qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
