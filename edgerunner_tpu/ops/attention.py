@@ -164,8 +164,12 @@ def attention(
         # the trainer pads its batches so the train step always qualifies
         if N % size == 0 and B % mesh.shape["dp"] == 0:
             spec = P("dp", axis, None, None)
+            # interpret follows the MESH platform, not the process default
+            # backend (virtual CPU meshes in a TPU-initialized process)
+            interpret = mesh.devices.flat[0].platform != "tpu"
             fn = shard_map(
-                functools.partial(ring_attention, axis_name=axis, causal=True),
+                functools.partial(ring_attention, axis_name=axis, causal=True,
+                                  interpret=interpret),
                 mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
                 check_vma=False)
             return fn(q, k, v)

@@ -19,8 +19,15 @@ core/transformer/attention.py:20-21,46,81-89). Differences by design:
 * head_dim is zero-padded to the 128-lane boundary in the wrapper (ArAE uses
   head_dim 96), sequence lengths padded to the block size with length masks
 
-Public entry: flash_attention(q, k, v, causal=..., q_len=..., kv_len=...)
-with q/k/v [B, N, H, D], differentiable via jax.custom_vjp.
+Public entries, both differentiable via jax.custom_vjp:
+* flash_attention(q, k, v, causal=..., q_len=..., kv_len=...) -> o
+  with q/k/v [B, N, H, D]
+* flash_attention_lse(...) -> (o, lse [B, N, H] fp32) — exposes the
+  log-sum-exp so callers can merge partial-attention results across K/V
+  blocks (ring attention / blockwise decoding). The lse cotangent folds
+  into the existing backward for free: dL/ds_rj = p_rj (dp_rj - delta_r +
+  dlse_r), so the kernels are unchanged and dlse is just subtracted from
+  delta.
 """
 
 from __future__ import annotations
@@ -170,7 +177,8 @@ def _fwd_kernel_tri(len_ref, tri_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         _fwd_store(o_ref, lse_ref, acc_ref, m_ref, l_ref)
 
 
-def _fwd(q, k, v, kv_len, *, causal, block_q, block_k, d_orig):
+def _fwd(q, k, v, kv_len, *, causal, block_q, block_k, d_orig,
+         interpret=None):
     """q/k/v: [B, H, N, D] (padded); kv_len: [B] int32.
     Returns (o [B,H,N,D], lse [B,H,N])."""
     B, H, N, D = q.shape
@@ -211,7 +219,7 @@ def _fwd(q, k, v, kv_len, *, causal, block_q, block_k, d_orig):
             _fwd_kernel_tri, scale=scale, block_q=block_q, block_k=block_k)
         o, lse = pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape,
-            interpret=_interpret())(kv_len, tmap, q, k, v)
+            interpret=_interpret() if interpret is None else interpret)(kv_len, tmap, q, k, v)
     else:
         # rectangular fallback (non-causal, or causal with unequal blocks):
         # causal dead blocks are pl.when-skipped; remap their kv index to the
@@ -244,7 +252,7 @@ def _fwd(q, k, v, kv_len, *, causal, block_q, block_k, d_orig):
             block_q=block_q, block_k=block_k)
         o, lse = pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape,
-            interpret=_interpret())(kv_len, q, k, v)
+            interpret=_interpret() if interpret is None else interpret)(kv_len, q, k, v)
     # squeeze the residual dense: a [B,H,N,1] f32 buffer is lane-padded 128x
     # in HBM (208MB/layer at flagship scale); the barrier pins an actual
     # compact copy so XLA can't keep the padded kernel buffer alive as the
@@ -414,7 +422,8 @@ def _bwd_dkv_kernel_tri(len_ref, tri_ref, q_ref, k_ref, v_ref, do_ref,
         dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _bwd(q, k, v, do, o, lse, kv_len, *, causal, block_q, block_k, d_orig):
+def _bwd(q, k, v, do, o, lse, kv_len, *, causal, block_q, block_k, d_orig,
+         dlse=None, interpret=None):
     B, H, N, D = q.shape
     M = k.shape[2]
     nq = N // block_q
@@ -423,6 +432,10 @@ def _bwd(q, k, v, do, o, lse, kv_len, *, causal, block_q, block_k, d_orig):
 
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
                     axis=-1, keepdims=True)  # [B,H,N,1]
+    if dlse is not None:
+        # lse cotangent: dL/ds_rj gains p_rj * dlse_r, i.e. ds = p * (dp -
+        # (delta - dlse)) — fold it into delta so the kernels are unchanged
+        delta = delta - dlse.astype(jnp.float32)[..., None]
     lse = lse[..., None]
 
     dq_shape = [jax.ShapeDtypeStruct((B, H, N, D), q.dtype)]
@@ -458,7 +471,7 @@ def _bwd(q, k, v, do, o, lse, kv_len, *, causal, block_q, block_k, d_orig):
                 scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
             ),
             out_shape=dq_shape,
-            interpret=_interpret(),
+            interpret=_interpret() if interpret is None else interpret,
         )(kv_len, tq, q, k, v, do, lse, delta)[0]
 
         dk, dv = pl.pallas_call(
@@ -478,7 +491,7 @@ def _bwd(q, k, v, do, o, lse, kv_len, *, causal, block_q, block_k, d_orig):
                 ],
             ),
             out_shape=dkv_shape,
-            interpret=_interpret(),
+            interpret=_interpret() if interpret is None else interpret,
         )(kv_len, tkv, q, k, v, do, lse, delta)
         return dq, dk, dv
 
@@ -514,7 +527,7 @@ def _bwd(q, k, v, do, o, lse, kv_len, *, causal, block_q, block_k, d_orig):
             scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
         ),
         out_shape=dq_shape,
-        interpret=_interpret(),
+        interpret=_interpret() if interpret is None else interpret,
     )(kv_len, q, k, v, do, lse, delta)[0]
 
     # dkv pass: kv blocks outer, q blocks inner
@@ -543,61 +556,76 @@ def _bwd(q, k, v, do, o, lse, kv_len, *, causal, block_q, block_k, d_orig):
             ],
         ),
         out_shape=dkv_shape,
-        interpret=_interpret(),
+        interpret=_interpret() if interpret is None else interpret,
     )(kv_len, q, k, v, do, lse, delta)
     return dq, dk, dv
 
 
 # ------------------------------------------------------- differentiable op --
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
 def _flash_core(q, k, v, kv_len, causal, block_q, block_k, d_orig,
-                bwd_block_q, bwd_block_k):
+                bwd_block_q, bwd_block_k, interpret):
     o, _ = _fwd(q, k, v, kv_len, causal=causal, block_q=block_q,
-                block_k=block_k, d_orig=d_orig)
+                block_k=block_k, d_orig=d_orig, interpret=interpret)
     return o
 
 
 def _flash_core_fwd(q, k, v, kv_len, causal, block_q, block_k, d_orig,
-                    bwd_block_q, bwd_block_k):
+                    bwd_block_q, bwd_block_k, interpret):
     o, lse = _fwd(q, k, v, kv_len, causal=causal, block_q=block_q,
-                  block_k=block_k, d_orig=d_orig)
+                  block_k=block_k, d_orig=d_orig, interpret=interpret)
     return o, (q, k, v, o, lse, kv_len)
 
 
 def _flash_core_bwd(causal, block_q, block_k, d_orig, bwd_block_q,
-                    bwd_block_k, res, g):
+                    bwd_block_k, interpret, res, g):
     # the backward holds 4 extra [BQ, BK] f32 intermediates (s/p/dp/ds) in
     # VMEM, so it keeps its own (smaller) block sizes; the padded N from the
     # forward stays divisible as long as both block sets are powers of two
     q, k, v, o, lse, kv_len = res
     dq, dk, dv = _bwd(q, k, v, g, o, lse, kv_len, causal=causal,
-                      block_q=bwd_block_q, block_k=bwd_block_k, d_orig=d_orig)
+                      block_q=bwd_block_q, block_k=bwd_block_k, d_orig=d_orig,
+                      interpret=interpret)
     return dq, dk, dv, np.zeros(kv_len.shape, jax.dtypes.float0)
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+def _flash_core_lse(q, k, v, kv_len, causal, block_q, block_k, d_orig,
+                    bwd_block_q, bwd_block_k, interpret):
+    return _fwd(q, k, v, kv_len, causal=causal, block_q=block_q,
+                block_k=block_k, d_orig=d_orig, interpret=interpret)
+
+
+def _flash_core_lse_fwd(q, k, v, kv_len, causal, block_q, block_k, d_orig,
+                        bwd_block_q, bwd_block_k, interpret):
+    o, lse = _fwd(q, k, v, kv_len, causal=causal, block_q=block_q,
+                  block_k=block_k, d_orig=d_orig, interpret=interpret)
+    return (o, lse), (q, k, v, o, lse, kv_len)
+
+
+def _flash_core_lse_bwd(causal, block_q, block_k, d_orig, bwd_block_q,
+                        bwd_block_k, interpret, res, g):
+    q, k, v, o, lse, kv_len = res
+    do, dlse = g
+    dq, dk, dv = _bwd(q, k, v, do, o, lse, kv_len, causal=causal,
+                      block_q=bwd_block_q, block_k=bwd_block_k, d_orig=d_orig,
+                      dlse=dlse, interpret=interpret)
+    return dq, dk, dv, np.zeros(kv_len.shape, jax.dtypes.float0)
+
+
+_flash_core_lse.defvjp(_flash_core_lse_fwd, _flash_core_lse_bwd)
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def flash_attention(
-    q: jax.Array,
-    k: jax.Array,
-    v: jax.Array,
-    *,
-    causal: bool = False,
-    q_len: Optional[jax.Array] = None,
-    kv_len: Optional[jax.Array] = None,
-    block_q: int = DEFAULT_BLOCK_Q,
-    block_k: int = DEFAULT_BLOCK_K,
-    bwd_block_q: int = DEFAULT_BWD_BLOCK,
-    bwd_block_k: int = DEFAULT_BWD_BLOCK,
-) -> jax.Array:
-    """q: [B, N, H, D]; k/v: [B, M, H, D]; prefix length masks [B].
-    Returns [B, N, H, D]; rows beyond q_len are zeroed."""
+def _flash(q, k, v, causal, q_len, kv_len, block_q, block_k,
+           bwd_block_q, bwd_block_k, with_lse, interpret=None):
     B, N, H, D = q.shape
     M = k.shape[1]
 
@@ -621,10 +649,64 @@ def flash_attention(
     kp = prep(k, M, Mp)
     vp = prep(v, M, Mp)
 
-    o = _flash_core(qp, kp, vp, kv_len, causal, block_q, block_k, D,
-                    bwd_block_q, bwd_block_k)
+    if with_lse:
+        o, lse = _flash_core_lse(qp, kp, vp, kv_len, causal, block_q,
+                                 block_k, D, bwd_block_q, bwd_block_k,
+                                 interpret)
+    else:
+        o = _flash_core(qp, kp, vp, kv_len, causal, block_q, block_k, D,
+                        bwd_block_q, bwd_block_k, interpret)
     o = jnp.transpose(o[:, :, :N, :D], (0, 2, 1, 3))
     if q_len is not None:
         rows = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1) < q_len[:, None]
         o = jnp.where(rows[:, :, None, None], o, 0)
+    if with_lse:
+        return o, jnp.transpose(lse[:, :, :N], (0, 2, 1))  # [B, N, H]
     return o
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    q_len: Optional[jax.Array] = None,
+    kv_len: Optional[jax.Array] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    bwd_block_q: int = DEFAULT_BWD_BLOCK,
+    bwd_block_k: int = DEFAULT_BWD_BLOCK,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """q: [B, N, H, D]; k/v: [B, M, H, D]; prefix length masks [B].
+    Returns [B, N, H, D]; rows beyond q_len are zeroed. `interpret`
+    overrides the backend heuristic (needed when the call targets devices
+    of a different platform than the process default, e.g. a virtual CPU
+    mesh in a TPU-initialized process)."""
+    return _flash(q, k, v, causal, q_len, kv_len, block_q, block_k,
+                  bwd_block_q, bwd_block_k, with_lse=False,
+                  interpret=interpret)
+
+
+def flash_attention_lse(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+    kv_len: Optional[jax.Array] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    bwd_block_q: int = DEFAULT_BWD_BLOCK,
+    bwd_block_k: int = DEFAULT_BWD_BLOCK,
+    interpret: Optional[bool] = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Like flash_attention but also returns the row log-sum-exp
+    [B, N, H] fp32, enabling numerically-stable merging of partial
+    attention over K/V blocks (ring attention). Rows with no live keys
+    get lse ~= -1e30, i.e. zero weight in any merge. Differentiable in
+    both outputs."""
+    return _flash(q, k, v, causal, None, kv_len, block_q, block_k,
+                  bwd_block_q, bwd_block_k, with_lse=True,
+                  interpret=interpret)

@@ -5,8 +5,21 @@ The reference handles long contexts (43k positions) on a single GPU with
 flash-attn + checkpointing and has no sequence parallelism (SURVEY §5).
 This op exceeds that: the sequence axis is sharded over a mesh axis, K/V
 shards rotate around the ring with `jax.lax.ppermute` while every device
-accumulates online-softmax partials for its local queries — memory per
-device scales as N/ring_size, communication rides the ICI ring.
+merges normalized partial-attention results for its local queries —
+memory per device scales as N/ring_size, communication rides the ICI ring.
+
+The per-shard compute is the Pallas flash kernel (`flash_attention_lse`),
+NOT a materialized score matrix: an einsum formulation holds an
+[B, H, S, S] fp32 block per step (S = N/ring), which at the lengths sp
+exists for is tens of GB (sp=2 over 43k positions: 21.5k^2 * 16 heads *
+4B ~= 30 GB) — guaranteed OOM. The flash path streams K/V blocks through
+VMEM, so per-device HBM stays O(S*H*D). Partial results merge in log
+space via each pass's log-sum-exp; blocks strictly in the causal future
+of a device's queries are skipped entirely with `lax.cond` (per-device
+scalar predicate — real control flow, no wasted flash calls).
+
+The einsum variant is kept as `_ring_attention_einsum`, the small-scale
+numerics oracle for tests.
 
 Usage (inside shard_map, or via the `ring_self_attention` wrapper):
     out = ring_attention(q_shard, k_shard, v_shard, axis_name="sp", causal=True)
@@ -24,8 +37,75 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 NEG_INF = -1e30
 
 
+def _merge(o_run, lse_run, o_blk, lse_blk):
+    """Merge two normalized partial-attention results in log space.
+
+    o_*: [B, S, H, D] (o_run fp32); lse_*: [B, S, H] fp32. A fully-masked
+    block carries lse ~= -1e30 -> weight underflows to exactly 0.
+    """
+    m = jnp.maximum(lse_run, lse_blk)
+    wa = jnp.exp(lse_run - m)
+    wb = jnp.exp(lse_blk - m)
+    denom = wa + wb
+    o = (o_run * wa[..., None] + o_blk.astype(jnp.float32) * wb[..., None])
+    return o / denom[..., None], m + jnp.log(denom)
+
+
+def ring_attention(q, k, v, *, axis_name: str, causal: bool = True,
+                   interpret: Optional[bool] = None):
+    """Exact attention with the sequence sharded over `axis_name`.
+
+    q/k/v: local shards [B, S, H, D] (S = N / ring_size, identical layout on
+    every device). Must run inside shard_map/pmap over `axis_name`.
+    Returns the local output shard [B, S, H, D].
+    """
+    from edgerunner_tpu.ops.flash_attention import flash_attention_lse
+
+    B, S, H, D = q.shape
+    ring = jax.lax.axis_size(axis_name)
+    me = jax.lax.axis_index(axis_name)
+    perm = [(i, (i + 1) % ring) for i in range(ring)]
+
+    # step 0 peeled: own shard, causal diagonal (always live)
+    o0, lse0 = flash_attention_lse(q, k, v, causal=causal,
+                                   interpret=interpret)
+    o_run = o0.astype(jnp.float32)
+
+    if ring == 1:
+        return o_run.astype(q.dtype)
+
+    def step(carry, s_idx):
+        k_cur, v_cur, o_run, lse_run = carry
+        # rotate: after s_idx hops device `me` holds shard (me - s_idx) % ring
+        k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
+        v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
+        # causal: that shard's keys are fully visible iff it starts before
+        # our queries (s_idx <= me), else fully in the future -> skip
+        live = (s_idx <= me) if causal else True
+
+        def compute(_):
+            return flash_attention_lse(q, k_cur, v_cur, causal=False,
+                                       interpret=interpret)
+
+        def skip(_):
+            return (jnp.zeros((B, S, H, D), q.dtype),
+                    jnp.full((B, S, H), NEG_INF, jnp.float32))
+
+        if causal:
+            o_blk, lse_blk = jax.lax.cond(live, compute, skip, None)
+        else:
+            o_blk, lse_blk = compute(None)
+        o_run, lse_run = _merge(o_run, lse_run, o_blk, lse_blk)
+        return (k_cur, v_cur, o_run, lse_run), None
+
+    (_, _, o_run, _), _ = jax.lax.scan(
+        step, (k, v, o_run, lse0), jnp.arange(1, ring))
+    return o_run.astype(q.dtype)
+
+
 def _block_partials(q, k, v, kv_offset, scale, causal):
-    """Unnormalized attention partials of local q against one K/V block.
+    """Unnormalized attention partials of local q against one K/V block
+    (einsum oracle; materializes [B, H, S, S] — small-scale use only).
 
     q: [B, S, H, D]; k/v: [B, S, H, D]; kv_offset = global_q_start -
     global_kv_start (causal: q row i may attend kv col j iff j <= i + offset).
@@ -45,13 +125,8 @@ def _block_partials(q, k, v, kv_offset, scale, causal):
     return o, m, l
 
 
-def ring_attention(q, k, v, *, axis_name: str, causal: bool = True):
-    """Exact attention with the sequence sharded over `axis_name`.
-
-    q/k/v: local shards [B, S, H, D] (S = N / ring_size, identical layout on
-    every device). Must run inside shard_map/pmap over `axis_name`.
-    Returns the local output shard [B, S, H, D].
-    """
+def _ring_attention_einsum(q, k, v, *, axis_name: str, causal: bool = True):
+    """Einsum-formulated ring attention — the numerics oracle for tests."""
     B, S, H, D = q.shape
     ring = jax.lax.axis_size(axis_name)
     me = jax.lax.axis_index(axis_name)
@@ -96,14 +171,23 @@ def ring_attention(q, k, v, *, axis_name: str, causal: bool = True):
 
 
 def ring_self_attention(q, k, v, mesh: Mesh, *, axis: str = "sp",
-                        causal: bool = True):
+                        causal: bool = True, impl: str = "flash"):
     """Convenience wrapper: full [B, N, H, D] arrays in, sequence sharded over
     `mesh[axis]`, exact attention out. N must divide by the axis size."""
     from jax import shard_map
 
     spec = P(None, axis, None, None)
+    if impl == "flash":
+        # interpret must follow the MESH's platform, not the process
+        # default backend (a TPU-initialized process can still run a
+        # virtual CPU mesh)
+        interpret = mesh.devices.flat[0].platform != "tpu"
+        inner = functools.partial(ring_attention, axis_name=axis,
+                                  causal=causal, interpret=interpret)
+    else:
+        inner = functools.partial(_ring_attention_einsum, axis_name=axis,
+                                  causal=causal)
     fn = shard_map(
-        functools.partial(ring_attention, axis_name=axis, causal=causal),
-        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        inner, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
         check_vma=False)
     return fn(q, k, v)

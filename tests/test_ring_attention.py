@@ -1,4 +1,9 @@
-"""Ring attention (context parallelism) vs full attention on the virtual mesh."""
+"""Ring attention (context parallelism) vs full attention on the virtual mesh.
+
+The default impl streams K/V through the Pallas flash kernel and merges
+partials by log-sum-exp; the einsum impl is the small-scale oracle. Both are
+checked against the dense reference.
+"""
 
 import jax
 import jax.numpy as jnp
@@ -14,22 +19,24 @@ def _mesh(n, axis="sp"):
     return Mesh(np.asarray(jax.devices()[:n]), axis_names=(axis,))
 
 
+@pytest.mark.parametrize("impl", ["flash", "einsum"])
 @pytest.mark.parametrize("ring", [2, 4, 8])
 @pytest.mark.parametrize("causal", [True, False])
-def test_matches_full_attention(ring, causal):
+def test_matches_full_attention(ring, causal, impl):
     B, N, H, D = 2, 128, 4, 32
     ks = jax.random.split(jax.random.PRNGKey(0), 3)
     q = jax.random.normal(ks[0], (B, N, H, D), jnp.float32)
     k = jax.random.normal(ks[1], (B, N, H, D), jnp.float32)
     v = jax.random.normal(ks[2], (B, N, H, D), jnp.float32)
 
-    out = ring_self_attention(q, k, v, _mesh(ring), causal=causal)
+    out = ring_self_attention(q, k, v, _mesh(ring), causal=causal, impl=impl)
     ref = attention_reference(q, k, v, causal=causal)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-5)
 
 
-def test_gradients_flow():
+@pytest.mark.parametrize("impl", ["flash", "einsum"])
+def test_gradients_flow(impl):
     B, N, H, D = 1, 64, 2, 16
     mesh = _mesh(4)
     ks = jax.random.split(jax.random.PRNGKey(1), 3)
@@ -38,7 +45,8 @@ def test_gradients_flow():
     v = jax.random.normal(ks[2], (B, N, H, D))
 
     def loss_ring(q, k, v):
-        return jnp.sum(ring_self_attention(q, k, v, mesh, causal=True) ** 2)
+        return jnp.sum(
+            ring_self_attention(q, k, v, mesh, causal=True, impl=impl) ** 2)
 
     def loss_ref(q, k, v):
         return jnp.sum(attention_reference(q, k, v, causal=True) ** 2)
@@ -51,15 +59,42 @@ def test_gradients_flow():
 
 
 def test_memory_scales_with_shard():
-    """Each device only materializes S x S score blocks (S = N / ring)."""
-    # structural check via jaxpr: the largest intermediate inside shard_map
-    # must be [B, H, S, S], not [B, H, N, N]
-    B, N, H, D = 1, 128, 2, 16
+    """The einsum oracle materializes S x S score blocks (S = N / ring);
+    the flash impl must materialize NEITHER S x S nor N x N score arrays —
+    scores only ever exist as fixed-size VMEM blocks inside the kernel."""
+    B, N, H, D = 1, 128, 2, 32   # D != S so [B,H,S,S] is unambiguous
     mesh = _mesh(8)
     q = jnp.zeros((B, N, H, D))
-    jaxpr = jax.make_jaxpr(
-        lambda q, k, v: ring_self_attention(q, k, v, mesh, causal=True))(q, q, q)
     S = N // 8
-    text = str(jaxpr)
-    assert f"{B},{H},{S},{S}" in text.replace(" ", "")
-    assert f"{B},{H},{N},{N}" not in text.replace(" ", "")
+
+    jx_einsum = str(jax.make_jaxpr(
+        lambda q, k, v: ring_self_attention(q, k, v, mesh, causal=True,
+                                            impl="einsum"))(q, q, q))
+    flat = jx_einsum.replace(" ", "")
+    assert f"{B},{H},{S},{S}" in flat
+    assert f"{B},{H},{N},{N}" not in flat
+
+    jx_flash = str(jax.make_jaxpr(
+        lambda q, k, v: ring_self_attention(q, k, v, mesh, causal=True,
+                                            impl="flash"))(q, q, q))
+    flat = jx_flash.replace(" ", "")
+    assert f"{B},{H},{S},{S}" not in flat
+    assert f"{B},{H},{N},{N}" not in flat
+
+
+def test_bf16_inputs_flash():
+    """Training feeds bf16 activations; the flash ring must keep bf16
+    in/out while merging partials in fp32."""
+    B, N, H, D = 1, 64, 2, 16
+    mesh = _mesh(4)
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    q = jax.random.normal(ks[0], (B, N, H, D)).astype(jnp.bfloat16)
+    k = jax.random.normal(ks[1], (B, N, H, D)).astype(jnp.bfloat16)
+    v = jax.random.normal(ks[2], (B, N, H, D)).astype(jnp.bfloat16)
+
+    out = ring_self_attention(q, k, v, mesh, causal=True)
+    assert out.dtype == jnp.bfloat16
+    ref = attention_reference(q.astype(jnp.float32), k.astype(jnp.float32),
+                              v.astype(jnp.float32), causal=True)
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
+                               rtol=0.05, atol=0.05)
