@@ -80,6 +80,33 @@ def _device_batch(batch: dict, sharding, sp: int = 1,
     return out
 
 
+def _pad_batch_rows(batch: dict, multiple: int) -> dict:
+    """Pad a partial eval batch up to a row-count multiple of the dp share.
+
+    The eval loader keeps its last partial batch (drop_last=False, reference
+    evaluates every test item), but batch rows are sharded over 'dp' so the
+    global row count must tile the mesh. Padding duplicates row 0 with all
+    labels -100: the CE loss is sum-over-valid / count-valid, so duplicated
+    no-label rows leave the eval loss bit-exact."""
+    if multiple <= 1:
+        return batch
+    b = len(np.asarray(batch["labels"]))
+    pad = (-b) % multiple
+    if pad == 0:
+        return batch
+    out = {}
+    for k, v in batch.items():
+        if k == "paths":
+            out[k] = v
+            continue
+        v = np.asarray(v)
+        fill = np.repeat(v[:1], pad, axis=0)
+        if k == "labels":
+            fill = np.full_like(fill, -100)
+        out[k] = np.concatenate([v, fill], axis=0)
+    return out
+
+
 class Trainer:
     def __init__(self, model, opt, total_steps: int, logger=None,
                  step_builder: Callable = make_train_step,
@@ -222,8 +249,10 @@ class Trainer:
         bsh = batch_sharding(self.mesh)
         total_loss, n = 0.0, 0
         set_sequence_parallel(self.mesh if self.sp > 1 else None)
+        local_dp = max(self.mesh.shape["dp"] // jax.process_count(), 1)
         try:
             for batch in loader:
+                batch = _pad_batch_rows(batch, local_dp)
                 dev_batch = _device_batch(batch, bsh, sp=self.sp,
                                           pad_token_id=self.opt.pad_token_id)
                 if self._eval_needs_rng:

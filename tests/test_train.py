@@ -343,3 +343,32 @@ def test_trainer_sp_pads_and_runs():
         assert np.isfinite(float(metrics["loss"]))
     finally:
         set_sequence_parallel(None)
+
+
+def test_eval_partial_batch_pads_to_dp():
+    """A final eval batch smaller than the dp share must be padded (labels
+    -100) so row sharding tiles the mesh, leaving the loss bit-exact
+    (reference evaluates every test item: drop_last=False, main.py:108-116)."""
+    from edgerunner_tpu.train.trainer import Trainer, _pad_batch_rows
+
+    raw = _make_batch(tiny_opt(), B=3)
+    padded = _pad_batch_rows(dict(raw), 8)
+    assert padded["labels"].shape[0] == 8
+    assert (padded["labels"][3:] == -100).all()
+    np.testing.assert_array_equal(padded["tokens"][3:],
+                                  np.repeat(raw["tokens"][:1], 5, axis=0))
+
+    # end to end: eval_epoch over a loader whose only batch has 3 rows on
+    # the 8-device mesh, vs the same 3 rows evaluated unsharded
+    opt = tiny_opt(batch_size=8, dp_size=-1)
+    model = LMM(opt)
+    trainer = Trainer(model, opt, total_steps=10)
+    params = init_lmm_params(model, opt, RNG)
+    trainer.init_state(params)
+    loss = trainer.eval_epoch([raw], epoch=0)
+    assert np.isfinite(loss)
+
+    from edgerunner_tpu.train.state import make_eval_step
+    solo = make_eval_step(model)(trainer.state.params, jax.tree.map(
+        jnp.asarray, {k: v for k, v in raw.items() if k != "paths"}))
+    np.testing.assert_allclose(loss, float(solo["loss"]), rtol=1e-5)
