@@ -16,7 +16,8 @@ Design:
 
 from __future__ import annotations
 
-from typing import Optional
+from concurrent.futures import ThreadPoolExecutor
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -149,8 +150,9 @@ def _get_decode_fn(model: LMM, *, num_new: int, max_len: int, mode: str,
                 break
         return tokens, i
 
-    _DECODE_CACHE[key] = decode
-    return decode
+    # setdefault: atomic under the GIL, so concurrent fleet threads that
+    # both miss the cache still converge on one stored closure
+    return _DECODE_CACHE.setdefault(key, decode)
 
 
 def _get_spec_decode_fn(model: LMM, *, num_new: int, max_len: int,
@@ -291,8 +293,61 @@ def _get_spec_decode_fn(model: LMM, *, num_new: int, max_len: int,
         tokens = jnp.where(cols < n[:, None], tokens, S.PAD_ID)
         return tokens[:, :num_new], n
 
-    _DECODE_CACHE[key] = decode
-    return decode
+    return _DECODE_CACHE.setdefault(key, decode)
+
+
+def replicate_params(params, devices) -> list:
+    """Copy the parameter tree onto each device once — the per-replica
+    weights of a data-parallel decode fleet. Pass the returned list as
+    `params` to generate_tokens(..., devices=devices) so repeated calls
+    skip the per-call host->device weight transfer."""
+    return [jax.device_put(params, d) for d in devices]
+
+
+def _generate_tokens_fleet(model, params, conds, devices, *, num_faces,
+                           resume_ids, max_new_tokens, rng, use_grammar,
+                           bench_no_eos):
+    """Data-parallel decode over a device fleet: batch rows split evenly
+    across `devices`, one independent decode per device, dispatched from
+    threads so the per-segment host syncs of one replica never stall the
+    others. Greedy output is bit-identical to the single-device decode of
+    the same rows; sampling uses per-row keys (split from `rng` if a
+    single key was given) so a row's stream is placement-independent."""
+    n = len(devices)
+    B = conds.shape[0]
+    assert B % n == 0, (
+        f"fleet decode: batch ({B}) must divide by the device count ({n})")
+    nb = B // n
+    reps = params if isinstance(params, list) else \
+        replicate_params(params, devices)
+    assert len(reps) == n, "params replica list must match devices"
+
+    if rng is None:
+        rng = jax.random.PRNGKey(model.opt.seed)
+    arr = jnp.asarray(rng)
+    typed = jnp.issubdtype(arr.dtype, jax.dtypes.prng_key)
+    if (typed and arr.ndim == 0) or (not typed and arr.ndim == 1):
+        keys = jax.random.split(rng, B)  # single key -> per-row keys
+    else:
+        keys = arr                        # already [B] per-row keys
+
+    conds = np.asarray(conds)
+
+    def run(i):
+        dev = devices[i]
+        sl = slice(i * nb, (i + 1) * nb)
+        return generate_tokens(
+            model, reps[i], jax.device_put(conds[sl], dev),
+            num_faces=num_faces,
+            resume_ids=(None if resume_ids is None
+                        else np.asarray(resume_ids)[sl]),
+            max_new_tokens=max_new_tokens,
+            rng=jax.device_put(keys[sl], dev),
+            use_grammar=use_grammar, bench_no_eos=bench_no_eos)
+
+    with ThreadPoolExecutor(n) as ex:
+        outs = list(ex.map(run, range(n)))
+    return np.concatenate(outs, axis=0)
 
 
 def generate_tokens(
@@ -306,15 +361,29 @@ def generate_tokens(
     rng: Optional[jax.Array] = None,
     use_grammar: bool = True,
     bench_no_eos: bool = False,
+    devices: Optional[Sequence] = None,
 ):
     """Generate mesh token streams (reference: LMM.generate, models.py:204-303).
 
     conds: [B, ...] conditioning (point cloud / latent / image / [B, 0] none).
     Returns np.ndarray [B, T] of generated tokens (BOS excluded), PAD-filled
     after each row's EOS.
+
+    devices: optional device fleet for data-parallel decode — batch rows
+    split evenly across the devices (B must divide), weights replicated
+    (pass the list from replicate_params to amortize), greedy output
+    bit-identical to single-device. The reference is single-GPU-only at
+    inference (infer.py:104-106).
     """
     opt = model.opt
     B = conds.shape[0]
+    if devices is not None and len(devices) > 1:
+        return _generate_tokens_fleet(
+            model, params, conds, list(devices), num_faces=num_faces,
+            resume_ids=resume_ids, max_new_tokens=max_new_tokens, rng=rng,
+            use_grammar=use_grammar, bench_no_eos=bench_no_eos)
+    if isinstance(params, list):  # replica list on a single-device call
+        params = params[0]
     if rng is None:
         rng = jax.random.PRNGKey(opt.seed)
     # rng may be one key (whole-batch stream, default) or a batch of B keys

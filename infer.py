@@ -49,7 +49,7 @@ def prepare_cond(opt, path: str, np_rng):
     raise ValueError(f"cond_mode {opt.cond_mode} not supported by infer.py")
 
 
-def process(opt, model, params, tokenizer, path: str, rng):
+def process(opt, model, params, tokenizer, path: str, rng, devices=None):
     name = os.path.splitext(os.path.basename(path))[0]
     os.makedirs(opt.workspace, exist_ok=True)
     np_rng = np.random.default_rng(opt.seed)
@@ -76,6 +76,10 @@ def process(opt, model, params, tokenizer, path: str, rng):
             batch_cond = np.repeat(cond, nrep, axis=0)
             batch_resume = (np.repeat(resume_ids, nrep, axis=0)
                             if resume_ids is not None else None)
+            # a trailing partial repeat group may not tile the fleet;
+            # decode it single-device (params[0] is the replica there)
+            fleet = devices if (devices is not None
+                                and nrep % len(devices) == 0) else None
             all_tokens = generate_tokens(
                 model, params, batch_cond,
                 num_faces=num_faces,
@@ -83,6 +87,7 @@ def process(opt, model, params, tokenizer, path: str, rng):
                 resume_ids=batch_resume,
                 rng=sub,
                 use_grammar=opt.use_meto,
+                devices=fleet,
             )
             t1 = time.time()
 
@@ -129,13 +134,27 @@ def main():
         model = LMM(opt, dtype=jnp.bfloat16)
         params = quantize_lmm_params(params)
 
+    # --dp_size > 1: data-parallel decode fleet — batch rows split across
+    # devices, weights replicated once (the reference is single-GPU at
+    # inference; this is the v5e-8 multi-chip serving path)
+    devices = None
+    if opt.dp_size > 1:
+        from edgerunner_tpu.generate import replicate_params
+
+        devices = jax.local_devices()[: opt.dp_size]
+        assert len(devices) == opt.dp_size, (
+            f"--dp_size {opt.dp_size} but only {len(devices)} local devices")
+        assert opt.test_batch_size % opt.dp_size == 0, (
+            "--test_batch_size must divide by --dp_size for fleet decode")
+        params = replicate_params(params, devices)
+
     assert opt.test_path is not None, "--test_path is required"
     if os.path.isdir(opt.test_path):
         paths = sorted(glob.glob(os.path.join(opt.test_path, "*")))
     else:
         paths = [opt.test_path]
     for path in paths:
-        process(opt, model, params, tokenizer, path, rng)
+        process(opt, model, params, tokenizer, path, rng, devices=devices)
 
 
 if __name__ == "__main__":

@@ -163,3 +163,45 @@ def test_naive_grammar_mask():
     m9 = S.naive_grammar_mask(jnp.asarray(9), 1, 12)
     assert bool(m9[0, S.EOS_ID])
     assert m9[0, 3:].all()
+
+
+def test_fleet_decode_matches_single_device_greedy(tiny_model):
+    """devices=[...]: batch rows split across a device fleet, greedy output
+    bit-identical to the single-device decode (the reference is
+    single-GPU-only at inference, infer.py:104-106)."""
+    from edgerunner_tpu.generate import replicate_params
+
+    model, params, conds = tiny_model
+    import dataclasses
+    gm = LMM(dataclasses.replace(model.opt, generate_mode="greedy"))
+    conds4 = np.concatenate([conds, conds[::-1]], axis=0)  # B=4
+
+    solo = generate_tokens(gm, params, conds4, num_faces=10, rng=RNG)
+    devices = jax.devices()[:4]
+    reps = replicate_params(params, devices)
+    fleet = generate_tokens(gm, reps, conds4, num_faces=10, rng=RNG,
+                            devices=devices)
+    np.testing.assert_array_equal(fleet, solo)
+    # replica list on a plain single-device call uses replica 0
+    one = generate_tokens(gm, reps, conds4, num_faces=10, rng=RNG)
+    np.testing.assert_array_equal(one, solo)
+
+
+def test_fleet_decode_per_row_keys_placement_independent(tiny_model):
+    """Sampling with per-row keys: each row's stream is identical whether
+    decoded on one device or split across the fleet."""
+    model, params, conds = tiny_model
+    conds4 = np.concatenate([conds, conds[::-1]], axis=0)
+    keys = jax.random.split(jax.random.PRNGKey(11), 4)
+
+    solo = generate_tokens(model, params, conds4, num_faces=10, rng=keys)
+    fleet = generate_tokens(model, params, conds4, num_faces=10, rng=keys,
+                            devices=jax.devices()[:2])
+    np.testing.assert_array_equal(fleet, solo)
+
+
+def test_fleet_requires_divisible_batch(tiny_model):
+    model, params, conds = tiny_model
+    with pytest.raises(AssertionError, match="divide"):
+        generate_tokens(model, params, conds[:1], num_faces=5, rng=RNG,
+                        devices=jax.devices()[:2])
