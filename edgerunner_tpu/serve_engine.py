@@ -101,6 +101,12 @@ class ContinuousEngine:
         self._stop.set()
         self.q.put(None)
 
+    def load(self) -> int:
+        """Unfinished request count (queued + in a decode slot) — the
+        dispatch signal for a multi-device engine fleet. Racy reads are
+        fine: it only steers load balancing."""
+        return self.q.qsize() + sum(r is not None for r in self._slots)
+
     # ------------------------------------------------------------ jit fns --
     def _build_fns(self):
         model, G, vocab = self.model, self.G, self.vocab

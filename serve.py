@@ -22,6 +22,10 @@ Two scheduling engines:
     `opt.test_batch_size` rows (waiting at most --max_wait_ms for
     stragglers) and runs ONE fixed-shape decode to completion; num_faces is
     bucketed per batch (largest request wins) so budgets stay reusable.
+
+Multi-chip: `--dp_size N` runs N continuous engines, one per device with
+replicated weights, dispatching each request to the least-loaded engine
+(~linear serving throughput across chips).
 """
 
 from __future__ import annotations
@@ -213,6 +217,33 @@ def make_handler(batcher, opt):
     return Handler
 
 
+class FleetFrontend:
+    """Multi-device serving: one ContinuousEngine per device (weights
+    replicated, each engine's jitted programs execute on its replica's
+    device), requests dispatched to the least-loaded engine. Scales
+    serving throughput ~linearly across chips — the reference has no
+    serving path at all."""
+
+    def __init__(self, opt, model, params, tokenizer, batch: int,
+                 devices, segment_steps: int = 128):
+        from edgerunner_tpu.generate import replicate_params
+
+        reps = replicate_params(params, devices)
+        self.frontends = [
+            ContinuousFrontend(opt, model, p, tokenizer, batch,
+                               segment_steps=segment_steps)
+            for p in reps
+        ]
+
+    def submit(self, points: np.ndarray, num_faces: int, seed) -> dict:
+        fe = min(self.frontends, key=lambda f: f.engine.load())
+        return fe.submit(points, num_faces, seed)
+
+    def shutdown(self):
+        for fe in self.frontends:
+            fe.shutdown()
+
+
 def build_server(opt, port: int = 0, max_wait_ms: float = 30.0,
                  continuous: bool = True, segment_steps: int = 128):
     """Construct (server, batcher); separated from main() for tests."""
@@ -237,7 +268,15 @@ def build_server(opt, port: int = 0, max_wait_ms: float = 30.0,
         model = LMM(opt, dtype=jnp.bfloat16)
         params = quantize_lmm_params(params)
 
-    if continuous:
+    if continuous and opt.dp_size > 1:
+        devices = jax.local_devices()[: opt.dp_size]
+        assert len(devices) == opt.dp_size, (
+            f"--dp_size {opt.dp_size} but only {len(devices)} local devices")
+        batcher = FleetFrontend(opt, model, params, tokenizer,
+                                batch=max(1, opt.test_batch_size),
+                                devices=devices,
+                                segment_steps=segment_steps)
+    elif continuous:
         batcher = ContinuousFrontend(opt, model, params, tokenizer,
                                      batch=max(1, opt.test_batch_size),
                                      segment_steps=segment_steps)

@@ -119,3 +119,38 @@ def test_slots_are_reused_across_many_requests(engine_and_model):
     for t in threads:
         t.join()
     assert all(r is not None and len(r["tokens"]) > 0 for r in results)
+
+
+def test_fleet_frontend_two_devices(engine_and_model):
+    """serve.py --dp_size 2: two engines on two devices behind least-loaded
+    dispatch; concurrent greedy requests all match the solo decode path and
+    the fleet drains back to zero load."""
+    _, model, params, opt = engine_and_model
+    import serve as serve_mod
+    from edgerunner_tpu.utils import get_tokenizer
+
+    tokenizer, _ = get_tokenizer(opt)
+    devices = jax.devices()[:2]
+    fleet = serve_mod.FleetFrontend(opt, model, params, tokenizer,
+                                    batch=2, devices=devices,
+                                    segment_steps=16)
+    try:
+        results = [None] * 4
+        def run(i):
+            results[i] = fleet.submit(_pts(i), 8, seed=None)
+
+        threads = [threading.Thread(target=run, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        for i in range(4):
+            assert results[i] is not None and "tokens" in results[i]
+            solo = generate_tokens(model, params, _pts(i)[None],
+                                   num_faces=8, rng=RNG)
+            np.testing.assert_array_equal(
+                np.asarray(results[i]["tokens"], np.int32),
+                trim_eos(solo[0]) - 3)
+        assert sum(fe.engine.load() for fe in fleet.frontends) == 0
+    finally:
+        fleet.shutdown()
