@@ -136,7 +136,17 @@ def run_mdit(model: MDiT, params, images, *, num_inference_steps: int = 100,
     schedule = DiffusionSchedule(prediction_type=opt.noise_scheduler_predtype)
     ts = jnp.asarray(ddim_timesteps(schedule, num_inference_steps), jnp.int32)
 
-    key = (id(model), num_inference_steps, float(guidance_scale), num_repeat,
+    # value fingerprint, NOT id(model): an id can be recycled after GC and
+    # serve a stale jitted sampler to a differently-configured model (same
+    # rule as generate._model_key)
+    def _freeze(v):
+        return tuple(v) if isinstance(v, (list, tuple)) else v
+
+    mkey = (type(model).__name__, str(model.dtype),
+            tuple(sorted((k, _freeze(v)) for k, v in vars(opt).items()
+                         if isinstance(v, (int, float, str, bool, list,
+                                           tuple, type(None))))))
+    key = (mkey, num_inference_steps, float(guidance_scale), num_repeat,
            latents is None, float(strength))
     if key in _SAMPLER_CACHE:
         sample = _SAMPLER_CACHE[key]

@@ -79,29 +79,41 @@ def main():
         name = os.path.splitext(os.path.basename(path))[0]
         image = load_image_cond(path)[None]  # [1, H, W, 3]
 
-        for i in range(opt.test_repeat):
+        # batched repeats: ONE DDIM run yields test_batch_size independent
+        # latents (run_mdit num_repeat) and one batched decode generates
+        # them together (reference loops B==1 generations, infer_dit.py)
+        group = max(1, opt.test_batch_size)
+        for i0 in range(0, opt.test_repeat, group):
+            nrep = min(group, opt.test_repeat - i0)
             for num_faces in opt.test_num_face:
                 t0 = time.time()
                 rng, r1, r2 = jax.random.split(rng, 3)
                 latents = run_mdit(model_dit, params_dit, image,
                                    num_inference_steps=100,
-                                   guidance_scale=7.5, rng=r1)
-                tokens = generate_tokens(
+                                   guidance_scale=7.5, num_repeat=nrep,
+                                   rng=r1)
+                all_tokens = generate_tokens(
                     model, params, np.asarray(latents),
                     num_faces=num_faces,
                     max_new_tokens=opt.test_max_seq_length, rng=r2,
-                    use_grammar=opt.use_meto)[0]
+                    use_grammar=opt.use_meto)
+                t1 = time.time()
 
-                filename = f"{name}_{i}"
-                if opt.use_num_face_cond:
-                    filename += f"_{num_faces}f"
-                verts, faces = save_mesh(
-                    tokens, opt, os.path.join(opt.workspace, filename + ".obj"),
-                    tokenizer=tokenizer, clean=True, verbose=True)
-                np.save(os.path.join(opt.workspace, filename + "_tokens.npy"),
-                        trim_eos(tokens) - 3)
-                print(f"[INFO] {path} --> {filename}.obj ({faces.shape[0]} faces), "
-                      f"time = {time.time() - t0:.4f}s")
+                for j in range(nrep):
+                    tokens = all_tokens[j]
+                    filename = f"{name}_{i0 + j}"
+                    if opt.use_num_face_cond:
+                        filename += f"_{num_faces}f"
+                    verts, faces = save_mesh(
+                        tokens, opt,
+                        os.path.join(opt.workspace, filename + ".obj"),
+                        tokenizer=tokenizer, clean=True, verbose=True)
+                    np.save(os.path.join(opt.workspace,
+                                         filename + "_tokens.npy"),
+                            trim_eos(tokens) - 3)
+                    print(f"[INFO] {path} --> {filename}.obj "
+                          f"({faces.shape[0]} faces), "
+                          f"time = {(t1 - t0) / nrep:.4f}s/mesh")
 
 
 if __name__ == "__main__":

@@ -115,10 +115,12 @@ def test_infer_dit_pipeline(tmp_path):
                               "--clip_image_size", "28",
                               "--test_path", img_path, "--workspace", out,
                               "--test_num_face", "10", "--decode_bucket", "64",
+                              "--test_repeat", "2", "--test_batch_size", "2",
                               "--generate_mode", "greedy"])
     files = os.listdir(out)
-    assert any(f.endswith(".obj") for f in files)
-    assert any(f.endswith("_tokens.npy") for f in files)
+    # batched repeats: one DDIM + one decode pass emit both meshes
+    assert sum(f.endswith(".obj") for f in files) == 2
+    assert sum(f.endswith("_tokens.npy") for f in files) == 2
 
 
 def test_main_dit_tiny(tmp_path):
