@@ -205,3 +205,17 @@ def test_fleet_requires_divisible_batch(tiny_model):
     with pytest.raises(AssertionError, match="divide"):
         generate_tokens(model, params, conds[:1], num_faces=5, rng=RNG,
                         devices=jax.devices()[:2])
+
+
+def test_fleet_decode_with_kv_quant(tiny_model):
+    """The bench/serving default (int8 KV cache) through the fleet path:
+    split decode must equal the single-device quantized decode."""
+    import dataclasses
+    model, params, conds = tiny_model
+    qm = LMM(dataclasses.replace(model.opt, generate_mode="greedy",
+                                 kv_quant=True, kv_bits=8))
+    conds4 = np.concatenate([conds, conds[::-1]], axis=0)
+    solo = generate_tokens(qm, params, conds4, num_faces=10, rng=RNG)
+    fleet = generate_tokens(qm, params, conds4, num_faces=10, rng=RNG,
+                            devices=jax.devices()[:2])
+    np.testing.assert_array_equal(fleet, solo)
