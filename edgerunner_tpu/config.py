@@ -132,6 +132,19 @@ class Options:
     # attention runs as a ring over the axis — trains contexts larger than
     # one chip's HBM (the reference is single-device long-context only)
     sp_size: int = 1
+    # pipeline-parallel axis size: the decoder layer stack is split into
+    # contiguous stages (one per pp rank, weights sharded — a model pp_size
+    # times larger than one chip trains); microbatches rotate through the
+    # stages over the ICI ring (GPipe schedule, see parallel/pipeline.py).
+    # Requires num_layers % pp_size == 0 and tp_size == sp_size == 1.
+    pp_size: int = 1
+    # GPipe microbatches per device batch (0 = pp_size). Bubble fraction is
+    # (pp-1)/(M+pp-1): raise M to amortize; batch_size must divide by
+    # (local dp share) * M
+    pp_microbatches: int = 0
+    # stacked [L, ...] decoder-layer param layout (nn.scan) — auto-enabled by
+    # pp_size > 1; checkpoints convert losslessly either way on load
+    scan_layers: bool = False
 
     ### testing
     test_path: Optional[str] = None
@@ -355,6 +368,13 @@ def validate(opt: Options) -> Options:
             f"num_cond_tokens ({opt.num_cond_tokens}) must equal CLIP patch"
             f" tokens + cls + use_num_face_cond ({expected}) in image cond mode"
         )
+    if opt.pp_size > 1:
+        assert opt.tp_size == 1 and opt.sp_size == 1, (
+            "pp_size > 1 currently requires tp_size == sp_size == 1")
+        assert opt.num_layers % opt.pp_size == 0, (
+            f"num_layers ({opt.num_layers}) must divide into pp_size "
+            f"({opt.pp_size}) stages")
+        opt.scan_layers = True
     if (opt.max_seq_length + opt.num_cond_tokens > 16384
             and opt.checkpointing and not opt.remat_prevent_cse):
         print("[WARN] long-context training with remat_prevent_cse=false: "

@@ -90,6 +90,7 @@ class LMM(nn.Module):
             kv_group=opt.kv_group,
             w_quant=opt.w_quant,
             mtp_heads=opt.mtp_heads,
+            scan_layers=opt.scan_layers or opt.pp_size > 1,
         )
         self.mesh_decoder = ShapeOPT(cfg, name="mesh_decoder")
 

@@ -74,6 +74,12 @@ class ShapeOPTConfig:
     # 0 disables. Heads are a zero-init residual block + the shared lm_head,
     # trained with an auxiliary CE (see ShapeOPT.__call__).
     mtp_heads: int = 0
+    # stacked-layer parameter layout ([L, ...] leaves under layers_scanned,
+    # via nn.scan) — required for pipeline parallelism (the stacked axis is
+    # sharded over the 'pp' mesh axis; see parallel/pipeline.py). Training
+    # layout only: the decode paths keep per-layer caches/params (convert
+    # checkpoints with parallel.pipeline.normalize_layer_layout).
+    scan_layers: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -366,6 +372,19 @@ class OPTDecoderLayer(nn.Module):
         return self._mlp(h, True), k_cache, v_cache
 
 
+class _LayerBlock(nn.Module):
+    """nn.scan body for the scan_layers layout: carries h, broadcasts
+    (lengths, deterministic); params stack to [L, ...] under 'layer'."""
+
+    cfg: ShapeOPTConfig
+
+    @nn.compact
+    def __call__(self, h, lengths, deterministic):
+        h = OPTDecoderLayer(self.cfg, name="layer")(
+            h, lengths=lengths, deterministic=deterministic)
+        return h, None
+
+
 class ShapeOPTDecoder(nn.Module):
     """Token + learned-position embedding, stacked OPT layers
     (reference: modeling_opt.py:307-426)."""
@@ -385,8 +404,27 @@ class ShapeOPTDecoder(nn.Module):
             c.max_position_embeddings, c.hidden_dim,
             embedding_init=nn.initializers.normal(stddev=c.init_std),
             name="embed_positions")
-        self.layers = [OPTDecoderLayer(c, name=f"layers_{i}")
-                       for i in range(c.num_hidden_layers)]
+        if c.scan_layers:
+            block = _LayerBlock
+            if c.remat:
+                policy = None
+                if c.remat_policy == "attn":
+                    policy = jax.checkpoint_policies.save_only_these_names(
+                        "attn_out")
+                # static_argnums indexes the lifted core_fn's (scope, h,
+                # lengths, deterministic) args: 3 keeps the bool static
+                block = nn.remat(block, prevent_cse=c.remat_prevent_cse,
+                                 policy=policy, static_argnums=(3,))
+            self.layers = nn.scan(
+                block,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=c.num_hidden_layers,
+                in_axes=(nn.broadcast, nn.broadcast),
+            )(c, name="layers_scanned")
+        else:
+            self.layers = [OPTDecoderLayer(c, name=f"layers_{i}")
+                           for i in range(c.num_hidden_layers)]
 
     def embed_tokens(self, ids):
         return self.embd(ids).astype(self.cfg.dtype)
@@ -402,6 +440,14 @@ class ShapeOPTDecoder(nn.Module):
             inputs_embeds = self.embed_tokens(inputs_embeds)
         T = inputs_embeds.shape[1]
         h = inputs_embeds.astype(self.cfg.dtype) + self._pos(0, T)[None]
+        if self.cfg.scan_layers:
+            from edgerunner_tpu.parallel import active_pipeline_parallel
+
+            pp = active_pipeline_parallel()
+            if pp is not None and not self.is_initializing():
+                return self._pipeline(h, lengths, deterministic, pp)
+            h, _ = self.layers(h, lengths, deterministic)
+            return h
         policy = None
         if self.cfg.remat_policy == "attn":
             policy = jax.checkpoint_policies.save_only_these_names("attn_out")
@@ -419,6 +465,34 @@ class ShapeOPTDecoder(nn.Module):
                 h = layer(h, lengths=lengths, deterministic=deterministic)
         return h
 
+    def _pipeline(self, h, lengths, deterministic, pp):
+        """Route the layer stack through the GPipe pipeline (trainer installs
+        the pp context; see parallel/pipeline.py). Stacked params are read
+        from the scanned submodule and applied per stage inside shard_map."""
+        from edgerunner_tpu.parallel.pipeline import gpipe
+
+        mesh, axis, microbatches = pp
+        c = self.cfg
+        stacked = self.variables["params"]["layers_scanned"]["layer"]
+        # parent=None detaches from the current module context: this is a
+        # throwaway functional shell applied per stage, not a submodule
+        layer_mod = OPTDecoderLayer(c, parent=None)
+        drop_key = None if deterministic else self.make_rng("dropout")
+
+        def apply_layer(p, hh, aux, gidx, mb_idx):
+            rngs = None
+            if drop_key is not None:
+                rngs = {"dropout": jax.random.fold_in(
+                    jax.random.fold_in(drop_key, gidx), mb_idx)}
+            return layer_mod.apply({"params": p}, hh,
+                                   lengths=aux.get("lengths"),
+                                   deterministic=deterministic, rngs=rngs)
+
+        aux = {} if lengths is None else {"lengths": lengths}
+        return gpipe(stacked, h, aux, apply_layer, mesh=mesh, axis=axis,
+                     microbatches=microbatches, remat=c.remat,
+                     prevent_cse=c.remat_prevent_cse)
+
     def prefill(self, inputs_embeds, max_len: int):
         """Run the prompt; returns (hidden [B,P,C], k_cache, v_cache).
 
@@ -430,6 +504,10 @@ class ShapeOPTDecoder(nn.Module):
         step (observed: 48 such temps = 7.3GB)."""
         B, P, _ = inputs_embeds.shape
         c = self.cfg
+        assert not c.scan_layers, (
+            "decode paths require the canonical per-layer layout; convert "
+            "the params with parallel.pipeline.unstack_layer_params and "
+            "rebuild with scan_layers=False")
         h = inputs_embeds.astype(c.dtype) + self._pos(0, P)[None]
         pad = ((0, 0), (0, max_len - P), (0, 0))
         ks, vs = [], []
@@ -448,6 +526,7 @@ class ShapeOPTDecoder(nn.Module):
 
     def step(self, token_ids, k_cache, v_cache, index):
         """token_ids: [B, 1]; caches: per-layer tuples of [B, max, hidden]."""
+        assert not self.cfg.scan_layers, "decode requires canonical layout"
         h = self.embed_tokens(token_ids)
         pos = self.embed_positions(jnp.asarray(index, jnp.int32).reshape(1))
         h = h + pos[None].astype(self.cfg.dtype)
@@ -463,6 +542,7 @@ class ShapeOPTDecoder(nn.Module):
         [B] per-row cache positions of proposal 0. One pass for all T tokens
         (weights read once), causal within the chunk. Returns
         (hidden [B, T, C], caches)."""
+        assert not self.cfg.scan_layers, "decode requires canonical layout"
         T = token_ids.shape[1]
         h = self.embed_tokens(token_ids)
         pos_ids = index_vec[:, None] + jnp.arange(T, dtype=jnp.int32)[None]

@@ -1,4 +1,5 @@
 from .mesh import (
+    active_pipeline_parallel,
     active_sequence_parallel,
     batch_sharding,
     make_mesh,
@@ -6,9 +7,20 @@ from .mesh import (
     param_shardings,
     replicated,
     seq_sharding,
+    set_pipeline_parallel,
     set_sequence_parallel,
+)
+from .pipeline import (
+    gpipe,
+    has_scanned_layers,
+    normalize_layer_layout,
+    stack_layer_params,
+    unstack_layer_params,
 )
 
 __all__ = ["make_mesh", "batch_sharding", "seq_sharding", "param_shardings",
            "replicated", "maybe_initialize_distributed",
-           "set_sequence_parallel", "active_sequence_parallel"]
+           "set_sequence_parallel", "active_sequence_parallel",
+           "set_pipeline_parallel", "active_pipeline_parallel",
+           "gpipe", "stack_layer_params", "unstack_layer_params",
+           "has_scanned_layers", "normalize_layer_layout"]

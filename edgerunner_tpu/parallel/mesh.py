@@ -41,19 +41,22 @@ def maybe_initialize_distributed():
 
 
 def make_mesh(dp_size: int = -1, tp_size: int = 1, sp_size: int = 1,
-              devices: Optional[list] = None) -> Mesh:
-    """('dp', 'sp', 'tp') mesh. sp is placed between dp and tp so the ring
-    permute of sequence parallelism rides contiguous ICI neighbors."""
+              pp_size: int = 1, devices: Optional[list] = None) -> Mesh:
+    """('dp', 'pp', 'sp', 'tp') mesh. pp/sp are placed between dp and tp so
+    the ring permutes of pipeline and sequence parallelism ride contiguous
+    ICI neighbors."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if dp_size == -1:
-        assert n % (tp_size * sp_size) == 0, (
-            f"{n} devices not divisible by tp({tp_size}) x sp({sp_size})")
-        dp_size = n // (tp_size * sp_size)
-    assert dp_size * tp_size * sp_size == n, (
-        f"dp({dp_size}) x sp({sp_size}) x tp({tp_size}) != devices({n})")
-    arr = np.asarray(devices).reshape(dp_size, sp_size, tp_size)
-    return Mesh(arr, axis_names=("dp", "sp", "tp"))
+        assert n % (tp_size * sp_size * pp_size) == 0, (
+            f"{n} devices not divisible by tp({tp_size}) x sp({sp_size})"
+            f" x pp({pp_size})")
+        dp_size = n // (tp_size * sp_size * pp_size)
+    assert dp_size * tp_size * sp_size * pp_size == n, (
+        f"dp({dp_size}) x pp({pp_size}) x sp({sp_size}) x tp({tp_size})"
+        f" != devices({n})")
+    arr = np.asarray(devices).reshape(dp_size, pp_size, sp_size, tp_size)
+    return Mesh(arr, axis_names=("dp", "pp", "sp", "tp"))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -92,6 +95,31 @@ def active_sequence_parallel() -> Optional[tuple]:
     return _SP_CTX
 
 
+# --------------------------------------------------------- pp context ------
+# Pipeline parallelism likewise needs explicit shard_map (GSPMD cannot stage
+# a layer stack). The trainer installs (mesh, axis, microbatches) before
+# tracing; ShapeOPTDecoder.__call__ consults it at trace time and routes the
+# layer stack through parallel/pipeline.gpipe.
+
+_PP_CTX: Optional[tuple] = None  # (Mesh, axis_name, microbatches)
+
+
+def set_pipeline_parallel(mesh: Optional[Mesh], axis: str = "pp",
+                          microbatches: int = 0) -> None:
+    """Install (or clear, with mesh=None) the pipeline-parallel context.
+    microbatches <= 0 defaults to the pp axis size."""
+    global _PP_CTX
+    if mesh is None or mesh.shape.get(axis, 1) <= 1:
+        _PP_CTX = None
+    else:
+        m = microbatches if microbatches > 0 else mesh.shape[axis]
+        _PP_CTX = (mesh, axis, m)
+
+
+def active_pipeline_parallel() -> Optional[tuple]:
+    return _PP_CTX
+
+
 # Megatron-style tensor-parallel layout for this framework's modules.
 # Keys are regexes over the flattened param path; values are PartitionSpecs
 # for the *kernel* ([in, out] for Dense, [vocab, dim] for Embed).
@@ -123,11 +151,18 @@ def _spec_for(path: str, use_tp: bool) -> P:
 
 def param_shardings(params: Any, mesh: Mesh) -> Any:
     """NamedSharding pytree matching `params`; applies TP rules when the mesh
-    has a non-trivial tp axis, otherwise fully replicated."""
+    has a non-trivial tp axis and shards stacked `layers_scanned` leaves over
+    'pp' (one stage's layers per pp rank), otherwise fully replicated."""
     use_tp = mesh.shape.get("tp", 1) > 1
+    pp = mesh.shape.get("pp", 1)
 
     def one(kp, leaf):
         path = jax.tree_util.keystr(kp, simple=True, separator="/")
+        if pp > 1 and "/layers_scanned/" in f"/{path}/":
+            assert leaf.shape[0] % pp == 0, (
+                f"{path}: {leaf.shape[0]} stacked layers not divisible by "
+                f"pp({pp})")
+            return NamedSharding(mesh, P("pp"))
         spec = _spec_for(path, use_tp)
         # never shard a dim that doesn't divide evenly
         if use_tp and spec != P():

@@ -1,0 +1,201 @@
+"""GPipe-style pipeline parallelism over a 'pp' mesh axis.
+
+The reference's only distribution strategy is data parallelism (reference:
+main.py:43-47, acc_configs/gpu8.yaml); this exceeds it: the decoder's layer
+stack is split into contiguous stages, one stage per device along the 'pp'
+mesh axis, and microbatches rotate through the stages on the ICI ring via
+`lax.ppermute`. Weights for a stage live ONLY on that stage's devices
+(stacked [L, ...] leaves sharded over 'pp'), so a model `pp_size` times
+larger than one chip's HBM trains.
+
+Schedule: plain GPipe. With S stages and M microbatches the loop runs
+M + S - 1 ticks; at tick t stage s processes microbatch t - s (when in
+range). Bubble fraction = (S-1)/(M+S-1); raise --pp_microbatches to
+amortize. The backward pass is the autodiff transpose of the forward loop
+(ppermute transposes to the reverse ring), so it pipelines the same way.
+
+Design notes (TPU/XLA):
+  * everything is a fixed-shape `lax.scan` over ticks — one compiled program,
+    no per-tick dispatch;
+  * stage outputs are returned per-stage (out_specs P('pp', 'dp', ...)) and
+    the caller slices stage S-1 OUTSIDE shard_map — GSPMD then inserts the
+    exact broadcast collective and its correct transpose, avoiding the
+    manual-psum-transpose pitfalls of check_vma=False shard_map;
+  * the microbatch input buffer is replicated over 'pp' (only stage 0 reads
+    it): one [B_local, T, D] activation copy per device, negligible next to
+    the per-stage weights it saves.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def gpipe(stacked: Any, x: jax.Array, aux: Any, apply_layer: Callable,
+          *, mesh: Mesh, microbatches: int, axis: str = "pp",
+          batch_axis: str = "dp", remat: bool = False,
+          prevent_cse: bool = False) -> jax.Array:
+    """Run a stacked layer sequence as a pipeline over `mesh[axis]`.
+
+    stacked:     pytree of [num_layers, ...] leaves (sharded P(axis) on dim 0
+                 by the caller's param shardings; num_layers % axis size == 0)
+    x:           [B, T, D] activations (batch sharded over `batch_axis`,
+                 replicated over `axis`)
+    aux:         pytree of [B, ...] per-row side inputs threaded to every
+                 layer call (e.g. valid-prefix lengths); may be empty
+    apply_layer: (layer_params, h [mb,T,D], aux_mb, global_layer_idx,
+                 microbatch_idx) -> h — one layer's forward, closed over
+                 static config
+    microbatches: per-device microbatch count M (B_local % M == 0)
+    remat:       rematerialize each stage's tick in the backward pass
+
+    Returns [B, T, D] (batch sharded over `batch_axis`).
+    """
+    S = mesh.shape[axis]
+    M = int(microbatches)
+    assert M >= 1, M
+    num_layers = jax.tree.leaves(stacked)[0].shape[0]
+    assert num_layers % S == 0, (
+        f"{num_layers} layers do not divide into {S} pipeline stages")
+
+    def body(stacked_l, x_l, aux_l):
+        stage = jax.lax.axis_index(axis)
+        k_local = jax.tree.leaves(stacked_l)[0].shape[0]
+        B_l, T, D = x_l.shape
+        assert B_l % M == 0, (
+            f"per-device batch {B_l} not divisible by {M} microbatches")
+        mb = B_l // M
+        xs = x_l.reshape(M, mb, T, D)
+        auxs = jax.tree.map(lambda a: a.reshape(M, mb, *a.shape[1:]), aux_l)
+
+        def run_stage(h, aux_mb, mb_idx):
+            def layer_body(h, inp):
+                p, li = inp
+                gidx = stage * k_local + li
+                return apply_layer(p, h, aux_mb, gidx, mb_idx), None
+
+            h, _ = jax.lax.scan(layer_body, h,
+                                (stacked_l, jnp.arange(k_local)))
+            return h
+
+        if remat:
+            run_stage = jax.checkpoint(run_stage, prevent_cse=prevent_cse)
+
+        perm = [(i, (i + 1) % S) for i in range(S)]
+
+        def tick(carry, t):
+            state, out = carry
+            # stage 0 injects microbatch t (clamped reads past M are garbage
+            # that never reaches the last stage within the tick range)
+            inj = jax.lax.dynamic_index_in_dim(
+                xs, jnp.minimum(t, M - 1), 0, keepdims=False)
+            state = jnp.where(stage == 0, inj, state)
+            mb_idx = jnp.clip(t - stage, 0, M - 1)
+            aux_mb = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, mb_idx, 0,
+                                                       keepdims=False), auxs)
+            state = run_stage(state, aux_mb, mb_idx)
+            # the last stage records finished microbatch t - (S-1)
+            widx = jnp.clip(t - (S - 1), 0, M - 1)
+            valid = (t >= S - 1) & (stage == S - 1)
+            cur = jax.lax.dynamic_index_in_dim(out, widx, 0, keepdims=False)
+            out = jax.lax.dynamic_update_index_in_dim(
+                out, jnp.where(valid, state, cur), widx, 0)
+            if S > 1:
+                state = jax.lax.ppermute(state, axis, perm)
+            return (state, out), None
+
+        state0 = jnp.zeros((mb, T, D), x_l.dtype)
+        out0 = jnp.zeros((M, mb, T, D), x_l.dtype)
+        (_, out), _ = jax.lax.scan(tick, (state0, out0),
+                                   jnp.arange(M + S - 1))
+        return out.reshape(1, B_l, T, D)
+
+    aux_specs = jax.tree.map(lambda _: P(batch_axis), aux)
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis), P(batch_axis, None, None), aux_specs),
+        out_specs=P(axis, batch_axis, None, None),
+        check_vma=False)
+    # slice the last stage's output OUTSIDE shard_map: GSPMD inserts the
+    # broadcast (and its exact transpose in backward)
+    return fn(stacked, x, aux)[S - 1]
+
+
+# ------------------------------------------------------- layout conversion --
+# Canonical checkpoint layout keeps decoder layers as separate `layers_{i}`
+# subtrees (matches the reference's per-layer state_dict names, reference:
+# modeling_opt.py:307-426, and keeps decode-time caches per-layer — see
+# ShapeOPTDecoder.prefill). scan_layers/pp training uses ONE
+# `layers_scanned/layer` subtree with leaves stacked [L, ...] so the layer
+# axis can be sharded over 'pp'. These converters map between the two; both
+# are pure pytree reshuffles (bit-lossless).
+
+_SCANNED = "layers_scanned"
+
+
+def _find_layer_parent(tree: dict, key_sub: str):
+    """DFS for the ShapeOPTDecoder param dict containing `key_sub` keys.
+    Anchored on the sibling 'embed_positions' entry — CLIP and DiT also name
+    their blocks layers_{i} (clip_vit.py:122, dit.py:122) and must not be
+    restacked. Returns (parent_dict, matching_keys) or (None, [])."""
+    if not isinstance(tree, dict):
+        return None, []
+    keys = [k for k in tree if k == key_sub or
+            (key_sub == "layers_" and k.startswith("layers_")
+             and k[len("layers_"):].isdigit())]
+    if keys and "embed_positions" in tree:
+        return tree, keys
+    for v in tree.values():
+        parent, kk = _find_layer_parent(v, key_sub)
+        if parent is not None:
+            return parent, kk
+    return None, []
+
+
+def stack_layer_params(params: Any) -> Any:
+    """Canonical `layers_{i}` subtrees -> scanned `layers_scanned/layer`
+    stacked layout ([L, ...] leaves). Non-layer entries are untouched."""
+    params = jax.tree.map(lambda x: x, params)  # shallow-safe deep copy
+    parent, keys = _find_layer_parent(params, "layers_")
+    assert parent is not None, "no layers_{i} subtrees found"
+    keys = sorted(keys, key=lambda k: int(k.split("_")[-1]))
+    subtrees = [parent.pop(k) for k in keys]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs, 0), *subtrees)
+    parent[_SCANNED] = {"layer": stacked}
+    return params
+
+
+def unstack_layer_params(params: Any) -> Any:
+    """Scanned stacked layout -> canonical `layers_{i}` subtrees."""
+    params = jax.tree.map(lambda x: x, params)
+    parent, keys = _find_layer_parent(params, _SCANNED)
+    assert parent is not None, "no layers_scanned subtree found"
+    stacked = parent.pop(_SCANNED)["layer"]
+    L = jax.tree.leaves(stacked)[0].shape[0]
+    for i in range(L):
+        parent[f"layers_{i}"] = jax.tree.map(lambda x: x[i], stacked)
+    return params
+
+
+def has_scanned_layers(params: Any) -> bool:
+    parent, _ = _find_layer_parent(params, _SCANNED)
+    return parent is not None
+
+
+def normalize_layer_layout(params: Any, scan_layers: bool) -> Any:
+    """Convert a loaded param tree to the layout the model expects (no-op
+    when it already matches, or when the tree holds no decoder layers at
+    all — e.g. a partial checkpoint left to tolerant_merge). Used on
+    checkpoint load so pp-trained and canonical checkpoints interoperate."""
+    if scan_layers and not has_scanned_layers(params):
+        parent, _ = _find_layer_parent(params, "layers_")
+        return stack_layer_params(params) if parent is not None else params
+    if not scan_layers and has_scanned_layers(params):
+        return unstack_layer_params(params)
+    return params

@@ -246,7 +246,14 @@ def load_params_for_inference(model, opt, rng):
     (reference: infer.py:41-52)."""
     params = init_lmm_params(model, opt, rng)
     if opt.resume is not None:
+        from edgerunner_tpu.parallel import normalize_layer_layout
+
         ckpt = restore_pytree(opt.resume)
+        # pp-trained checkpoints store decoder layers stacked [L, ...];
+        # convert to whichever layout this model uses (bit-lossless)
+        ckpt = normalize_layer_layout(
+            ckpt, getattr(opt, "scan_layers", False) or
+            getattr(opt, "pp_size", 1) > 1)
         params = tolerant_merge(params, ckpt, align_posemb=opt.align_posemb)
         print(f"[INFO] Loaded checkpoint from {opt.resume}")
     else:

@@ -17,6 +17,7 @@ from edgerunner_tpu.parallel import (
     batch_sharding,
     make_mesh,
     param_shardings,
+    set_pipeline_parallel,
     set_sequence_parallel,
 )
 from edgerunner_tpu.train.state import (
@@ -120,10 +121,15 @@ class Trainer:
         self._eval_builder = eval_builder
         self._eval_needs_rng = eval_needs_rng
         sp = getattr(opt, "sp_size", 1)
+        pp = getattr(opt, "pp_size", 1)
         assert sp == 1 or opt.tp_size == 1, (
             "sp_size > 1 currently requires tp_size == 1")
-        self.mesh = make_mesh(opt.dp_size, opt.tp_size, sp)
+        assert pp == 1 or (opt.tp_size == 1 and sp == 1), (
+            "pp_size > 1 currently requires tp_size == sp_size == 1")
+        self.mesh = make_mesh(opt.dp_size, opt.tp_size, sp, pp)
         self.sp = self.mesh.shape.get("sp", 1)
+        self.pp = self.mesh.shape.get("pp", 1)
+        self.pp_microbatches = (getattr(opt, "pp_microbatches", 0) or self.pp)
         dp = self.mesh.shape["dp"]
         # batch_size is per host (reference semantics: per-GPU batch); the
         # global batch is batch_size * process_count and must tile dp
@@ -131,6 +137,11 @@ class Trainer:
         assert opt.batch_size % local_dp == 0, (
             f"batch_size ({opt.batch_size}) must be divisible by this host's "
             f"dp share ({local_dp} devices); raise batch_size or set --dp_size")
+        if self.pp > 1:
+            m = self.pp_microbatches
+            assert opt.batch_size % (local_dp * m) == 0, (
+                f"batch_size ({opt.batch_size}) must be divisible by dp share"
+                f" x pp_microbatches ({local_dp} x {m})")
         self.tx, self.schedule = make_optimizer(opt, total_steps,
                                                 frozen_keys=frozen_keys)
         self._train_step = None
@@ -194,14 +205,17 @@ class Trainer:
         assert self.state is not None, "call init_state first"
         bsh = batch_sharding(self.mesh)
         t_start = time.time()
-        # scope the sp context to this loop's traces: a process-global leak
-        # would make any later attention trace (generation/eval, a second
-        # Trainer) silently take the ring shard_map path
+        # scope the sp/pp contexts to this loop's traces: a process-global
+        # leak would make any later attention/decoder trace (generation/eval,
+        # a second Trainer) silently take the shard_map paths
         set_sequence_parallel(self.mesh if self.sp > 1 else None)
+        set_pipeline_parallel(self.mesh if self.pp > 1 else None,
+                              microbatches=self.pp_microbatches)
         try:
             self._train_loop(loader, epoch, rng, profile_dir, on_step, bsh)
         finally:
             set_sequence_parallel(None)
+            set_pipeline_parallel(None)
         total_loss, n = self._loop_loss, self._loop_n
         dt = (time.time() - t_start) / 60
         avg = total_loss / max(n, 1)
@@ -249,10 +263,13 @@ class Trainer:
         bsh = batch_sharding(self.mesh)
         total_loss, n = 0.0, 0
         set_sequence_parallel(self.mesh if self.sp > 1 else None)
+        set_pipeline_parallel(self.mesh if self.pp > 1 else None,
+                              microbatches=self.pp_microbatches)
         local_dp = max(self.mesh.shape["dp"] // jax.process_count(), 1)
+        row_mult = local_dp * (self.pp_microbatches if self.pp > 1 else 1)
         try:
             for batch in loader:
-                batch = _pad_batch_rows(batch, local_dp)
+                batch = _pad_batch_rows(batch, row_mult)
                 dev_batch = _device_batch(batch, bsh, sp=self.sp,
                                           pad_token_id=self.opt.pad_token_id)
                 if self._eval_needs_rng:
@@ -263,6 +280,7 @@ class Trainer:
                 n += 1
         finally:
             set_sequence_parallel(None)
+            set_pipeline_parallel(None)
         avg = total_loss / max(n, 1)
         self.log(f"Eval epoch: {epoch} loss: {avg:.6f}")
         return avg

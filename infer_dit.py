@@ -47,7 +47,11 @@ def main():
     model = LMM(load_opt)
     params = init_lmm_params(model, load_opt, rng)
     if opt.resume is not None:
-        params = tolerant_merge(params, restore_pytree(opt.resume),
+        from edgerunner_tpu.parallel import normalize_layer_layout
+
+        ckpt = normalize_layer_layout(restore_pytree(opt.resume),
+                                      load_opt.scan_layers)
+        params = tolerant_merge(params, ckpt,
                                 align_posemb=opt.align_posemb)
         print(f"[INFO] Loaded ArAE checkpoint from {opt.resume}")
     else:

@@ -102,7 +102,13 @@ def main():
     params = init_lmm_params(model, opt, rng)
     start_epoch, resume_step, opt_state_path = 0, 0, None
     if opt.resume is not None:
+        from edgerunner_tpu.parallel import normalize_layer_layout
+
         ckpt = restore_pytree(opt.resume)
+        # pp <-> single-device interop: decoder-layer layout follows the
+        # model (stacked [L, ...] under scan_layers/pp, else layers_{i})
+        ckpt = normalize_layer_layout(ckpt,
+                                      opt.scan_layers or opt.pp_size > 1)
         params = tolerant_merge(params, ckpt, align_posemb=opt.align_posemb,
                                 log=logger.warning)
         if opt.resume_train_state:

@@ -1,0 +1,296 @@
+"""Pipeline parallelism (GPipe over the 'pp' mesh axis) — layout conversion,
+forward/backward equivalence vs the single-device layer loop, trainer wiring.
+
+The reference has no pipeline parallelism (SURVEY §2: DP-only via torch DDP);
+these tests anchor the exceeds-reference 'pp' axis: stacked layer params
+sharded over stages, microbatches rotating via lax.ppermute, autodiff
+through the schedule.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from edgerunner_tpu.config import Options
+from edgerunner_tpu.models.lmm import LMM
+from edgerunner_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    set_pipeline_parallel,
+    stack_layer_params,
+    unstack_layer_params,
+    has_scanned_layers,
+    normalize_layer_layout,
+)
+from edgerunner_tpu.train.checkpoint import init_lmm_params
+from edgerunner_tpu.train.state import (
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+)
+
+RNG = jax.random.PRNGKey(0)
+
+
+def tiny_opt(**kw):
+    base = dict(
+        cond_mode="point", point_latent_size=16, num_cond_tokens=17,
+        point_hidden_dim=32, point_num_heads=4, point_latent_dim=8,
+        hidden_dim=64, num_layers=4, num_heads=4, max_seq_length=256,
+        use_num_face_cond=True, checkpointing=False, point_num=64,
+        batch_size=8, num_workers=2, testset_size=4,
+    )
+    base.update(kw)
+    return Options(**base)
+
+
+def _make_batch(opt, B=8, M=12):
+    C = opt.num_cond_tokens
+    rng = np.random.default_rng(0)
+    return {
+        "conds": rng.normal(size=(B, opt.point_num, 3)).astype(np.float32),
+        "tokens": np.concatenate([np.full((B, 1), 1), np.full((B, M), 7),
+                                  np.full((B, 1), 2)], 1).astype(np.int32),
+        "labels": np.concatenate([np.full((B, C + 1), -100), np.full((B, M), 7),
+                                  np.full((B, 1), 2)], 1).astype(np.int32),
+        "lengths": np.full((B,), C + 1 + M + 1, np.int32),
+        "num_faces": np.full((B,), 500, np.int32),
+    }
+
+
+def _loss_fn(model, batch):
+    def f(params):
+        out = model.apply(params, batch["conds"], batch["tokens"],
+                          batch["labels"], batch["num_faces"],
+                          batch["lengths"], train=False)
+        return out["loss"]
+
+    return f
+
+
+# ------------------------------------------------------- layout conversion --
+
+def test_stack_unstack_roundtrip():
+    opt = tiny_opt()
+    params = init_lmm_params(LMM(opt), opt, RNG)
+    assert not has_scanned_layers(params)
+    stacked = stack_layer_params(params)
+    assert has_scanned_layers(stacked)
+    sub = stacked["params"]["mesh_decoder"]["model"]["layers_scanned"]["layer"]
+    q = sub["self_attn"]["q_proj"]["kernel"]
+    assert q.shape == (opt.num_layers, opt.hidden_dim, opt.hidden_dim)
+    back = unstack_layer_params(stacked)
+    jax.tree.map(np.testing.assert_array_equal, params, back)
+    # normalize is idempotent in both directions
+    assert normalize_layer_layout(params, False) is params or True
+    jax.tree.map(np.testing.assert_array_equal,
+                 normalize_layer_layout(params, True), stacked)
+    jax.tree.map(np.testing.assert_array_equal,
+                 normalize_layer_layout(stacked, False), params)
+
+
+def test_stack_does_not_touch_other_layers_i_names():
+    """CLIP/DiT blocks are also named layers_{i}; only the ShapeOPT decoder
+    (anchored on its embed_positions sibling) must be restacked."""
+    opt = tiny_opt()
+    params = init_lmm_params(LMM(opt), opt, RNG)
+    stacked = stack_layer_params(params)
+    dec = stacked["params"]["mesh_decoder"]["model"]
+    assert "layers_scanned" in dec and "layers_0" not in dec
+    # point encoder subtree untouched
+    pe_before = params["params"]["point_encoder"]
+    pe_after = stacked["params"]["point_encoder"]
+    jax.tree.map(np.testing.assert_array_equal, pe_before, pe_after)
+
+
+def test_scan_layers_forward_matches_loop():
+    """The nn.scan stacked layout (no pipeline) is numerically the loop."""
+    opt = tiny_opt()
+    batch = _make_batch(opt, B=2)
+    model = LMM(opt)
+    params = init_lmm_params(model, opt, RNG)
+    loss0 = float(_loss_fn(model, batch)(params))
+
+    opt_s = tiny_opt(scan_layers=True)
+    model_s = LMM(opt_s)
+    loss1 = float(_loss_fn(model_s, batch)(stack_layer_params(params)))
+    np.testing.assert_allclose(loss0, loss1, rtol=1e-6)
+
+
+# ---------------------------------------------------------------- sharding --
+
+def test_pp_param_shardings():
+    opt = tiny_opt(scan_layers=True)
+    params = init_lmm_params(LMM(opt), opt, RNG)
+    mesh = make_mesh(2, 1, 1, 4)
+    sh = param_shardings(params, mesh)
+    flat = {jax.tree_util.keystr(kp, simple=True, separator="/"): s
+            for kp, s in jax.tree_util.tree_flatten_with_path(sh)[0]}
+    stacked = [v for k, v in flat.items() if "layers_scanned" in k]
+    assert stacked and all("pp" in str(s.spec) for s in stacked)
+    rest = [v for k, v in flat.items() if "layers_scanned" not in k]
+    assert all("pp" not in str(s.spec) for s in rest)
+
+
+# ----------------------------------------------------------- equivalence ---
+
+@pytest.mark.parametrize("dp,pp,microbatches", [(2, 4, 4), (4, 2, 2)])
+def test_pp_loss_and_grads_match_single_device(dp, pp, microbatches):
+    """Forward AND backward through the GPipe schedule must match the plain
+    layer loop: loss to 1e-6, every gradient leaf to 5e-5 (the ppermute
+    transpose and the per-stage output slice are both exercised)."""
+    opt = tiny_opt()
+    batch = _make_batch(opt, B=8)
+    model = LMM(opt)
+    params = init_lmm_params(model, opt, RNG)
+    loss0, grads0 = jax.value_and_grad(_loss_fn(model, batch))(params)
+
+    opt_pp = tiny_opt(scan_layers=True, pp_size=pp, dp_size=dp,
+                      pp_microbatches=microbatches)
+    model_pp = LMM(opt_pp)
+    mesh = make_mesh(dp, 1, 1, pp)
+    sparams = stack_layer_params(params)
+    sh = param_shardings(sparams, mesh)
+    sparams = jax.tree.map(lambda x, s: jax.device_put(x, s), sparams, sh)
+    bsh = batch_sharding(mesh)
+    dev_batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+
+    set_pipeline_parallel(mesh, microbatches=microbatches)
+    try:
+        loss1, grads1 = jax.jit(
+            jax.value_and_grad(_loss_fn(model_pp, dev_batch)))(sparams)
+    finally:
+        set_pipeline_parallel(None)
+
+    np.testing.assert_allclose(float(loss0), float(loss1), rtol=1e-6)
+    grads1 = unstack_layer_params(jax.device_get(grads1))
+
+    def close(a, b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=5e-6)
+
+    jax.tree.map(close, grads0, grads1)
+
+
+def test_pp_remat_matches():
+    """Pipeline with per-stage rematerialization: same loss and grads."""
+    opt = tiny_opt(checkpointing=True)
+    batch = _make_batch(opt, B=8)
+    model = LMM(opt)
+    params = init_lmm_params(model, opt, RNG)
+    loss0, grads0 = jax.value_and_grad(_loss_fn(model, batch))(params)
+
+    opt_pp = tiny_opt(scan_layers=True, checkpointing=True, pp_size=2,
+                      dp_size=4)
+    model_pp = LMM(opt_pp)
+    mesh = make_mesh(4, 1, 1, 2)
+    sparams = stack_layer_params(params)
+    sh = param_shardings(sparams, mesh)
+    sparams = jax.tree.map(lambda x, s: jax.device_put(x, s), sparams, sh)
+    set_pipeline_parallel(mesh, microbatches=2)
+    try:
+        loss1, grads1 = jax.jit(
+            jax.value_and_grad(_loss_fn(model_pp, batch)))(sparams)
+    finally:
+        set_pipeline_parallel(None)
+    np.testing.assert_allclose(float(loss0), float(loss1), rtol=1e-6)
+    grads1 = unstack_layer_params(jax.device_get(grads1))
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=5e-5, atol=5e-6), grads0, grads1)
+
+
+# ------------------------------------------------------------- train step --
+
+def test_pp_train_step_runs_and_reduces_loss():
+    opt = tiny_opt(scan_layers=True, pp_size=2, dp_size=4, pp_microbatches=2,
+                   batch_size=8)
+    model = LMM(opt)
+    mesh = make_mesh(4, 1, 1, 2)
+    # scan_layers models init in the stacked layout natively
+    params = init_lmm_params(model, opt, RNG)
+    sh = param_shardings(params, mesh)
+    params = jax.tree.map(lambda x, s: jax.device_put(x, s), params, sh)
+    tx, _ = make_optimizer(opt, total_steps=50)
+    state = create_train_state(params, tx)
+    step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
+    bsh = batch_sharding(mesh)
+    batch = {k: jax.device_put(v, bsh) for k, v in _make_batch(opt).items()}
+    set_pipeline_parallel(mesh, microbatches=2)
+    try:
+        losses = []
+        for _ in range(5):
+            state, metrics = step(state, batch, RNG)
+            losses.append(float(metrics["loss"]))
+    finally:
+        set_pipeline_parallel(None)
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+
+
+def test_pp_trainer_end_to_end():
+    """Trainer with pp_size=2: mesh, context scoping, one epoch on synthetic
+    data; the pp context must be cleared afterwards."""
+    from edgerunner_tpu.data.dataset import DataLoader, SyntheticMeshDataset
+    from edgerunner_tpu.parallel import active_pipeline_parallel
+    from edgerunner_tpu.train.trainer import Trainer
+    from edgerunner_tpu.utils import get_tokenizer
+
+    opt = tiny_opt(pp_size=2, dp_size=4, batch_size=8, scan_layers=True)
+    model = LMM(opt)
+    tok, _ = get_tokenizer(opt)
+    ds = SyntheticMeshDataset(opt, size=16, training=True, tokenizer=tok)
+    loader = DataLoader(ds, opt, batch_size=8, shuffle=False, num_workers=0,
+                        drop_last=True, seed=0)
+    trainer = Trainer(model, opt, total_steps=10)
+    trainer.init_state(init_lmm_params(model, opt, RNG))
+    loss = trainer.train_epoch(loader, epoch=0, rng=RNG)
+    assert np.isfinite(loss)
+    assert active_pipeline_parallel() is None
+
+
+def test_pp_checkpoint_loads_into_canonical_model(tmp_path):
+    """A checkpoint written from pp training (stacked layout) must load into
+    a plain single-device model through the standard inference path — the
+    layout conversion is automatic (main.py / load_params_for_inference)."""
+    import dataclasses
+
+    from edgerunner_tpu.train.checkpoint import (
+        load_params_for_inference,
+        save_pytree,
+    )
+
+    opt_pp = tiny_opt(scan_layers=True, pp_size=2, dp_size=4)
+    stacked = init_lmm_params(LMM(opt_pp), opt_pp, RNG)
+    path = str(tmp_path / "ckpt")
+    save_pytree(path, stacked)
+
+    opt = dataclasses.replace(tiny_opt(), resume=path)
+    model = LMM(opt)
+    params = load_params_for_inference(model, opt, jax.random.PRNGKey(1))
+    expect = unstack_layer_params(stacked)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), expect, params)
+
+    # and the reverse: canonical checkpoint into a pp/scan model
+    opt_c = tiny_opt()
+    canon = init_lmm_params(LMM(opt_c), opt_c, jax.random.PRNGKey(2))
+    path2 = str(tmp_path / "ckpt2")
+    save_pytree(path2, canon)
+    opt_pp2 = dataclasses.replace(tiny_opt(scan_layers=True), resume=path2)
+    params2 = load_params_for_inference(LMM(opt_pp2), opt_pp2,
+                                        jax.random.PRNGKey(3))
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), stack_layer_params(canon), params2)
+
+
+def test_pp_config_validation():
+    from edgerunner_tpu.config import validate
+
+    with pytest.raises(AssertionError, match="pp_size"):
+        validate(tiny_opt(pp_size=2, tp_size=2))
+    with pytest.raises(AssertionError, match="divide"):
+        validate(tiny_opt(pp_size=3))
+    opt = validate(tiny_opt(pp_size=2))
+    assert opt.scan_layers
