@@ -145,6 +145,17 @@ class Options:
     # stacked [L, ...] decoder-layer param layout (nn.scan) — auto-enabled by
     # pp_size > 1; checkpoints convert losslessly either way on load
     scan_layers: bool = False
+    # expert-parallel axis size: Mixture-of-Experts expert weights sharded
+    # over 'ep' (requires moe_experts % ep_size == 0)
+    ep_size: int = 1
+    # Mixture-of-Experts decoder MLP: number of experts (0 = dense reference
+    # MLP); top-k routing with capacity-bounded dispatch (models/moe.py) and
+    # a Switch load-balance auxiliary loss
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    # weight of the Switch load-balance loss in the training objective
+    moe_aux_weight: float = 0.01
 
     ### testing
     test_path: Optional[str] = None
@@ -375,6 +386,17 @@ def validate(opt: Options) -> Options:
             f"num_layers ({opt.num_layers}) must divide into pp_size "
             f"({opt.pp_size}) stages")
         opt.scan_layers = True
+    if opt.moe_experts:
+        assert not opt.scan_layers and opt.pp_size == 1, (
+            "moe_experts currently requires the canonical layer layout "
+            "(scan_layers false, pp_size 1)")
+        assert opt.moe_top_k <= opt.moe_experts, (
+            f"moe_top_k ({opt.moe_top_k}) > moe_experts ({opt.moe_experts})")
+    if opt.ep_size > 1:
+        assert opt.moe_experts > 0, "ep_size > 1 requires moe_experts > 0"
+        assert opt.moe_experts % opt.ep_size == 0, (
+            f"moe_experts ({opt.moe_experts}) must divide by ep_size "
+            f"({opt.ep_size})")
     if (opt.max_seq_length + opt.num_cond_tokens > 16384
             and opt.checkpointing and not opt.remat_prevent_cse):
         print("[WARN] long-context training with remat_prevent_cse=false: "

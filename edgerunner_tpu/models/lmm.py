@@ -91,6 +91,9 @@ class LMM(nn.Module):
             w_quant=opt.w_quant,
             mtp_heads=opt.mtp_heads,
             scan_layers=opt.scan_layers or opt.pp_size > 1,
+            moe_experts=opt.moe_experts,
+            moe_top_k=opt.moe_top_k,
+            moe_capacity_factor=opt.moe_capacity_factor,
         )
         self.mesh_decoder = ShapeOPT(cfg, name="mesh_decoder")
 

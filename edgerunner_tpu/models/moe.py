@@ -1,0 +1,97 @@
+"""Mixture-of-Experts decoder MLP with expert parallelism ('ep' mesh axis).
+
+The reference decoder is dense (OPT MLP: fc1/ReLU/fc2, reference:
+core/transformer/modeling_opt.py:263-288). This opt-in variant
+(--moe_experts N) replaces each decoder layer's MLP with a top-k routed
+mixture: expert weights are stacked [E, ...] leaves so the expert axis can
+be sharded over the 'ep' mesh axis (parallel/mesh.py) — total MLP capacity
+scales with chips at constant per-token FLOPs, beyond anything the
+reference supports.
+
+TPU-native formulation (GShard/Switch-style dense dispatch):
+  * routing, dispatch and combine are pure einsums over one-hot masks —
+    static shapes, no sorting/gather scatter, MXU-friendly;
+  * per-expert queues are capacity-bounded (ceil(top_k * tokens / E *
+    capacity_factor)); overflow tokens lose that expert's contribution
+    (their gate mass is simply absent from the combine), the standard
+    GShard drop policy;
+  * the router runs in fp32 (softmax numerics), expert matmuls in the
+    model compute dtype (bf16 on TPU);
+  * the Switch load-balance loss E * sum(f_e * P_e) is sown into the
+    'losses' collection; the train step adds it with weight
+    --moe_aux_weight (sow is a silent no-op in eval/decode applies).
+
+The dense dispatch/combine tensors are [tokens, E, capacity] — fine at
+training shapes; decode calls route [B] tokens per step through the same
+code path (the per-layer KV caches are unaffected by MoE).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from edgerunner_tpu.models.layers import dense_init
+
+
+class MoEMLP(nn.Module):
+    hidden_dim: int
+    intermediate_dim: int
+    num_experts: int
+    top_k: int = 2
+    capacity_factor: float = 1.25
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        """x: [B, T, C] -> [B, T, C]."""
+        E, K = self.num_experts, self.top_k
+        C, F = self.hidden_dim, self.intermediate_dim
+        B, T, _ = x.shape
+        N = B * T
+        xf = x.reshape(N, C)
+
+        # fp32 routing
+        logits = nn.Dense(E, dtype=jnp.float32, kernel_init=dense_init,
+                          name="router")(xf.astype(jnp.float32))
+        probs = jax.nn.softmax(logits, axis=-1)                   # [N, E]
+        gate, idx = jax.lax.top_k(probs, K)                       # [N, K]
+        gate = gate / jnp.maximum(gate.sum(-1, keepdims=True), 1e-9)
+
+        cap = max(1, int(math.ceil(K * N / E * self.capacity_factor)))
+        onehot = jax.nn.one_hot(idx, E, dtype=jnp.float32)        # [N, K, E]
+        # queue position within each expert; k=0 assignments take priority
+        flat = onehot.transpose(1, 0, 2).reshape(K * N, E)
+        pos = (jnp.cumsum(flat, axis=0) - flat).reshape(K, N, E)
+        pos = pos.transpose(1, 0, 2)                              # [N, K, E]
+        keep = onehot * (pos < cap)
+        slot = jax.nn.one_hot(pos.astype(jnp.int32), cap,
+                              dtype=jnp.float32) * keep[..., None]
+        dispatch = slot.sum(1)                                    # [N, E, cap]
+        combine = (gate[..., None, None] * slot).sum(1)           # [N, E, cap]
+
+        w1 = self.param("w1", dense_init, (E, C, F))
+        b1 = self.param("b1", nn.initializers.zeros, (E, F))
+        w2 = self.param("w2", dense_init, (E, F, C))
+        b2 = self.param("b2", nn.initializers.zeros, (E, C))
+
+        dt = self.dtype
+        xe = jnp.einsum("nec,nd->ecd", dispatch.astype(dt), xf.astype(dt))
+        he = jax.nn.relu(
+            jnp.einsum("ecd,edf->ecf", xe, w1.astype(dt)) +
+            b1.astype(dt)[:, None])
+        ye = (jnp.einsum("ecf,efd->ecd", he, w2.astype(dt)) +
+              b2.astype(dt)[:, None])
+        y = jnp.einsum("nec,ecd->nd", combine.astype(dt), ye)
+
+        # Switch load-balance loss: E * sum_e(fraction routed * mean prob);
+        # == 1 for a perfectly uniform router
+        top1 = jax.nn.one_hot(idx[:, 0], E, dtype=jnp.float32)
+        aux = E * jnp.sum(top1.mean(0) * probs.mean(0))
+        self.sow("losses", "moe_aux", aux)
+
+        return y.reshape(B, T, C).astype(dt)

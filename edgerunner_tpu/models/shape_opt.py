@@ -74,6 +74,12 @@ class ShapeOPTConfig:
     # 0 disables. Heads are a zero-init residual block + the shared lm_head,
     # trained with an auxiliary CE (see ShapeOPT.__call__).
     mtp_heads: int = 0
+    # Mixture-of-Experts decoder MLP (0 = dense reference MLP). Expert
+    # weights stack [E, ...] and shard over the 'ep' mesh axis — MLP
+    # capacity scales with chips at constant per-token FLOPs (models/moe.py)
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
     # stacked-layer parameter layout ([L, ...] leaves under layers_scanned,
     # via nn.scan) — required for pipeline parallelism (the stacked axis is
     # sharded over the 'pp' mesh axis; see parallel/pipeline.py). Training
@@ -338,14 +344,27 @@ class OPTDecoderLayer(nn.Module):
         c = self.cfg
         self.self_attn = OPTAttention(c, name="self_attn")
         self.self_attn_layer_norm = nn.LayerNorm(name="self_attn_layer_norm")
-        D = _dense_cls(c)
-        self.fc1 = D(c.intermediate_dim, dtype=c.dtype, name="fc1")
-        self.fc2 = D(c.hidden_dim, dtype=c.dtype, name="fc2")
+        if c.moe_experts:
+            from edgerunner_tpu.models.moe import MoEMLP
+
+            self.moe = MoEMLP(hidden_dim=c.hidden_dim,
+                              intermediate_dim=c.intermediate_dim,
+                              num_experts=c.moe_experts,
+                              top_k=c.moe_top_k,
+                              capacity_factor=c.moe_capacity_factor,
+                              dtype=c.dtype, name="moe")
+        else:
+            D = _dense_cls(c)
+            self.fc1 = D(c.intermediate_dim, dtype=c.dtype, name="fc1")
+            self.fc2 = D(c.hidden_dim, dtype=c.dtype, name="fc2")
         self.final_layer_norm = nn.LayerNorm(name="final_layer_norm")
         self.drop = nn.Dropout(rate=c.dropout)
 
     def _mlp(self, h, deterministic):
-        m = self.fc2(jax.nn.relu(self.fc1(h)))
+        if self.cfg.moe_experts:
+            m = self.moe(h)
+        else:
+            m = self.fc2(jax.nn.relu(self.fc1(h)))
         m = self.drop(m, deterministic=deterministic)
         return self.final_layer_norm(h + m).astype(self.cfg.dtype)
 

@@ -41,22 +41,26 @@ def maybe_initialize_distributed():
 
 
 def make_mesh(dp_size: int = -1, tp_size: int = 1, sp_size: int = 1,
-              pp_size: int = 1, devices: Optional[list] = None) -> Mesh:
-    """('dp', 'pp', 'sp', 'tp') mesh. pp/sp are placed between dp and tp so
-    the ring permutes of pipeline and sequence parallelism ride contiguous
-    ICI neighbors."""
+              pp_size: int = 1, ep_size: int = 1,
+              devices: Optional[list] = None) -> Mesh:
+    """('dp', 'pp', 'sp', 'tp', 'ep') mesh. pp/sp are placed between dp and
+    tp so the ring permutes of pipeline and sequence parallelism ride
+    contiguous ICI neighbors; ep (Mixture-of-Experts expert sharding) sits
+    innermost so expert all-to-alls stay on nearest neighbors."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
+    inner = tp_size * sp_size * pp_size * ep_size
     if dp_size == -1:
-        assert n % (tp_size * sp_size * pp_size) == 0, (
+        assert n % inner == 0, (
             f"{n} devices not divisible by tp({tp_size}) x sp({sp_size})"
-            f" x pp({pp_size})")
-        dp_size = n // (tp_size * sp_size * pp_size)
-    assert dp_size * tp_size * sp_size * pp_size == n, (
+            f" x pp({pp_size}) x ep({ep_size})")
+        dp_size = n // inner
+    assert dp_size * inner == n, (
         f"dp({dp_size}) x pp({pp_size}) x sp({sp_size}) x tp({tp_size})"
-        f" != devices({n})")
-    arr = np.asarray(devices).reshape(dp_size, pp_size, sp_size, tp_size)
-    return Mesh(arr, axis_names=("dp", "pp", "sp", "tp"))
+        f" x ep({ep_size}) != devices({n})")
+    arr = np.asarray(devices).reshape(dp_size, pp_size, sp_size, tp_size,
+                                      ep_size)
+    return Mesh(arr, axis_names=("dp", "pp", "sp", "tp", "ep"))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -155,6 +159,7 @@ def param_shardings(params: Any, mesh: Mesh) -> Any:
     'pp' (one stage's layers per pp rank), otherwise fully replicated."""
     use_tp = mesh.shape.get("tp", 1) > 1
     pp = mesh.shape.get("pp", 1)
+    ep = mesh.shape.get("ep", 1)
 
     def one(kp, leaf):
         path = jax.tree_util.keystr(kp, simple=True, separator="/")
@@ -163,6 +168,12 @@ def param_shardings(params: Any, mesh: Mesh) -> Any:
                 f"{path}: {leaf.shape[0]} stacked layers not divisible by "
                 f"pp({pp})")
             return NamedSharding(mesh, P("pp"))
+        # MoE expert weights [E, ...]: expert axis over 'ep' (router stays
+        # replicated — it routes every token on every ep rank)
+        if ep > 1 and re.search(r"/moe/(w1|w2|b1|b2)$", f"/{path}"):
+            assert leaf.shape[0] % ep == 0, (
+                f"{path}: {leaf.shape[0]} experts not divisible by ep({ep})")
+            return NamedSharding(mesh, P("ep"))
         spec = _spec_for(path, use_tp)
         # never shard a dim that doesn't divide evenly
         if use_tp and spec != P():

@@ -235,8 +235,10 @@ def init_lmm_params(model, opt, rng):
     # each a multi-second round trip through the remote TPU compiler
     @jax.jit
     def _init(rng):
-        return model.init({"params": rng, "nof": rng, "dropout": rng},
-                          conds, tokens, labels, nf, lengths)
+        variables = model.init({"params": rng, "nof": rng, "dropout": rng},
+                               conds, tokens, labels, nf, lengths)
+        # drop sown collections (MoE aux losses): params-only tree
+        return {"params": variables["params"]}
 
     return _init(rng)
 

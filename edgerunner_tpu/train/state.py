@@ -104,15 +104,24 @@ def create_train_state(params, tx, step: int = 0) -> TrainState:
 def make_train_step(model, tx):
     """Build the jittable DP train step. Batch layout (from collate):
     conds, tokens, labels, num_faces, lengths — all [B, ...]."""
+    # MoE layers sow their Switch load-balance loss into 'losses'
+    # (models/moe.py); it joins the objective with weight moe_aux_weight
+    moe_w = float(getattr(getattr(model, "opt", None), "moe_aux_weight", 0.0)
+                  or 0.0)
 
     def train_step(state: TrainState, batch, rng):
         nof_rng, drop_rng = jax.random.split(jax.random.fold_in(rng, state.step))
 
         def loss_fn(params):
-            out = model.apply(
+            out, mut = model.apply(
                 params, batch["conds"], batch["tokens"], batch["labels"],
                 batch["num_faces"], batch["lengths"], train=True,
-                rngs={"nof": nof_rng, "dropout": drop_rng})
+                rngs={"nof": nof_rng, "dropout": drop_rng},
+                mutable=["losses"])
+            aux = jax.tree.leaves(mut)
+            if aux:
+                out["loss_moe"] = sum(aux) / len(aux)
+                out["loss"] = out["loss"] + moe_w * out["loss_moe"]
             return out["loss"], out
 
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -127,6 +136,8 @@ def make_train_step(model, tx):
             metrics["loss_kl"] = out["loss_kl"]
         if "loss_mtp" in out:
             metrics["loss_mtp"] = out["loss_mtp"]
+        if "loss_moe" in out:
+            metrics["loss_moe"] = out["loss_moe"]
         return TrainState(params, opt_state, state.step + 1), metrics
 
     return train_step

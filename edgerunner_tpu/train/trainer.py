@@ -126,7 +126,8 @@ class Trainer:
             "sp_size > 1 currently requires tp_size == 1")
         assert pp == 1 or (opt.tp_size == 1 and sp == 1), (
             "pp_size > 1 currently requires tp_size == sp_size == 1")
-        self.mesh = make_mesh(opt.dp_size, opt.tp_size, sp, pp)
+        self.mesh = make_mesh(opt.dp_size, opt.tp_size, sp, pp,
+                              getattr(opt, "ep_size", 1))
         self.sp = self.mesh.shape.get("sp", 1)
         self.pp = self.mesh.shape.get("pp", 1)
         self.pp_microbatches = (getattr(opt, "pp_microbatches", 0) or self.pp)
