@@ -380,8 +380,9 @@ def validate(opt: Options) -> Options:
             f" tokens + cls + use_num_face_cond ({expected}) in image cond mode"
         )
     if opt.pp_size > 1:
-        assert opt.tp_size == 1 and opt.sp_size == 1, (
-            "pp_size > 1 currently requires tp_size == sp_size == 1")
+        assert opt.sp_size == 1, (
+            "pp_size > 1 currently requires sp_size == 1 (pp composes with "
+            "dp and tp)")
         assert opt.num_layers % opt.pp_size == 0, (
             f"num_layers ({opt.num_layers}) must divide into pp_size "
             f"({opt.pp_size}) stages")

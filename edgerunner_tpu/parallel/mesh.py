@@ -167,7 +167,16 @@ def param_shardings(params: Any, mesh: Mesh) -> Any:
             assert leaf.shape[0] % pp == 0, (
                 f"{path}: {leaf.shape[0]} stacked layers not divisible by "
                 f"pp({pp})")
-            return NamedSharding(mesh, P("pp"))
+            # compose with tensor parallelism: the TP rule's dims shift by
+            # one under the stacked layer axis
+            base = _spec_for(path, use_tp)
+            if use_tp and base != P():
+                tp = mesh.shape["tp"]
+                for i, name in enumerate(base):
+                    if name == "tp" and leaf.shape[i + 1] % tp != 0:
+                        base = P()
+                        break
+            return NamedSharding(mesh, P("pp", *base))
         # MoE expert weights [E, ...]: expert axis over 'ep' (router stays
         # replicated — it routes every token on every ep rank)
         if ep > 1 and re.search(r"/moe/(w1|w2|b1|b2)$", f"/{path}"):

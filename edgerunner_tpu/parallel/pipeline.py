@@ -17,13 +17,17 @@ amortize. The backward pass is the autodiff transpose of the forward loop
 Design notes (TPU/XLA):
   * everything is a fixed-shape `lax.scan` over ticks — one compiled program,
     no per-tick dispatch;
-  * stage outputs are returned per-stage (out_specs P('pp', 'dp', ...)) and
-    the caller slices stage S-1 OUTSIDE shard_map — GSPMD then inserts the
-    exact broadcast collective and its correct transpose, avoiding the
+  * ONLY the 'pp' axis is manual (shard_map axis_names={'pp'}); dp/tp stay
+    automatic, so the pipeline composes with data parallelism and Megatron
+    tensor parallelism — stage weights keep their P('pp', ..., 'tp')
+    sharding straight through the stage matmuls;
+  * stage outputs are returned per-stage (out_specs P('pp')) and the caller
+    slices stage S-1 OUTSIDE shard_map — GSPMD then inserts the exact
+    broadcast collective and its correct transpose, avoiding the
     manual-psum-transpose pitfalls of check_vma=False shard_map;
   * the microbatch input buffer is replicated over 'pp' (only stage 0 reads
-    it): one [B_local, T, D] activation copy per device, negligible next to
-    the per-stage weights it saves.
+    it): one dp-sharded [B, T, D] activation copy per stage, negligible
+    next to the per-stage weights it saves.
 """
 
 from __future__ import annotations
@@ -38,23 +42,27 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 def gpipe(stacked: Any, x: jax.Array, aux: Any, apply_layer: Callable,
           *, mesh: Mesh, microbatches: int, axis: str = "pp",
-          batch_axis: str = "dp", remat: bool = False,
-          prevent_cse: bool = False) -> jax.Array:
+          remat: bool = False, prevent_cse: bool = False) -> jax.Array:
     """Run a stacked layer sequence as a pipeline over `mesh[axis]`.
+
+    Only `axis` is manual (shard_map axis_names={axis}); every other mesh
+    axis stays automatic, so the pipeline composes with GSPMD data and
+    tensor parallelism — activations keep their 'dp' sharding and stage
+    weights their 'tp' sharding through the loop with no extra code.
 
     stacked:     pytree of [num_layers, ...] leaves (sharded P(axis) on dim 0
                  by the caller's param shardings; num_layers % axis size == 0)
-    x:           [B, T, D] activations (batch sharded over `batch_axis`,
-                 replicated over `axis`)
+    x:           [B, T, D] activations (any dp sharding; replicated over
+                 `axis`)
     aux:         pytree of [B, ...] per-row side inputs threaded to every
                  layer call (e.g. valid-prefix lengths); may be empty
     apply_layer: (layer_params, h [mb,T,D], aux_mb, global_layer_idx,
                  microbatch_idx) -> h — one layer's forward, closed over
                  static config
-    microbatches: per-device microbatch count M (B_local % M == 0)
+    microbatches: microbatch count M (global batch % M == 0)
     remat:       rematerialize each stage's tick in the backward pass
 
-    Returns [B, T, D] (batch sharded over `batch_axis`).
+    Returns [B, T, D].
     """
     S = mesh.shape[axis]
     M = int(microbatches)
@@ -63,12 +71,20 @@ def gpipe(stacked: Any, x: jax.Array, aux: Any, apply_layer: Callable,
     assert num_layers % S == 0, (
         f"{num_layers} layers do not divide into {S} pipeline stages")
 
+    # the activation input crosses the shard_map boundary in fp32: the
+    # transpose of a replicated-over-'pp' input is a psum of the cotangent,
+    # and XLA (0.9, CPU) CHECK-crashes building that reduction in bf16 under
+    # partial-manual shard_map ("Invalid binary instruction opcode copy");
+    # fp32 at the boundary sidesteps it, compute stays in x.dtype inside
+    xdt = x.dtype
+
     def body(stacked_l, x_l, aux_l):
+        x_l = x_l.astype(xdt)
         stage = jax.lax.axis_index(axis)
         k_local = jax.tree.leaves(stacked_l)[0].shape[0]
         B_l, T, D = x_l.shape
         assert B_l % M == 0, (
-            f"per-device batch {B_l} not divisible by {M} microbatches")
+            f"batch {B_l} not divisible by {M} microbatches")
         mb = B_l // M
         xs = x_l.reshape(M, mb, T, D)
         auxs = jax.tree.map(lambda a: a.reshape(M, mb, *a.shape[1:]), aux_l)
@@ -116,15 +132,15 @@ def gpipe(stacked: Any, x: jax.Array, aux: Any, apply_layer: Callable,
                                    jnp.arange(M + S - 1))
         return out.reshape(1, B_l, T, D)
 
-    aux_specs = jax.tree.map(lambda _: P(batch_axis), aux)
+    aux_specs = jax.tree.map(lambda _: P(), aux)
     fn = shard_map(
-        body, mesh=mesh,
-        in_specs=(P(axis), P(batch_axis, None, None), aux_specs),
-        out_specs=P(axis, batch_axis, None, None),
+        body, mesh=mesh, axis_names={axis},
+        in_specs=(P(axis), P(), aux_specs),
+        out_specs=P(axis),
         check_vma=False)
     # slice the last stage's output OUTSIDE shard_map: GSPMD inserts the
     # broadcast (and its exact transpose in backward)
-    return fn(stacked, x, aux)[S - 1]
+    return fn(stacked, x.astype(jnp.float32), aux)[S - 1]
 
 
 # ------------------------------------------------------- layout conversion --

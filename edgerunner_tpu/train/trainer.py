@@ -124,8 +124,8 @@ class Trainer:
         pp = getattr(opt, "pp_size", 1)
         assert sp == 1 or opt.tp_size == 1, (
             "sp_size > 1 currently requires tp_size == 1")
-        assert pp == 1 or (opt.tp_size == 1 and sp == 1), (
-            "pp_size > 1 currently requires tp_size == sp_size == 1")
+        assert pp == 1 or sp == 1, (
+            "pp_size > 1 currently requires sp_size == 1")
         self.mesh = make_mesh(opt.dp_size, opt.tp_size, sp, pp,
                               getattr(opt, "ep_size", 1))
         self.sp = self.mesh.shape.get("sp", 1)

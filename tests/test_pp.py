@@ -285,12 +285,78 @@ def test_pp_checkpoint_loads_into_canonical_model(tmp_path):
         np.asarray(a), np.asarray(b)), stack_layer_params(canon), params2)
 
 
+def test_pp_tp_composition_matches_single_device():
+    """dp2 x pp2 x tp2: the manual 'pp' axis composes with GSPMD tensor
+    parallelism — stage weights stay P('pp', ..., 'tp') through the stage
+    matmuls. Loss and grads must match the single-device loop."""
+    opt = tiny_opt()
+    batch = _make_batch(opt, B=8)
+    model = LMM(opt)
+    params = init_lmm_params(model, opt, RNG)
+    loss0, grads0 = jax.value_and_grad(_loss_fn(model, batch))(params)
+
+    opt_x = tiny_opt(scan_layers=True, pp_size=2, tp_size=2, dp_size=2,
+                     pp_microbatches=2)
+    model_x = LMM(opt_x)
+    mesh = make_mesh(2, 2, 1, 2)
+    sparams = stack_layer_params(params)
+    sh = param_shardings(sparams, mesh)
+    flat = {jax.tree_util.keystr(kp, simple=True, separator="/"): s
+            for kp, s in jax.tree_util.tree_flatten_with_path(sh)[0]}
+    q = [s for k, s in flat.items()
+         if "layers_scanned" in k and "q_proj/kernel" in k]
+    assert q and all(str(s.spec) == "PartitionSpec('pp', None, 'tp')"
+                     for s in q), [str(s.spec) for s in q]
+    sparams = jax.tree.map(lambda x, s: jax.device_put(x, s), sparams, sh)
+    bsh = batch_sharding(mesh)
+    dev_batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+    set_pipeline_parallel(mesh, microbatches=2)
+    try:
+        loss1, grads1 = jax.jit(
+            jax.value_and_grad(_loss_fn(model_x, dev_batch)))(sparams)
+    finally:
+        set_pipeline_parallel(None)
+    np.testing.assert_allclose(float(loss0), float(loss1), rtol=1e-6)
+    grads1 = unstack_layer_params(jax.device_get(grads1))
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=5e-5, atol=5e-6), grads0, grads1)
+
+
+def test_pp_bf16_train_step():
+    """Mixed precision (bf16 activations, the main.py default) through the
+    pipeline. Regression: the transpose of the replicated-over-'pp' input
+    psums the cotangent, and XLA CHECK-crashed building that reduction in
+    bf16 under partial-manual shard_map — gpipe now crosses the boundary
+    in fp32 (parallel/pipeline.py)."""
+    import jax.numpy as jnp
+
+    opt = tiny_opt(scan_layers=True, pp_size=2, dp_size=4, pp_microbatches=2,
+                   batch_size=8, checkpointing=True)
+    model = LMM(opt, dtype=jnp.bfloat16)
+    mesh = make_mesh(4, 1, 1, 2)
+    params = init_lmm_params(model, opt, RNG)
+    sh = param_shardings(params, mesh)
+    params = jax.tree.map(lambda x, s: jax.device_put(x, s), params, sh)
+    tx, _ = make_optimizer(opt, total_steps=10)
+    state = create_train_state(params, tx)
+    step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
+    bsh = batch_sharding(mesh)
+    batch = {k: jax.device_put(v, bsh) for k, v in _make_batch(opt).items()}
+    set_pipeline_parallel(mesh, microbatches=2)
+    try:
+        state, metrics = step(state, batch, RNG)
+    finally:
+        set_pipeline_parallel(None)
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["grad_norm"]) > 0
+
+
 def test_pp_config_validation():
     from edgerunner_tpu.config import validate
 
     with pytest.raises(AssertionError, match="pp_size"):
-        validate(tiny_opt(pp_size=2, tp_size=2))
+        validate(tiny_opt(pp_size=2, sp_size=2))
     with pytest.raises(AssertionError, match="divide"):
         validate(tiny_opt(pp_size=3))
-    opt = validate(tiny_opt(pp_size=2))
+    opt = validate(tiny_opt(pp_size=2, tp_size=2))  # pp composes with tp
     assert opt.scan_layers
