@@ -114,6 +114,10 @@ class Options:
     # persist optimizer state with each epoch checkpoint (resumable training;
     # disable on slow-transfer links where the upload dominates epoch time)
     save_optimizer_state: bool = True
+    # async checkpointing: orbax serializes to disk on a background thread
+    # while the next epoch trains; the latest/best bookkeeping is deferred
+    # until the save commits (next save, or training end)
+    async_checkpointing: bool = False
     # additionally checkpoint every N optimizer steps (0 = per-epoch only);
     # each save records the data loader's mid-epoch cursor
     save_every_steps: int = 0

@@ -40,11 +40,20 @@ def _ensure_global(tree: Any) -> Any:
     return jax.tree.map(fix, tree)
 
 
-def save_pytree(path: str, tree: Any):
+def save_pytree(path: str, tree: Any, ckptr: Optional[Any] = None,
+                wait: bool = True):
+    """Save a pytree. With a caller-owned `ckptr` and wait=False the save is
+    ASYNC: orbax's StandardCheckpointer copies device arrays to host during
+    .save() and serializes to disk on a background thread — training resumes
+    immediately; call ckptr.wait_until_finished() before relying on the
+    files (CheckpointManager does this bookkeeping)."""
     path = os.path.abspath(path)
-    ckptr = ocp.StandardCheckpointer()
+    own = ckptr is None
+    if own:
+        ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, _ensure_global(tree), force=True)
-    ckptr.wait_until_finished()
+    if wait or own:
+        ckptr.wait_until_finished()
 
 
 def restore_pytree(path: str, target: Optional[Any] = None) -> Any:
@@ -129,12 +138,33 @@ class CheckpointManager:
     the data pipeline's mid-epoch cursor all restore (the reference's resume
     is weights-only; SURVEY §5)."""
 
-    def __init__(self, workspace: str, keep: int = 2):
+    def __init__(self, workspace: str, keep: int = 2,
+                 async_save: bool = False):
         self.workspace = workspace
         self.keep = keep
         self.old_dirs: list[str] = []
         self.best_loss = float("inf")
         os.makedirs(workspace, exist_ok=True)
+        # async mode (--async_checkpointing): .save() returns after the
+        # device->host copy; disk serialization overlaps the next epoch's
+        # compute. Bookkeeping (symlink/best/prune/json) is DEFERRED until
+        # the save commits — it runs at the next save or at wait()/training
+        # end, so the `latest` pointer lags one save while one is in flight
+        self.async_save = async_save
+        self._ckptr_model = ocp.StandardCheckpointer() if async_save else None
+        self._ckptr_opt = ocp.StandardCheckpointer() if async_save else None
+        self._pending = None
+
+    def wait(self, log=print):
+        """Block until any in-flight async save commits, then run its
+        deferred bookkeeping. No-op in sync mode. Call at training end."""
+        if not self.async_save:
+            return
+        self._ckptr_model.wait_until_finished()
+        self._ckptr_opt.wait_until_finished()
+        if self._pending is not None:
+            pending, self._pending = self._pending, None
+            pending(log)
 
     def _save(self, tag: str, params: Any, opt_state: Any = None,
               loss: Optional[float] = None, train_state: Optional[dict] = None,
@@ -145,11 +175,26 @@ class CheckpointManager:
         # latest symlink, best copy, pruning — must run on one process
         # or it races on shared storage
         primary = jax.process_index() == 0
+        if self.async_save:
+            self.wait(log)  # finish + bookkeep the previous save first
+            save_pytree(os.path.join(save_dir, "model"), params,
+                        ckptr=self._ckptr_model, wait=False)
+            if opt_state is not None:
+                save_pytree(os.path.join(save_dir, "opt_state"), opt_state,
+                            ckptr=self._ckptr_opt, wait=False)
+            if primary:
+                self._pending = (lambda lg: self._bookkeep(
+                    tag, save_dir, loss, train_state, lg))
+            return
         save_pytree(os.path.join(save_dir, "model"), params)
         if opt_state is not None:
             save_pytree(os.path.join(save_dir, "opt_state"), opt_state)
         if not primary:
             return
+        self._bookkeep(tag, save_dir, loss, train_state, log)
+
+    def _bookkeep(self, tag: str, save_dir: str, loss: Optional[float],
+                  train_state: Optional[dict], log=print):
         # update best BEFORE dumping train_state.json so a resume restores
         # the true best-so-far (stale best_loss would let the first
         # post-resume epoch overwrite best/ even when it is worse)

@@ -130,7 +130,8 @@ def main():
     logger.info(f"total param count: {num_params/1e6:.3f} M")
 
     trainer.init_state(params, step=resume_step, opt_state_path=opt_state_path)
-    manager = CheckpointManager(opt.workspace, keep=2)
+    manager = CheckpointManager(opt.workspace, keep=2,
+                                async_save=opt.async_checkpointing)
     if opt.resume is not None and opt.resume_train_state:
         ts = find_train_state(opt.resume)
         if ts is not None and ts.get("best_loss") is not None:
@@ -218,6 +219,9 @@ def main():
                 if i >= 3:
                     break
             logger.info(f"Eval epoch: {epoch} generated meshes saved.")
+
+    # async checkpointing: commit the last in-flight save + its bookkeeping
+    manager.wait(log=logger.info)
 
 
 if __name__ == "__main__":

@@ -110,7 +110,8 @@ def main():
     logger.info(f"total param count: {num_params/1e6:.3f} M")
 
     trainer.init_state(params, step=resume_step, opt_state_path=opt_state_path)
-    manager = CheckpointManager(opt.workspace, keep=2)
+    manager = CheckpointManager(opt.workspace, keep=2,
+                                async_save=opt.async_checkpointing)
 
     def on_step(step, metrics):
         if opt.save_every_steps and step > 0 \
@@ -136,6 +137,9 @@ def main():
                 log=logger.info)
         if opt.eval_mode == "loss":
             trainer.eval_epoch(test_loader, epoch, rng=rng)
+
+    # async checkpointing: commit the last in-flight save + its bookkeeping
+    manager.wait(log=logger.info)
 
 
 if __name__ == "__main__":

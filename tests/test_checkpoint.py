@@ -71,3 +71,36 @@ def test_manager_policy(tmp_path):
     # best is ep1 (loss 1.0)
     best = restore_pytree(os.path.join(ws, "best"))
     np.testing.assert_array_equal(best["w"], [1.0, 1.0])
+
+
+def test_manager_async_policy(tmp_path):
+    """--async_checkpointing: identical end-state policy (latest/best/keep-2
+    + opt_state + train_state.json), with bookkeeping deferred until the
+    save commits. Each save first waits out the previous one, so the final
+    wait() leaves the exact sync-mode file layout."""
+    ws = str(tmp_path / "ws")
+    mgr = CheckpointManager(ws, keep=2, async_save=True)
+    for ep, loss in enumerate([3.0, 1.0, 2.0]):
+        mgr.save_epoch(ep, {"w": jnp.full((2,), float(ep))},
+                       opt_state={"m": jnp.full((2,), 0.5 * ep)}, loss=loss,
+                       train_state={"step": ep * 10},
+                       log=lambda *a: None)
+    # last save's bookkeeping is pending until wait()
+    assert mgr._pending is not None
+    mgr.wait(log=lambda *a: None)
+    assert mgr._pending is None
+
+    assert not os.path.exists(os.path.join(ws, "ep0000"))
+    latest = restore_pytree(os.path.join(ws, "model"))
+    np.testing.assert_array_equal(latest["w"], [2.0, 2.0])
+    best = restore_pytree(os.path.join(ws, "best"))
+    np.testing.assert_array_equal(best["w"], [1.0, 1.0])
+    opt_state = restore_pytree(os.path.join(ws, "ep0002", "opt_state"))
+    np.testing.assert_array_equal(opt_state["m"], [1.0, 1.0])
+    import json
+
+    with open(os.path.join(ws, "ep0002", "train_state.json")) as f:
+        ts = json.load(f)
+    assert ts["step"] == 20 and ts["best_loss"] == 1.0
+    # a second wait() is a no-op
+    mgr.wait(log=lambda *a: None)
