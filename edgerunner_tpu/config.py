@@ -75,6 +75,10 @@ class Options:
     max_face_length: int = 1000
     # synthetic-dataset size used when data_root is absent
     synthetic_size: int = 256
+    # freeze the synthetic dataset across epochs (samples seeded by index
+    # only, no per-epoch regeneration): memorization/overfit runs — e.g.
+    # training draft heads to measurable acceptance on a fixed corpus
+    synthetic_static: bool = False
     dataset: Literal["obj", "objxl"] = "obj"
     # local data root holding mesh files (replaces the reference's S3 buckets)
     data_root: str = "./data"
@@ -121,6 +125,10 @@ class Options:
     # additionally checkpoint every N optimizer steps (0 = per-epoch only);
     # each save records the data loader's mid-epoch cursor
     save_every_steps: int = 0
+    # checkpoint every Nth epoch instead of every epoch (the final epoch
+    # always saves): short-epoch runs (small datasets) amortize the save +
+    # best-copy overhead; resume granularity coarsens accordingly
+    save_every_epochs: int = 1
     # with --resume pointing at a checkpoint that has a train_state.json:
     # restore optimizer state, LR-schedule step, and the data-pipeline cursor
     # (exact continuation). Off = weights-only resume (finetune semantics,
@@ -140,7 +148,8 @@ class Options:
     # contiguous stages (one per pp rank, weights sharded — a model pp_size
     # times larger than one chip trains); microbatches rotate through the
     # stages over the ICI ring (GPipe schedule, see parallel/pipeline.py).
-    # Requires num_layers % pp_size == 0 and tp_size == sp_size == 1.
+    # Requires num_layers % pp_size == 0 and sp_size == 1 (composes with
+    # dp, tp and MoE/ep).
     pp_size: int = 1
     # GPipe microbatches per device batch (0 = pp_size). Bubble fraction is
     # (pp-1)/(M+pp-1): raise M to amortize; batch_size must divide by
@@ -392,9 +401,6 @@ def validate(opt: Options) -> Options:
             f"({opt.pp_size}) stages")
         opt.scan_layers = True
     if opt.moe_experts:
-        assert not opt.scan_layers and opt.pp_size == 1, (
-            "moe_experts currently requires the canonical layer layout "
-            "(scan_layers false, pp_size 1)")
         assert opt.moe_top_k <= opt.moe_experts, (
             f"moe_top_k ({opt.moe_top_k}) > moe_experts ({opt.moe_experts})")
     if opt.ep_size > 1:

@@ -246,7 +246,13 @@ class SyntheticMeshDataset:
 
     def __getitem__(self, idx: int) -> dict:
         opt = self.opt
-        seed = (0, 0, idx) if not self.training else             (getattr(self, "base_seed", 0), getattr(self, "epoch", 0), idx)
+        if not self.training or getattr(opt, "synthetic_static", False):
+            # test split, or --synthetic_static: fixed corpus, no per-epoch
+            # regeneration (train and test then share the idx->mesh map)
+            seed = (0, 0, idx)
+        else:
+            seed = (getattr(self, "base_seed", 0),
+                    getattr(self, "epoch", 0), idx)
         rng = np.random.default_rng(np.random.SeedSequence(seed))
         for _ in range(16):
             try:

@@ -436,7 +436,9 @@ class ShapeOPTDecoder(nn.Module):
                                  policy=policy, static_argnums=(3,))
             self.layers = nn.scan(
                 block,
-                variable_axes={"params": 0},
+                # 'losses' scans too: each layer's sown MoE aux loss stacks
+                # to a [L]-leaf (train/state.py averages by element count)
+                variable_axes={"params": 0, "losses": 0},
                 split_rngs={"params": True, "dropout": True},
                 length=c.num_hidden_layers,
                 in_axes=(nn.broadcast, nn.broadcast),
@@ -503,14 +505,29 @@ class ShapeOPTDecoder(nn.Module):
             if drop_key is not None:
                 rngs = {"dropout": jax.random.fold_in(
                     jax.random.fold_in(drop_key, gidx), mb_idx)}
-            return layer_mod.apply({"params": p}, hh,
-                                   lengths=aux.get("lengths"),
-                                   deterministic=deterministic, rngs=rngs)
+            if c.moe_experts:
+                # surface the layer's sown Switch aux loss so the pipeline
+                # can accumulate it across stages/microbatches
+                hh, mut = layer_mod.apply(
+                    {"params": p}, hh, lengths=aux.get("lengths"),
+                    deterministic=deterministic, rngs=rngs,
+                    mutable=["losses"])
+                a = sum(jnp.sum(x) for x in jax.tree.leaves(mut))
+                return hh, jnp.asarray(a, jnp.float32)
+            hh = layer_mod.apply({"params": p}, hh,
+                                 lengths=aux.get("lengths"),
+                                 deterministic=deterministic, rngs=rngs)
+            return hh, jnp.float32(0.0)
 
         aux = {} if lengths is None else {"lengths": lengths}
-        return gpipe(stacked, h, aux, apply_layer, mesh=mesh, axis=axis,
-                     microbatches=microbatches, remat=c.remat,
-                     prevent_cse=c.remat_prevent_cse)
+        out, moe_aux = gpipe(stacked, h, aux, apply_layer, mesh=mesh,
+                             axis=axis, microbatches=microbatches,
+                             remat=c.remat, prevent_cse=c.remat_prevent_cse)
+        if c.moe_experts:
+            # one pre-averaged scalar (mean over layers x microbatches):
+            # train/state.py's element-count average then recovers it exactly
+            self.sow("losses", "moe_aux", moe_aux)
+        return out
 
     def prefill(self, inputs_embeds, max_len: int):
         """Run the prompt; returns (hidden [B,P,C], k_cache, v_cache).

@@ -163,10 +163,18 @@ def param_shardings(params: Any, mesh: Mesh) -> Any:
 
     def one(kp, leaf):
         path = jax.tree_util.keystr(kp, simple=True, separator="/")
+        is_moe_expert = re.search(r"/moe/(w1|w2|b1|b2)$", f"/{path}")
         if pp > 1 and "/layers_scanned/" in f"/{path}/":
             assert leaf.shape[0] % pp == 0, (
                 f"{path}: {leaf.shape[0]} stacked layers not divisible by "
                 f"pp({pp})")
+            # stacked expert weights [L, E, ...]: layer axis over 'pp',
+            # expert axis over 'ep'
+            if ep > 1 and is_moe_expert:
+                assert leaf.shape[1] % ep == 0, (
+                    f"{path}: {leaf.shape[1]} experts not divisible by "
+                    f"ep({ep})")
+                return NamedSharding(mesh, P("pp", "ep"))
             # compose with tensor parallelism: the TP rule's dims shift by
             # one under the stacked layer axis
             base = _spec_for(path, use_tp)
@@ -178,11 +186,14 @@ def param_shardings(params: Any, mesh: Mesh) -> Any:
                         break
             return NamedSharding(mesh, P("pp", *base))
         # MoE expert weights [E, ...]: expert axis over 'ep' (router stays
-        # replicated — it routes every token on every ep rank)
-        if ep > 1 and re.search(r"/moe/(w1|w2|b1|b2)$", f"/{path}"):
-            assert leaf.shape[0] % ep == 0, (
-                f"{path}: {leaf.shape[0]} experts not divisible by ep({ep})")
-            return NamedSharding(mesh, P("ep"))
+        # replicated — it routes every token on every ep rank); under the
+        # stacked scan_layers layout (pp=1) the expert axis is dim 1
+        if ep > 1 and is_moe_expert:
+            dim = 1 if "/layers_scanned/" in f"/{path}/" else 0
+            assert leaf.shape[dim] % ep == 0, (
+                f"{path}: {leaf.shape[dim]} experts not divisible by "
+                f"ep({ep})")
+            return NamedSharding(mesh, P(*([None] * dim), "ep"))
         spec = _spec_for(path, use_tp)
         # never shard a dim that doesn't divide evenly
         if use_tp and spec != P():

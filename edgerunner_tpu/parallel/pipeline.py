@@ -57,12 +57,15 @@ def gpipe(stacked: Any, x: jax.Array, aux: Any, apply_layer: Callable,
     aux:         pytree of [B, ...] per-row side inputs threaded to every
                  layer call (e.g. valid-prefix lengths); may be empty
     apply_layer: (layer_params, h [mb,T,D], aux_mb, global_layer_idx,
-                 microbatch_idx) -> h — one layer's forward, closed over
-                 static config
+                 microbatch_idx) -> (h, aux_scalar) — one layer's forward,
+                 closed over static config; aux_scalar is a per-layer
+                 fp32 side loss (e.g. the MoE Switch aux), 0.0 when unused
     microbatches: microbatch count M (global batch % M == 0)
     remat:       rematerialize each stage's tick in the backward pass
 
-    Returns [B, T, D].
+    Returns (y [B, T, D], aux_mean) where aux_mean is the mean of the
+    per-(layer, microbatch) aux scalars over real work (bubble ticks,
+    which reprocess clamped microbatch indices, are masked out).
     """
     S = mesh.shape[axis]
     M = int(microbatches)
@@ -90,14 +93,17 @@ def gpipe(stacked: Any, x: jax.Array, aux: Any, apply_layer: Callable,
         auxs = jax.tree.map(lambda a: a.reshape(M, mb, *a.shape[1:]), aux_l)
 
         def run_stage(h, aux_mb, mb_idx):
-            def layer_body(h, inp):
+            def layer_body(carry, inp):
+                h, acc = carry
                 p, li = inp
                 gidx = stage * k_local + li
-                return apply_layer(p, h, aux_mb, gidx, mb_idx), None
+                h, a = apply_layer(p, h, aux_mb, gidx, mb_idx)
+                return (h, acc + a), None
 
-            h, _ = jax.lax.scan(layer_body, h,
-                                (stacked_l, jnp.arange(k_local)))
-            return h
+            (h, acc), _ = jax.lax.scan(
+                layer_body, (h, jnp.float32(0.0)),
+                (stacked_l, jnp.arange(k_local)))
+            return h, acc
 
         if remat:
             run_stage = jax.checkpoint(run_stage, prevent_cse=prevent_cse)
@@ -105,7 +111,7 @@ def gpipe(stacked: Any, x: jax.Array, aux: Any, apply_layer: Callable,
         perm = [(i, (i + 1) % S) for i in range(S)]
 
         def tick(carry, t):
-            state, out = carry
+            state, out, aux_acc = carry
             # stage 0 injects microbatch t (clamped reads past M are garbage
             # that never reaches the last stage within the tick range)
             inj = jax.lax.dynamic_index_in_dim(
@@ -115,7 +121,11 @@ def gpipe(stacked: Any, x: jax.Array, aux: Any, apply_layer: Callable,
             aux_mb = jax.tree.map(
                 lambda a: jax.lax.dynamic_index_in_dim(a, mb_idx, 0,
                                                        keepdims=False), auxs)
-            state = run_stage(state, aux_mb, mb_idx)
+            state, aux_tick = run_stage(state, aux_mb, mb_idx)
+            # count the aux only for real work: bubble ticks reprocess a
+            # clamped microbatch index and must not contribute
+            working = ((t - stage) >= 0) & ((t - stage) < M)
+            aux_acc = aux_acc + jnp.where(working, aux_tick, 0.0)
             # the last stage records finished microbatch t - (S-1)
             widx = jnp.clip(t - (S - 1), 0, M - 1)
             valid = (t >= S - 1) & (stage == S - 1)
@@ -124,23 +134,26 @@ def gpipe(stacked: Any, x: jax.Array, aux: Any, apply_layer: Callable,
                 out, jnp.where(valid, state, cur), widx, 0)
             if S > 1:
                 state = jax.lax.ppermute(state, axis, perm)
-            return (state, out), None
+            return (state, out, aux_acc), None
 
         state0 = jnp.zeros((mb, T, D), x_l.dtype)
         out0 = jnp.zeros((M, mb, T, D), x_l.dtype)
-        (_, out), _ = jax.lax.scan(tick, (state0, out0),
-                                   jnp.arange(M + S - 1))
-        return out.reshape(1, B_l, T, D)
+        (_, out, aux_acc), _ = jax.lax.scan(
+            tick, (state0, out0, jnp.float32(0.0)),
+            jnp.arange(M + S - 1))
+        return out.reshape(1, B_l, T, D), aux_acc.reshape(1)
 
     aux_specs = jax.tree.map(lambda _: P(), aux)
     fn = shard_map(
         body, mesh=mesh, axis_names={axis},
         in_specs=(P(axis), P(), aux_specs),
-        out_specs=P(axis),
+        out_specs=(P(axis), P(axis)),
         check_vma=False)
     # slice the last stage's output OUTSIDE shard_map: GSPMD inserts the
-    # broadcast (and its exact transpose in backward)
-    return fn(stacked, x.astype(jnp.float32), aux)[S - 1]
+    # broadcast (and its exact transpose in backward); the per-stage aux
+    # sums reduce to a mean over (layers x microbatches) of real work
+    y, aux_stages = fn(stacked, x.astype(jnp.float32), aux)
+    return y[S - 1], aux_stages.sum() / (num_layers * M)
 
 
 # ------------------------------------------------------- layout conversion --

@@ -120,7 +120,11 @@ def make_train_step(model, tx):
                 mutable=["losses"])
             aux = jax.tree.leaves(mut)
             if aux:
-                out["loss_moe"] = sum(aux) / len(aux)
+                # element-count mean: canonical layout sows one scalar per
+                # layer, scan_layers one stacked [L] leaf, the pipeline one
+                # pre-averaged scalar — all reduce to the same per-layer mean
+                out["loss_moe"] = (sum(jnp.sum(a) for a in aux)
+                                   / sum(a.size for a in aux))
                 out["loss"] = out["loss"] + moe_w * out["loss_moe"]
             return out["loss"], out
 

@@ -256,6 +256,8 @@ class Trainer:
                     log += f" loss_kl: {float(metrics['loss_kl']):.6f}"
                 if "loss_mtp" in metrics:
                     log += f" loss_mtp: {float(metrics['loss_mtp']):.6f}"
+                if "loss_moe" in metrics:
+                    log += f" loss_moe: {float(metrics['loss_moe']):.6f}"
                 self.log(log)
         self._loop_loss, self._loop_n = total_loss, n
 

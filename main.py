@@ -166,16 +166,20 @@ def main():
             avg_loss = trainer.train_epoch(train_loader, epoch, rng,
                                            profile_dir=profile_dir,
                                            on_step=on_step)
-            # also persist optimizer state: resumable training, which the
-            # reference lacks (weights-only resume; SURVEY §5)
-            manager.save_epoch(
-                epoch, trainer.state.params,
-                opt_state=(trainer.state.opt_state
-                           if opt.save_optimizer_state else None),
-                loss=avg_loss,
-                train_state={"step": int(trainer.state.step),
-                             "loader": train_loader.state()},
-                log=logger.info)
+            save_this = (opt.save_every_epochs <= 1
+                         or (epoch + 1) % opt.save_every_epochs == 0
+                         or epoch == opt.num_epochs - 1)
+            if save_this:
+                # also persist optimizer state: resumable training, which
+                # the reference lacks (weights-only resume; SURVEY §5)
+                manager.save_epoch(
+                    epoch, trainer.state.params,
+                    opt_state=(trainer.state.opt_state
+                               if opt.save_optimizer_state else None),
+                    loss=avg_loss,
+                    train_state={"step": int(trainer.state.step),
+                                 "loader": train_loader.state()},
+                    log=logger.info)
             if opt.use_wandb:
                 import wandb
 

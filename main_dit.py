@@ -127,14 +127,17 @@ def main():
         if not opt.debug_eval:
             avg_loss = trainer.train_epoch(train_loader, epoch, rng,
                                            on_step=on_step)
-            manager.save_epoch(
-                epoch, trainer.state.params,
-                opt_state=(trainer.state.opt_state
-                           if opt.save_optimizer_state else None),
-                loss=avg_loss,
-                train_state={"step": int(trainer.state.step),
-                             "loader": train_loader.state()},
-                log=logger.info)
+            if (opt.save_every_epochs <= 1
+                    or (epoch + 1) % opt.save_every_epochs == 0
+                    or epoch == opt.num_epochs - 1):
+                manager.save_epoch(
+                    epoch, trainer.state.params,
+                    opt_state=(trainer.state.opt_state
+                               if opt.save_optimizer_state else None),
+                    loss=avg_loss,
+                    train_state={"step": int(trainer.state.step),
+                                 "loader": train_loader.state()},
+                    log=logger.info)
         if opt.eval_mode == "loss":
             trainer.eval_epoch(test_loader, epoch, rng=rng)
 

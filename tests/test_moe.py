@@ -209,6 +209,143 @@ def test_moe_config_validation():
         validate(tiny_opt(moe_experts=0, ep_size=2))
     with pytest.raises(AssertionError, match="divide"):
         validate(tiny_opt(moe_experts=3, ep_size=2))
-    with pytest.raises(AssertionError, match="canonical"):
-        validate(tiny_opt(pp_size=2))
+    # MoE composes with pipeline parallelism (scan_layers auto-set)
+    assert validate(tiny_opt(pp_size=2)).scan_layers
     assert validate(tiny_opt(ep_size=2)).moe_experts == 4
+
+
+# --------------------------------------------- scan_layers/pp composition --
+
+def _moe_loss_fn(model, batch, aux_w=0.01):
+    """Objective incl. the sown Switch aux loss, aggregated the way
+    train/state.py does (element-count mean handles both the canonical
+    per-layer scalars and the scanned stacked [L] leaf)."""
+
+    def f(params):
+        out, mut = model.apply(
+            params, batch["conds"], batch["tokens"], batch["labels"],
+            batch["num_faces"], batch["lengths"], train=False,
+            mutable=["losses"])
+        aux = jax.tree.leaves(mut)
+        lm = sum(jnp.sum(a) for a in aux) / sum(a.size for a in aux)
+        return out["loss"] + aux_w * lm
+
+    return f
+
+
+def test_moe_scan_layers_matches_canonical():
+    """The nn.scan stacked layout must match the canonical layer loop on
+    loss AND gradients, including the scanned 'losses' collection (the MoE
+    aux loss stacks to a [L] leaf instead of L scalars)."""
+    from edgerunner_tpu.parallel import stack_layer_params, \
+        unstack_layer_params
+
+    opt = tiny_opt()
+    batch = _make_batch(opt, B=4)
+    model = LMM(opt)
+    params = init_lmm_params(model, opt, RNG)
+    loss0, grads0 = jax.value_and_grad(_moe_loss_fn(model, batch))(params)
+
+    opt_s = tiny_opt(scan_layers=True)
+    model_s = LMM(opt_s)
+    loss1, grads1 = jax.value_and_grad(_moe_loss_fn(model_s, batch))(
+        stack_layer_params(params))
+    np.testing.assert_allclose(float(loss0), float(loss1), rtol=1e-6)
+    grads1 = unstack_layer_params(jax.device_get(grads1))
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=5e-5, atol=5e-6), grads0, grads1)
+
+
+def test_moe_pp_matches_canonical():
+    """dp4 x pp2 with a single microbatch: the pipelined MoE objective is
+    exactly the canonical one (with M=1 each layer routes the full batch,
+    so capacity and drops are identical); grads must match too."""
+    from edgerunner_tpu.parallel import (
+        set_pipeline_parallel,
+        stack_layer_params,
+        unstack_layer_params,
+    )
+
+    opt = tiny_opt()
+    batch = _make_batch(opt, B=8)
+    model = LMM(opt)
+    params = init_lmm_params(model, opt, RNG)
+    loss0, grads0 = jax.value_and_grad(_moe_loss_fn(model, batch))(params)
+
+    opt_pp = tiny_opt(scan_layers=True, pp_size=2, dp_size=4,
+                      pp_microbatches=1)
+    model_pp = LMM(opt_pp)
+    mesh = make_mesh(4, 1, 1, 2)
+    sparams = stack_layer_params(params)
+    sh = param_shardings(sparams, mesh)
+    sparams = jax.tree.map(lambda x, s: jax.device_put(x, s), sparams, sh)
+    bsh = batch_sharding(mesh)
+    dev_batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+    set_pipeline_parallel(mesh, microbatches=1)
+    try:
+        loss1, grads1 = jax.jit(
+            jax.value_and_grad(_moe_loss_fn(model_pp, dev_batch)))(sparams)
+    finally:
+        set_pipeline_parallel(None)
+    np.testing.assert_allclose(float(loss0), float(loss1), rtol=1e-6)
+    grads1 = unstack_layer_params(jax.device_get(grads1))
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=5e-5, atol=5e-6), grads0, grads1)
+
+
+def test_moe_pp_ep_shardings():
+    """Stacked expert weights [L, E, ...] shard P('pp', 'ep'); under
+    scan_layers without pp the expert axis is dim 1 -> P(None, 'ep')."""
+    opt = tiny_opt(scan_layers=True)
+    params = init_lmm_params(LMM(opt), opt, RNG)
+    mesh = make_mesh(2, 1, 1, 2, 2)
+    sh = param_shardings(params, mesh)
+    flat = {jax.tree_util.keystr(kp, simple=True, separator="/"): s
+            for kp, s in jax.tree_util.tree_flatten_with_path(sh)[0]}
+    experts = {k: v for k, v in flat.items()
+               if "/moe/" in k and k.split("/")[-1] in
+               ("w1", "w2", "b1", "b2")}
+    assert experts and all(
+        str(s.spec) == "PartitionSpec('pp', 'ep')" for s in experts.values()
+    ), {k: str(s.spec) for k, s in experts.items()}
+    routers = [v for k, v in flat.items() if "router" in k]
+    assert routers and all("ep" not in str(s.spec) for s in routers)
+
+    mesh2 = make_mesh(4, 1, 1, 1, 2)
+    flat2 = {jax.tree_util.keystr(kp, simple=True, separator="/"): s
+             for kp, s in jax.tree_util.tree_flatten_with_path(
+                 param_shardings(params, mesh2))[0]}
+    e2 = [v for k, v in flat2.items()
+          if "/moe/" in k and k.split("/")[-1] in ("w1", "w2", "b1", "b2")]
+    assert e2 and all(str(s.spec) == "PartitionSpec(None, 'ep')"
+                      for s in e2), [str(s.spec) for s in e2]
+
+
+def test_moe_pp_ep_train_step_runs_and_reduces_loss():
+    """dp2 x pp2 x ep2 on the 8-device mesh: the full composition — layer
+    stages over 'pp', expert shards over 'ep', batch over 'dp' — trains."""
+    from edgerunner_tpu.parallel import set_pipeline_parallel
+
+    opt = tiny_opt(scan_layers=True, pp_size=2, dp_size=2, ep_size=2,
+                   pp_microbatches=2, batch_size=8)
+    model = LMM(opt)
+    mesh = make_mesh(2, 1, 1, 2, 2)
+    params = init_lmm_params(model, opt, RNG)
+    sh = param_shardings(params, mesh)
+    params = jax.tree.map(lambda x, s: jax.device_put(x, s), params, sh)
+    tx, _ = make_optimizer(opt, total_steps=50)
+    state = create_train_state(params, tx)
+    step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
+    bsh = batch_sharding(mesh)
+    batch = {k: jax.device_put(v, bsh) for k, v in _make_batch(opt).items()}
+    set_pipeline_parallel(mesh, microbatches=2)
+    try:
+        losses = []
+        for _ in range(5):
+            state, metrics = step(state, batch, RNG)
+            losses.append(float(metrics["loss"]))
+    finally:
+        set_pipeline_parallel(None)
+    assert "loss_moe" in metrics and np.isfinite(float(metrics["loss_moe"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"

@@ -33,6 +33,17 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--faces", type=int, default=300)
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--hidden_dim", type=int, default=0,
+                    help="override model shape (0 = ArAE preset); set all "
+                         "four shape flags together")
+    ap.add_argument("--num_layers", type=int, default=12)
+    ap.add_argument("--num_heads", type=int, default=12)
+    ap.add_argument("--max_seq_length", type=int, default=4096)
+    ap.add_argument("--cond", choices=("random", "synthetic"),
+                    default="random",
+                    help="conditioning point clouds: random normals (OOD) "
+                         "or surface samples from the synthetic dataset "
+                         "(in-distribution for a synthetic checkpoint)")
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
 
@@ -55,6 +66,10 @@ def main():
 
     opt = dataclasses.replace(config_defaults["ArAE"], generate_mode="greedy",
                               mtp_heads=args.mtp_heads)
+    if args.hidden_dim:
+        opt = dataclasses.replace(
+            opt, hidden_dim=args.hidden_dim, num_layers=args.num_layers,
+            num_heads=args.num_heads, max_seq_length=args.max_seq_length)
     if args.tiny:
         opt = dataclasses.replace(
             opt, hidden_dim=64, num_layers=2, num_heads=4,
@@ -70,8 +85,15 @@ def main():
                             log=lambda *a: None)
     params = cast_params(params, jnp.bfloat16)
 
-    conds = np.random.default_rng(0).normal(
-        size=(args.batch, opt.point_num, 3)).astype(np.float32)
+    if args.cond == "synthetic":
+        from edgerunner_tpu.data.dataset import SyntheticMeshDataset
+
+        ds = SyntheticMeshDataset(opt, size=args.batch, training=False)
+        conds = np.stack([ds[i]["cond"] for i in range(args.batch)]) \
+            .astype(np.float32)
+    else:
+        conds = np.random.default_rng(0).normal(
+            size=(args.batch, opt.point_num, 3)).astype(np.float32)
     streams = np.asarray(generate_tokens(model, params, conds,
                                          num_faces=args.faces, rng=rng))
     B, M = streams.shape
@@ -122,6 +144,7 @@ def main():
     result = {
         "weights": args.resume,
         "mtp_heads": args.mtp_heads,
+        "cond": args.cond,
         "batch": B,
         "stream_len": int(M),
         "head_match_rates": [round(r, 4) for r in rates],
