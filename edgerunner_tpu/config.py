@@ -68,6 +68,12 @@ class Options:
     cond_mode: Literal["none", "image", "point", "point_latent"] = "image"
     num_cond_tokens: int = 257
     generate_mode: Literal["greedy", "sample"] = "sample"
+    # sampling knobs for generate_mode='sample' (the reference is fixed
+    # top-k=10, models.py:299-301; temperature/top_p exceed it). top_p
+    # filters to the smallest nucleus within the top-k candidates
+    top_k: int = 10
+    temperature: float = 1.0
+    top_p: float = 1.0
     use_num_face_cond: bool = False
     nof_dropout_ratio: float = 0.2
 

@@ -108,9 +108,11 @@ def _get_decode_fn(model: LMM, *, num_new: int, max_len: int, mode: str,
             if mode == "greedy":
                 nxt = S.greedy_token(logits)
             else:
-                nxt = (S.sample_token_per_row(logits, sub, top_k=top_k)
+                kw = dict(top_k=top_k, temperature=opt.temperature,
+                          top_p=opt.top_p)
+                nxt = (S.sample_token_per_row(logits, sub, **kw)
                        if per_row_rng
-                       else S.sample_token(logits, sub, top_k=top_k))
+                       else S.sample_token(logits, sub, **kw))
             nxt = jnp.where(done, S.PAD_ID, nxt).astype(jnp.int32)
 
             gstate = G.advance(gstate, nxt)
@@ -440,7 +442,7 @@ def generate_tokens(
         decode = _get_decode_fn(
             model, num_new=int(num_new), max_len=int(max_len),
             mode=opt.generate_mode, use_grammar=use_grammar,
-            no_eos=bench_no_eos, per_row_rng=per_row_rng)
+            top_k=opt.top_k, no_eos=bench_no_eos, per_row_rng=per_row_rng)
     tokens, n = decode(params, jnp.asarray(conds), nf, jnp.asarray(prompt),
                        init_state, rng)
     tokens = np.asarray(tokens)

@@ -195,20 +195,40 @@ def apply_mask(logits: jax.Array, mask: jax.Array) -> jax.Array:
     return jnp.where(mask, logits, NEG_INF)
 
 
-def sample_token(logits: jax.Array, rng: jax.Array, *, top_k: int = 10) -> jax.Array:
-    """Top-k sampling (reference: models.py:299-301). logits [B, V] -> [B]."""
+def _shape_topk_vals(logits: jax.Array, top_k: int, temperature: float,
+                     top_p: float):
+    """Shared sampler front-end: top-k slice, temperature scale, then
+    nucleus (top-p) filtering inside the k candidates. top_k vals arrive
+    sorted descending, so the nucleus is a cumsum prefix; the exclusive
+    prefix test keeps at least the argmax. Returns (vals, idx) [B, k]."""
     vals, idx = jax.lax.top_k(logits, top_k)
+    if temperature != 1.0:
+        vals = vals / max(float(temperature), 1e-6)
+    if top_p < 1.0:
+        p = jax.nn.softmax(vals, axis=-1)
+        prefix = jnp.cumsum(p, axis=-1) - p
+        vals = jnp.where(prefix < top_p, vals, NEG_INF)
+    return vals, idx
+
+
+def sample_token(logits: jax.Array, rng: jax.Array, *, top_k: int = 10,
+                 temperature: float = 1.0, top_p: float = 1.0) -> jax.Array:
+    """Top-k sampling (reference: models.py:299-301), with optional
+    temperature and nucleus filtering (exceeds the reference's fixed
+    top-k=10 surface). logits [B, V] -> [B]."""
+    vals, idx = _shape_topk_vals(logits, top_k, temperature, top_p)
     choice = jax.random.categorical(rng, vals, axis=-1)  # [B]
     return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0]
 
 
 def sample_token_per_row(logits: jax.Array, rngs: jax.Array, *,
-                         top_k: int = 10) -> jax.Array:
+                         top_k: int = 10, temperature: float = 1.0,
+                         top_p: float = 1.0) -> jax.Array:
     """Top-k sampling with an independent key per batch row: a row's stream
     depends only on its own key, so per-request seeds are reproducible no
     matter what shares the micro-batch (serve.py). logits [B, V], rngs [B]
     keys -> [B]."""
-    vals, idx = jax.lax.top_k(logits, top_k)
+    vals, idx = _shape_topk_vals(logits, top_k, temperature, top_p)
     choice = jax.vmap(lambda v, k: jax.random.categorical(k, v))(vals, rngs)
     return jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0]
 

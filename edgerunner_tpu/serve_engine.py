@@ -166,7 +166,10 @@ class ContinuousEngine:
                 else:
                     keys = jax.vmap(jax.random.split)(rng)
                     rng_next, sub = keys[:, 0], keys[:, 1]
-                    nxt = S.sample_token_per_row(logits, sub)
+                    nxt = S.sample_token_per_row(
+                        logits, sub, top_k=self.opt.top_k,
+                        temperature=self.opt.temperature,
+                        top_p=self.opt.top_p)
                 live = active & ~done & (n < budget)
                 nxt = jnp.where(live, nxt, S.PAD_ID).astype(jnp.int32)
                 gstate = G.advance(gstate, nxt)

@@ -149,6 +149,56 @@ def test_top_k_sampling_only_picks_topk():
     assert picks <= {0, 1, 2}
 
 
+def test_temperature_zero_limit_is_argmax():
+    """temperature -> 0 concentrates all mass on the argmax."""
+    logits = jax.random.normal(RNG, (4, 12)) * 3
+    for i in range(20):
+        t = S.sample_token(logits, jax.random.PRNGKey(i), top_k=5,
+                           temperature=1e-6)
+        np.testing.assert_array_equal(np.asarray(t),
+                                      np.asarray(jnp.argmax(logits, -1)))
+
+
+def test_top_p_tiny_nucleus_is_argmax():
+    """top_p smaller than the argmax's own probability keeps only it."""
+    logits = jnp.array([[3.0, 2.0, 1.0, 0.0, -1.0, -2.0]]).repeat(3, 0)
+    for i in range(20):
+        t = S.sample_token(logits, jax.random.PRNGKey(i), top_k=4,
+                           top_p=0.01)
+        assert (np.asarray(t) == 0).all()
+
+
+def test_default_knobs_match_legacy_sampler():
+    """temperature=1, top_p=1 must reproduce the original top-k draw
+    bit-exactly (same rng, same candidates) — no silent behavior change."""
+    logits = jax.random.normal(jax.random.PRNGKey(7), (5, 20))
+    a = S.sample_token(logits, jax.random.PRNGKey(3), top_k=10)
+    b = S.sample_token(logits, jax.random.PRNGKey(3), top_k=10,
+                       temperature=1.0, top_p=1.0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_generate_with_temperature_top_p(tiny_model):
+    """End-to-end generation with non-default knobs stays grammar-valid and
+    differs from the untempered stream (the knobs actually reach the
+    sampler through the decode-fn cache key)."""
+    import dataclasses
+
+    model, params, conds = tiny_model
+    hot = LMM(dataclasses.replace(model.opt, temperature=1.7, top_p=0.8))
+    toks = generate_tokens(hot, params, conds, num_faces=8, rng=RNG)
+    for b in range(toks.shape[0]):
+        seq = trim_eos(toks[b])
+        assert _grammar_valid(seq), seq[:20]
+    base = generate_tokens(model, params, conds, num_faces=8, rng=RNG)
+    pad = max(base.shape[1], toks.shape[1])
+
+    def padto(a):
+        return np.pad(a, ((0, 0), (0, pad - a.shape[1])))
+
+    assert not np.array_equal(padto(np.asarray(base)), padto(np.asarray(toks)))
+
+
 def test_round_up_bucket():
     assert round_up_bucket(1, 1024) == 1024
     assert round_up_bucket(1025, 1024) == 2048
