@@ -250,6 +250,8 @@ class Trainer:
                 mem = _device_mem_gb()
                 if mem:
                     log = log.replace(" lr:", f" mem: {mem} lr:", 1)
+                if "grad_norm" in metrics:
+                    log += f" gnorm: {float(metrics['grad_norm']):.3f}"
                 if "loss_ce" in metrics:
                     log += f" loss_ce: {float(metrics['loss_ce']):.6f}"
                 if "loss_kl" in metrics:

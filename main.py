@@ -49,6 +49,19 @@ def main():
     logger = init_logger(os.path.join(opt.workspace, "log.txt"))
     logger.info(str(opt))
 
+    # From-scratch training with the ArAE preset's warmup_ratio=0 (reference
+    # options.py:179) stalls: at peak LR on step 0 the post-LN decoder falls
+    # into the unigram basin within ~50 steps (grad norm collapses, loss_ce
+    # freezes near the marginal entropy). Measured A/B on this codebase:
+    # lr 3e-4 + warmup 0 -> CE stuck at 5.4; warmup 0.1 (or lr 1e-4) -> CE
+    # reaches 1e-3 on the same data (evidence/warmup_study.md).
+    if opt.resume is None and opt.warmup_ratio == 0 and opt.lr > 1.5e-4:
+        logger.warning(
+            "training from scratch with warmup_ratio=0 and lr "
+            f"{opt.lr:g}: the post-LN decoder is likely to collapse to "
+            "unigram predictions (see evidence/warmup_study.md). "
+            "Recommended: --warmup_ratio 0.01 or more, or lr <= 1e-4.")
+
     from edgerunner_tpu.utils import compute_dtype
 
     tokenizer, vocab_size = get_tokenizer(opt)
