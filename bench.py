@@ -372,6 +372,33 @@ def main():
                     "--repeats", "2", "--skip_train", "--skip_probes"],
                    "exact_bf16")
 
+    # speculative decoding: acceptance needs *trained* MTP heads, which a
+    # random-init bench run cannot have — so report the committed
+    # measurement from the in-env trained checkpoint (tools/bench_spec.py +
+    # tools/spec_stats.py; recipe: evidence/warmup_study.md) instead of
+    # re-running it here
+    try:
+        import os
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "evidence", "spec_bench.json")) as f:
+            sb = json.load(f)
+        with open(os.path.join(here, "evidence",
+                               "spec_stats_trained.json")) as f:
+            ss = json.load(f)
+        detail["spec"] = {
+            "tokens_per_pass": ss["expected_tokens_per_pass"],
+            "head_match_rates": ss["head_match_rates"],
+            "vanilla_meshes_per_min": sb["vanilla"]["meshes_per_min"],
+            "spec_meshes_per_min": sb["spec"]["meshes_per_min"],
+            "speedup": sb["speedup"],
+            "streams_identical": sb["streams_identical"],
+            "source": "evidence/spec_bench.json (memorized 111M synthetic "
+                      "checkpoint, 3 MTP heads, measured on-chip 2026-08-18)",
+        }
+    except Exception:
+        pass
+
     # vs_baseline divides by a DERIVED A100 estimate (0.75 meshes/min; see
     # module docstring) — the reference publishes no per-mesh wall time
     detail["baseline_is_estimate"] = True

