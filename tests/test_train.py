@@ -372,3 +372,46 @@ def test_eval_partial_batch_pads_to_dp():
     solo = make_eval_step(model)(trainer.state.params, jax.tree.map(
         jnp.asarray, {k: v for k, v in raw.items() if k != "paths"}))
     np.testing.assert_allclose(loss, float(solo["loss"]), rtol=1e-5)
+
+
+def test_training_memorizes_contextual_sequences():
+    """Canary for the from-scratch training stall (evidence/warmup_study.md):
+    per-row *distinct random* token sequences cannot be predicted from
+    unigram statistics (floor ~log(16)=2.77 nats over the 16 values used),
+    so CE only drops if gradients flow through attention and the model
+    memorizes which row it is in. Guards the full train path — a grad bug
+    in the attention/remat stack or an LR-schedule regression would leave
+    CE at the unigram floor."""
+    opt = tiny_opt(lr=2e-3, warmup_ratio=0.1)
+    B, M = 4, 48
+    C = opt.num_cond_tokens
+    rng = np.random.default_rng(3)
+    body = rng.integers(3, 19, size=(B, M)).astype(np.int32)
+    batch = {
+        "conds": rng.normal(size=(B, opt.point_num, 3)).astype(np.float32),
+        "tokens": np.concatenate(
+            [np.full((B, 1), 1), body, np.full((B, 1), 2)], 1).astype(np.int32),
+        "labels": np.concatenate(
+            [np.full((B, C + 1), -100), body, np.full((B, 1), 2)],
+            1).astype(np.int32),
+        "lengths": np.full((B,), C + 1 + M + 1, np.int32),
+        "num_faces": np.full((B,), 500, np.int32),
+    }
+    model = LMM(opt)
+    params = init_lmm_params(model, opt, RNG)
+    tx, _ = make_optimizer(opt, total_steps=200)
+    state = create_train_state(params, tx)
+    step = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
+    batch = jax.tree.map(jnp.asarray, batch)
+
+    first = None
+    for _ in range(200):
+        state, metrics = step(state, batch, RNG)
+        if first is None:
+            first = float(metrics["loss_ce"])
+    last = float(metrics["loss_ce"])
+    assert first > 2.0, f"initial CE suspiciously low: {first}"
+    assert last < 1.2, (
+        f"model failed to memorize 4 distinct random sequences: CE "
+        f"{first:.2f} -> {last:.2f} (unigram floor ~2.77; see "
+        f"evidence/warmup_study.md)")
