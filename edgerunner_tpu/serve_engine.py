@@ -68,6 +68,17 @@ class ContinuousEngine:
         self.mode = opt.generate_mode
         # benchmarking/tests: mask EOS so every row decodes its full budget
         self.no_eos = bench_no_eos
+        # speculative decoding inside the engine: each segment iteration
+        # proposes 1 + mtp_heads grammar-chained tokens per row and verifies
+        # them in ONE multi-query pass (same machinery as generate.py's spec
+        # path; greedy only — output stays bit-identical to vanilla greedy)
+        self.num_draft = (opt.mtp_heads
+                          if (opt.spec_decode and opt.mtp_heads > 0
+                              and self.mode == "greedy") else 0)
+        if opt.spec_decode and self.num_draft == 0:
+            print("[WARN] serve engine: spec_decode needs mtp_heads > 0 and "
+                  "greedy mode; decoding one token per step")
+        self.T = 1 + self.num_draft
 
         # static shapes: prompt is always [BOS]; budgets are bounded by the
         # configured max face count
@@ -118,9 +129,9 @@ class ContinuousEngine:
 
         self._prefill = jax.jit(prefill)
 
-        def admit(tokens, next_logits, k_cache, v_cache, pos, n, budget,
-                  gstate, done, rng, slot, row_logits, row_k, row_v,
-                  row_budget, row_key):
+        def admit(tokens, next_logits, h_last, k_cache, v_cache, pos, n,
+                  budget, gstate, done, rng, slot, row_logits, row_h, row_k,
+                  row_v, row_budget, row_key):
             k_cache = tuple(
                 jax.lax.dynamic_update_slice(big, row, (slot, 0, 0))
                 for big, row in zip(k_cache, row_k))
@@ -131,6 +142,8 @@ class ContinuousEngine:
                 tokens, jnp.zeros((1, tokens.shape[1]), tokens.dtype), (slot, 0))
             next_logits = jax.lax.dynamic_update_slice(
                 next_logits, row_logits.astype(next_logits.dtype), (slot, 0, 0))
+            h_last = jax.lax.dynamic_update_slice(
+                h_last, row_h.astype(h_last.dtype), (slot, 0, 0))
             pos = pos.at[slot].set(plen)
             n = n.at[slot].set(0)
             budget = budget.at[slot].set(row_budget)
@@ -139,21 +152,30 @@ class ContinuousEngine:
                                   gstate, fresh)
             done = done.at[slot].set(False)
             rng = rng.at[slot].set(row_key)
-            return tokens, next_logits, k_cache, v_cache, pos, n, budget, \
-                gstate, done, rng
+            return tokens, next_logits, h_last, k_cache, v_cache, pos, n, \
+                budget, gstate, done, rng
 
-        self._admit = jax.jit(admit, donate_argnums=tuple(range(10)))
+        self._admit = jax.jit(admit, donate_argnums=tuple(range(11)))
 
-        def segment(params, tokens, next_logits, k_cache, v_cache, pos, n,
-                    budget, gstate, done, rng, active, steps):
+        num_draft, T = self.num_draft, self.T
+
+        def masked_greedy(logits, gstate):
+            mask = G.mask(gstate, vocab)
+            if self.no_eos:
+                ids = jax.lax.broadcasted_iota(jnp.int32, mask.shape, 1)
+                mask = mask & (ids != S.EOS_ID)
+            return S.greedy_token(S.apply_mask(logits, mask))
+
+        def segment(params, tokens, next_logits, h_last, k_cache, v_cache,
+                    pos, n, budget, gstate, done, rng, active, steps):
             def cond_fn(carry):
-                i, _, _, _, _, _, n, done, _, _ = carry
+                i, _, _, _, _, _, _, n, done, _, _ = carry
                 live = active & ~done & (n < budget)
                 return (i < steps) & live.any()
 
-            def body_fn(carry):
-                (i, tokens, next_logits, k_cache, v_cache, pos, n, done,
-                 gstate, rng) = carry
+            def body_vanilla(carry):
+                (i, tokens, next_logits, h_last, k_cache, v_cache, pos, n,
+                 done, gstate, rng) = carry
                 logits = next_logits[:, 0].astype(jnp.float32)
                 mask = G.mask(gstate, vocab)
                 if self.no_eos:
@@ -178,21 +200,86 @@ class ContinuousEngine:
                     lambda row, t, j: jax.lax.dynamic_update_slice(
                         row, t[None], (j,)))(tokens, nxt, n)
                 n = n + live.astype(jnp.int32)
-                next_logits, _, k_cache, v_cache = model.apply(
+                next_logits, h_last, k_cache, v_cache = model.apply(
                     params, nxt[:, None], k_cache, v_cache, pos,
                     method=LMM.verify_step)
                 pos = pos + live.astype(jnp.int32)
-                return (i + 1, tokens, next_logits, k_cache, v_cache, pos, n,
-                        done, gstate, rng_next)
+                return (i + 1, tokens, next_logits, h_last, k_cache, v_cache,
+                        pos, n, done, gstate, rng_next)
 
+            def body_spec(carry):
+                # mirrors generate.py _get_spec_decode_fn.body_fn, with
+                # per-row budgets and the engine's active-slot mask
+                (i, tokens, next_logits, h_last, k_cache, v_cache, pos, n,
+                 done, gstate, rng) = carry
+                B = next_logits.shape[0]
+                logits = next_logits[:, 0].astype(jnp.float32)
+                live = active & ~done & (n < budget)
+
+                g_chain = [gstate]
+                p0 = masked_greedy(logits, gstate)
+                props = [p0]
+                gs = G.advance(gstate, p0)
+                g_chain.append(gs)
+                draft = model.apply(params, h_last, method=LMM.mtp_logits)
+                for k in range(num_draft):
+                    lg = draft[k][:, 0].astype(jnp.float32)
+                    pk = masked_greedy(lg, gs)
+                    props.append(pk)
+                    gs = G.advance(gs, pk)
+                    g_chain.append(gs)
+                P = jnp.stack(props, axis=1).astype(jnp.int32)  # [B, T]
+
+                logits_v, h_v, k_cache, v_cache = model.apply(
+                    params, P, k_cache, v_cache, pos, method=LMM.verify_step)
+                logits_v = logits_v.astype(jnp.float32)
+
+                acc = jnp.ones((B,), bool)
+                a = jnp.ones((B,), jnp.int32)
+                for t in range(1, T):
+                    model_t = masked_greedy(logits_v[:, t - 1], g_chain[t])
+                    acc = acc & (model_t == P[:, t]) & (P[:, t - 1] != S.EOS_ID)
+                    a = a + acc.astype(jnp.int32)
+                a = jnp.minimum(a, budget - n)
+                a = jnp.where(live, a, 0)
+
+                P_emit = jnp.where(live[:, None], P, S.PAD_ID)
+                tokens = jax.vmap(
+                    lambda row, p, j: jax.lax.dynamic_update_slice(
+                        row, p, (j,)))(tokens, P_emit, n)
+
+                sel = jnp.maximum(a - 1, 0)
+                logits_new = jnp.take_along_axis(
+                    logits_v, sel[:, None, None], axis=1)
+                logits_new = logits_new.astype(next_logits.dtype)
+                h_new = jnp.take_along_axis(
+                    h_v, sel[:, None, None], axis=1).astype(h_last.dtype)
+                next_logits = jnp.where((a > 0)[:, None, None], logits_new,
+                                        next_logits)
+                h_last = jnp.where((a > 0)[:, None, None], h_new, h_last)
+
+                rows = jnp.arange(B)
+                stacked = jax.tree.map(lambda *xs: jnp.stack(xs, 0), *g_chain)
+                gstate = jax.tree.map(lambda x: x[a, rows], stacked)
+
+                t_ids = jnp.arange(T, dtype=jnp.int32)
+                emitted_eos = ((P == S.EOS_ID)
+                               & (t_ids[None] < a[:, None])).any(1)
+                done = done | (live & emitted_eos)
+                n = n + a
+                pos = pos + a
+                return (i + 1, tokens, next_logits, h_last, k_cache, v_cache,
+                        pos, n, done, gstate, rng)
+
+            body_fn = body_spec if num_draft else body_vanilla
             # budget/active are closed-over constants, not carried
-            carry = (jnp.asarray(0), tokens, next_logits, k_cache, v_cache,
-                     pos, n, done, gstate, rng)
+            carry = (jnp.asarray(0), tokens, next_logits, h_last, k_cache,
+                     v_cache, pos, n, done, gstate, rng)
             out = jax.lax.while_loop(cond_fn, body_fn, carry)
             return out[1:]
 
         self._segment = jax.jit(
-            segment, donate_argnums=(1, 2, 3, 4, 5, 6, 8, 9, 10))
+            segment, donate_argnums=(1, 2, 3, 4, 5, 6, 7, 9, 10, 11))
 
     # -------------------------------------------------------------- state --
     def _init_state(self):
@@ -202,12 +289,15 @@ class ContinuousEngine:
         # (dtype/shape depend on kv_quant/kv_bits)
         conds = self._dummy_cond()
         prompt = jnp.full((1, 1), opt.bos_token_id, jnp.int32)
-        logits, _, row_k, row_v, _ = self._prefill(
+        logits, row_h, row_k, row_v, _ = self._prefill(
             self.params, conds, jnp.full((1,), 100, jnp.int32), prompt)
         zero = lambda r: jnp.zeros((B,) + r.shape[1:], r.dtype)  # noqa: E731
         self.state = {
-            "tokens": jnp.zeros((B, self.N), jnp.int32),
+            # +T columns of write headroom: a spec iteration writes T tokens
+            # at n <= budget-1; rejected slots are overwritten next pass
+            "tokens": jnp.zeros((B, self.N + self.T), jnp.int32),
             "next_logits": jnp.zeros((B,) + logits.shape[1:], logits.dtype),
+            "h_last": zero(row_h),
             "k_cache": tuple(zero(r) for r in row_k),
             "v_cache": tuple(zero(r) for r in row_v),
             "pos": jnp.full((B,), self.plen, jnp.int32),
@@ -240,7 +330,7 @@ class ContinuousEngine:
         conds = jnp.asarray(req.points[None].astype(np.float32))
         nf = jnp.full((1,), req.num_faces, jnp.int32)
         prompt = jnp.full((1, 1), opt.bos_token_id, jnp.int32)
-        row_logits, _, row_k, row_v, _ = self._prefill(
+        row_logits, row_h, row_k, row_v, _ = self._prefill(
             self.params, conds, nf, prompt)
         budget = round_up_bucket(min(req.num_faces * 5 + 64, self.N),
                                  opt.decode_bucket)
@@ -249,13 +339,13 @@ class ContinuousEngine:
         else:
             self._rng_fallback, key = jax.random.split(self._rng_fallback)
         st = self.state
-        (st["tokens"], st["next_logits"], st["k_cache"], st["v_cache"],
-         st["pos"], st["n"], st["budget"], st["gstate"], st["done"],
-         st["rng"]) = self._admit(
-            st["tokens"], st["next_logits"], st["k_cache"], st["v_cache"],
-            st["pos"], st["n"], st["budget"], st["gstate"], st["done"],
-            st["rng"], jnp.asarray(slot), row_logits, row_k, row_v,
-            jnp.asarray(min(budget, self.N), jnp.int32), key)
+        (st["tokens"], st["next_logits"], st["h_last"], st["k_cache"],
+         st["v_cache"], st["pos"], st["n"], st["budget"], st["gstate"],
+         st["done"], st["rng"]) = self._admit(
+            st["tokens"], st["next_logits"], st["h_last"], st["k_cache"],
+            st["v_cache"], st["pos"], st["n"], st["budget"], st["gstate"],
+            st["done"], st["rng"], jnp.asarray(slot), row_logits, row_h,
+            row_k, row_v, jnp.asarray(min(budget, self.N), jnp.int32), key)
         self._slots[slot] = req
 
     def _finish_row(self, slot: int, tokens_np, n_np):
@@ -301,13 +391,14 @@ class ContinuousEngine:
             # ---- one decode segment
             st = self.state
             try:
-                (st["tokens"], st["next_logits"], st["k_cache"],
-                 st["v_cache"], st["pos"], st["n"], st["done"], st["gstate"],
-                 st["rng"]) = self._segment(
+                (st["tokens"], st["next_logits"], st["h_last"],
+                 st["k_cache"], st["v_cache"], st["pos"], st["n"],
+                 st["done"], st["gstate"], st["rng"]) = self._segment(
                     self.params, st["tokens"], st["next_logits"],
-                    st["k_cache"], st["v_cache"], st["pos"], st["n"],
-                    st["budget"], st["gstate"], st["done"], st["rng"],
-                    self._active_mask(), jnp.asarray(self.segment_steps))
+                    st["h_last"], st["k_cache"], st["v_cache"], st["pos"],
+                    st["n"], st["budget"], st["gstate"], st["done"],
+                    st["rng"], self._active_mask(),
+                    jnp.asarray(self.segment_steps))
             except Exception as e:  # noqa: BLE001
                 for slot, req in enumerate(self._slots):
                     if req is not None:

@@ -154,3 +154,77 @@ def test_fleet_frontend_two_devices(engine_and_model):
         assert sum(fe.engine.load() for fe in fleet.frontends) == 0
     finally:
         fleet.shutdown()
+
+
+def test_spec_engine_bit_identical_to_vanilla(engine_and_model):
+    """The engine's speculative path (spec_decode + mtp_heads) must produce
+    the same greedy streams as the vanilla engine — draft heads only change
+    how many tokens each verify pass yields. Random (untrained) heads give
+    low acceptance, which stresses the reject/rewrite path."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    _, _, _, base_opt = engine_and_model
+    opt = dataclasses.replace(base_opt, mtp_heads=2, spec_decode=True)
+    model = LMM(opt)
+    conds = jax.random.normal(RNG, (1, opt.point_num, 3))
+    tokens = jnp.array([[1, 6, 7, 8, 2]])
+    labels = jnp.concatenate([jnp.full((1, 18), -100), tokens[:, 1:]], axis=1)
+    params = model.init({"params": RNG, "nof": RNG, "dropout": RNG},
+                        conds, tokens, labels, jnp.array([100]),
+                        jnp.array([23], jnp.int32))
+
+    opt_van = dataclasses.replace(opt, spec_decode=False)
+    eng_spec = ContinuousEngine(model, params, opt, batch=2, segment_steps=8)
+    eng_van = ContinuousEngine(LMM(opt_van), params, opt_van, batch=2,
+                               segment_steps=16)
+    try:
+        for seed in (0, 3):
+            pts = _pts(seed)
+            r_spec = eng_spec.submit(pts, 8, seed=None)
+            r_van = eng_van.submit(pts, 8, seed=None)
+            np.testing.assert_array_equal(trim_eos(r_spec["tokens"]),
+                                          trim_eos(r_van["tokens"]))
+    finally:
+        eng_spec.shutdown()
+        eng_van.shutdown()
+
+
+def test_spec_engine_midflight_admission():
+    """Mid-flight admission still works on the speculative path (a fresh
+    request lands in a free slot while another row is mid-verify)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    opt = Options(cond_mode="point", point_latent_size=16, num_cond_tokens=17,
+                  point_hidden_dim=32, point_num_heads=4, point_latent_dim=8,
+                  hidden_dim=64, num_layers=2, num_heads=4, max_seq_length=512,
+                  use_num_face_cond=True, checkpointing=False, decode_bucket=64,
+                  generate_mode="greedy", point_num=64, mtp_heads=2,
+                  spec_decode=True, test_num_face=(64,))
+    model = LMM(opt)
+    conds = jax.random.normal(RNG, (1, opt.point_num, 3))
+    tokens = jnp.array([[1, 6, 7, 8, 2]])
+    labels = jnp.concatenate([jnp.full((1, 18), -100), tokens[:, 1:]], axis=1)
+    params = model.init({"params": RNG, "nof": RNG, "dropout": RNG},
+                        conds, tokens, labels, jnp.array([100]),
+                        jnp.array([23], jnp.int32))
+    engine = ContinuousEngine(model, params, opt, batch=2, segment_steps=8,
+                              bench_no_eos=True)
+    try:
+        t_done = {}
+
+        def run(name, nf, delay):
+            time.sleep(delay)
+            engine.submit(_pts(hash(name) % 97), nf, seed=None)
+            t_done[name] = time.time()
+
+        a = threading.Thread(target=run, args=("long", 64, 0.0))
+        b = threading.Thread(target=run, args=("short", 2, 0.5))
+        a.start(); b.start(); a.join(); b.join()
+        assert t_done["short"] < t_done["long"], (
+            "short request waited for the long one on the spec path")
+    finally:
+        engine.shutdown()
