@@ -131,8 +131,8 @@ def fused_decode_attention(q, k_cache, v_cache, index,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, 1, hd), lambda b, *_: (b, 0, 0)),  # q
-            pl.BlockSpec(memory_space=pltpu.ANY),          # k_cache (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),          # v_cache (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),          # k_cache (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),          # v_cache (HBM)
         ],
         out_specs=[
             pl.BlockSpec((1, 1, hd), lambda b, *_: (b, 0, 0)),  # out
@@ -381,8 +381,8 @@ def fused_decode_attention_q4(q, kv_vals, scales, index,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, 1, hd), lambda b, *_: (b, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, hd), lambda b, *_: (b, 0, 0)),
@@ -426,8 +426,8 @@ def fused_decode_attention_q8(q, kv_vals, scales, index,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, 1, hd), lambda b, *_: (b, 0, 0)),  # q
-            pl.BlockSpec(memory_space=pltpu.ANY),               # kv int8
-            pl.BlockSpec(memory_space=pltpu.ANY),               # packed scales
+            pl.BlockSpec(memory_space=pl.ANY),               # kv int8
+            pl.BlockSpec(memory_space=pl.ANY),               # packed scales
         ],
         out_specs=[
             pl.BlockSpec((1, 1, hd), lambda b, *_: (b, 0, 0)),
@@ -562,8 +562,8 @@ def fused_decode_attention_multi(q, k_cache, v_cache, index,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, T, hd), lambda b, *_: (b, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, T, hd), lambda b, *_: (b, 0, 0)),
@@ -808,8 +808,8 @@ def fused_decode_attention_q4_multi(q, kv_vals, scales, index,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, T, hd), lambda b, *_: (b, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, T, hd), lambda b, *_: (b, 0, 0)),
@@ -848,8 +848,8 @@ def fused_decode_attention_q8_multi(q, kv_vals, scales, index,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, T, hd), lambda b, *_: (b, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, T, hd), lambda b, *_: (b, 0, 0)),
