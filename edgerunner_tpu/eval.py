@@ -1,0 +1,186 @@
+"""Mesh-quality evaluation metrics (beyond the reference, which has none).
+
+Standard benchmark metrics for generated-vs-ground-truth meshes, as used
+across the mesh-generation literature (MeshGPT, MeshAnything, PolyGen):
+symmetric Chamfer distance, F-score at a distance threshold, and normal
+consistency — all computed on uniform surface point samples. Host-side
+numpy/scipy: evaluation is IO-bound preprocessing, not a TPU workload.
+
+Library use:
+    from edgerunner_tpu.eval import mesh_metrics
+    m = mesh_metrics(gt_v, gt_f, pred_v, pred_f)   # dict of floats
+
+CLI: tools/eval_mesh.py --gt <file|dir> --pred <file|dir>
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _surface_samples(vertices: np.ndarray, faces: np.ndarray, n: int,
+                     rng: np.random.Generator):
+    """Uniform area-weighted surface samples with per-sample face normals.
+    Returns (points [n,3] f32, normals [n,3] f32, unit length)."""
+    v = np.asarray(vertices, np.float64)
+    f = np.asarray(faces, np.int64)
+    tri = v[f]
+    cross = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    area = 0.5 * np.linalg.norm(cross, axis=1)
+    total = area.sum()
+    probs = area / total if total > 0 else np.full(len(f), 1.0 / len(f))
+    choice = rng.choice(len(f), size=n, p=probs)
+    u = rng.random(n)
+    w = rng.random(n)
+    flip = u + w > 1
+    u[flip] = 1 - u[flip]
+    w[flip] = 1 - w[flip]
+    t = tri[choice]
+    pts = t[:, 0] + u[:, None] * (t[:, 1] - t[:, 0]) \
+        + w[:, None] * (t[:, 2] - t[:, 0])
+    nrm = cross[choice]
+    ln = np.linalg.norm(nrm, axis=1, keepdims=True)
+    nrm = np.divide(nrm, np.maximum(ln, 1e-12))
+    return pts.astype(np.float32), nrm.astype(np.float32)
+
+
+def _closest_point_on_tri(p, a, b, c):
+    """Closest point on triangle (a,b,c) to p, all [..., 3] broadcastable
+    (Ericson, Real-Time Collision Detection 5.1.5, vectorized)."""
+    ab = b - a
+    ac = c - a
+    ap = p - a
+    d1 = (ab * ap).sum(-1)
+    d2 = (ac * ap).sum(-1)
+    bp = p - b
+    d3 = (ab * bp).sum(-1)
+    d4 = (ac * bp).sum(-1)
+    cp = p - c
+    d5 = (ab * cp).sum(-1)
+    d6 = (ac * cp).sum(-1)
+
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+    denom = np.where(vc + vb + va != 0, vc + vb + va, 1.0)
+    v_in = vb / denom
+    w_in = vc / denom
+    inside = a + v_in[..., None] * ab + w_in[..., None] * ac
+
+    # edge AB
+    v_ab = np.clip(np.divide(d1, np.where(d1 - d3 != 0, d1 - d3, 1.0)), 0, 1)
+    on_ab = a + v_ab[..., None] * ab
+    # edge AC
+    w_ac = np.clip(np.divide(d2, np.where(d2 - d6 != 0, d2 - d6, 1.0)), 0, 1)
+    on_ac = a + w_ac[..., None] * ac
+    # edge BC
+    num = d4 - d3
+    den = (d4 - d3) + (d5 - d6)
+    w_bc = np.clip(np.divide(num, np.where(den != 0, den, 1.0)), 0, 1)
+    on_bc = b + w_bc[..., None] * (c - b)
+
+    out = inside
+    out = np.where((vc <= 0)[..., None] & (d1 >= 0)[..., None]
+                   & (d3 <= 0)[..., None], on_ab, out)
+    out = np.where((vb <= 0)[..., None] & (d2 >= 0)[..., None]
+                   & (d6 <= 0)[..., None], on_ac, out)
+    out = np.where((va <= 0)[..., None] & ((d4 - d3) >= 0)[..., None]
+                   & ((d5 - d6) >= 0)[..., None], on_bc, out)
+    out = np.where((d1 <= 0)[..., None] & (d2 <= 0)[..., None], a, out)
+    out = np.where((d3 >= 0)[..., None] & (d4 <= d3)[..., None], b, out)
+    out = np.where((d6 >= 0)[..., None] & (d5 <= d6)[..., None], c, out)
+    return out
+
+
+def point_mesh_distance(points: np.ndarray, vertices: np.ndarray,
+                        faces: np.ndarray, k: int = 16) -> np.ndarray:
+    """Distance from each point [N,3] to the mesh surface: exact closest
+    point on each of the k nearest triangles (by centroid KD-tree), min
+    over candidates. Exact when the true nearest triangle is among the k
+    centroid-nearest — k=16 is ample for evaluation meshes."""
+    from scipy.spatial import cKDTree
+
+    p = np.asarray(points, np.float64)
+    tri = np.asarray(vertices, np.float64)[np.asarray(faces, np.int64)]
+    k = min(k, len(tri))
+    _, idx = cKDTree(tri.mean(1)).query(p, k=k)
+    idx = idx.reshape(len(p), k)
+    cand = tri[idx]                                    # [N, k, 3, 3]
+    cp = _closest_point_on_tri(p[:, None], cand[:, :, 0], cand[:, :, 1],
+                               cand[:, :, 2])          # [N, k, 3]
+    d = np.linalg.norm(cp - p[:, None], axis=-1)
+    return d.min(1)
+
+
+def chamfer_l2(a: np.ndarray, b: np.ndarray) -> float:
+    """Symmetric Chamfer distance (mean of squared nearest-neighbor
+    distances, both directions) between point sets a [N,3], b [M,3]."""
+    from scipy.spatial import cKDTree
+
+    da, _ = cKDTree(b).query(a, k=1)
+    db, _ = cKDTree(a).query(b, k=1)
+    return float((da ** 2).mean() + (db ** 2).mean())
+
+
+def fscore(a: np.ndarray, b: np.ndarray, tau: float = 0.01) -> float:
+    """F-score at threshold tau between point sets: harmonic mean of
+    precision (fraction of pred points within tau of GT) and recall (vice
+    versa). a=pred, b=gt. Sampling-limited — prefer the point-to-surface
+    version inside mesh_metrics for mesh pairs."""
+    from scipy.spatial import cKDTree
+
+    dp, _ = cKDTree(b).query(a, k=1)   # pred -> gt
+    dr, _ = cKDTree(a).query(b, k=1)   # gt -> pred
+    precision = float((dp < tau).mean())
+    recall = float((dr < tau).mean())
+    if precision + recall == 0:
+        return 0.0
+    return 2 * precision * recall / (precision + recall)
+
+
+def normal_consistency(a_pts, a_nrm, b_pts, b_nrm) -> float:
+    """Mean |cos| between each sample's normal and its nearest neighbor's
+    normal in the other set (symmetric). Orientation-agnostic (abs): the
+    tokenizer round-trip does not guarantee consistent winding."""
+    from scipy.spatial import cKDTree
+
+    _, ia = cKDTree(b_pts).query(a_pts, k=1)
+    _, ib = cKDTree(a_pts).query(b_pts, k=1)
+    ca = np.abs((a_nrm * b_nrm[ia]).sum(1)).mean()
+    cb = np.abs((b_nrm * a_nrm[ib]).sum(1)).mean()
+    return float((ca + cb) / 2)
+
+
+def mesh_metrics(gt_v, gt_f, pred_v, pred_f, *, n: int = 10000,
+                 tau: float = 0.01, seed: int = 0) -> dict:
+    """All metrics between a GT and a predicted mesh. Meshes should be in
+    a comparable normalization (infer.py outputs live in the same [-0.95,
+    0.95] bound as its inputs). Degenerate predictions (no faces) score
+    chamfer=inf, fscore=0."""
+    gt_f = np.asarray(gt_f)
+    pred_f = np.asarray(pred_f)
+    if len(pred_f) == 0 or len(gt_f) == 0:
+        return {"chamfer_l2": float("inf"), "fscore": 0.0,
+                "normal_consistency": 0.0,
+                "num_faces_gt": int(len(gt_f)),
+                "num_faces_pred": int(len(pred_f))}
+    rng = np.random.default_rng(seed)
+    gp, gn = _surface_samples(gt_v, gt_f, n, rng)
+    pp, pn = _surface_samples(pred_v, pred_f, n, rng)
+    # point-to-SURFACE distances (exact closest-triangle): identical meshes
+    # score 0/1.0 regardless of sample count, unlike sample-to-sample
+    dp = point_mesh_distance(pp, gt_v, gt_f)     # pred samples -> gt surface
+    dr = point_mesh_distance(gp, pred_v, pred_f)  # gt samples -> pred surface
+    precision = float((dp < tau).mean())
+    recall = float((dr < tau).mean())
+    f = (2 * precision * recall / (precision + recall)
+         if precision + recall else 0.0)
+    return {
+        "chamfer_l2": float((dp ** 2).mean() + (dr ** 2).mean()),
+        "fscore": f,
+        "precision": precision,
+        "recall": recall,
+        "normal_consistency": normal_consistency(pp, pn, gp, gn),
+        "num_faces_gt": int(len(gt_f)),
+        "num_faces_pred": int(len(pred_f)),
+    }

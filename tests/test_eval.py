@@ -1,0 +1,73 @@
+"""Mesh-quality metrics (edgerunner_tpu/eval.py + tools/eval_mesh.py)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+from edgerunner_tpu.eval import chamfer_l2, fscore, mesh_metrics
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CUBE_V = np.array([[x, y, z] for x in (-0.5, 0.5) for y in (-0.5, 0.5)
+                   for z in (-0.5, 0.5)], np.float32)
+CUBE_F = np.array([
+    [0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+    [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+    [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3],
+], np.int32)
+
+
+def test_identical_mesh_is_perfect():
+    m = mesh_metrics(CUBE_V, CUBE_F, CUBE_V, CUBE_F, n=4000)
+    assert m["chamfer_l2"] < 1e-10   # point-to-surface: exactly on it
+    assert m["fscore"] == 1.0
+    assert m["normal_consistency"] > 0.95  # cube edges: nn sample can sit on the adjacent face
+
+
+def test_translation_degrades_metrics():
+    near = mesh_metrics(CUBE_V, CUBE_F, CUBE_V + 0.02, CUBE_F, n=4000)
+    far = mesh_metrics(CUBE_V, CUBE_F, CUBE_V + 0.3, CUBE_F, n=4000)
+    assert near["chamfer_l2"] < far["chamfer_l2"]
+    assert near["fscore"] > far["fscore"]
+    # 0.02 offset vs tau=0.01: mostly outside the radius
+    assert near["fscore"] < 0.9
+    assert fscore(CUBE_V, CUBE_V + 0.3, tau=0.01) == 0.0
+
+
+def test_degenerate_prediction():
+    m = mesh_metrics(CUBE_V, CUBE_F, CUBE_V, np.zeros((0, 3), np.int32))
+    assert m["chamfer_l2"] == float("inf")
+    assert m["fscore"] == 0.0
+
+
+def test_chamfer_symmetry_and_scale():
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(500, 3)).astype(np.float32)
+    b = rng.normal(size=(400, 3)).astype(np.float32)
+    assert abs(chamfer_l2(a, b) - chamfer_l2(b, a)) < 1e-6
+    assert chamfer_l2(a, a) < 1e-10
+
+
+def test_cli_pairs_by_stem(tmp_path):
+    from edgerunner_tpu.data.mesh_io import save_obj, save_ply
+
+    gt = tmp_path / "gt"
+    pred = tmp_path / "pred"
+    gt.mkdir(); pred.mkdir()
+    save_obj(str(gt / "cube.obj"), CUBE_V, CUBE_F)
+    # infer.py-style suffixed prediction names
+    save_ply(str(pred / "cube_1000f_0.ply"), CUBE_V + 0.01, CUBE_F)
+    save_ply(str(pred / "cube_1000f_1.ply"), CUBE_V, CUBE_F)
+    out = tmp_path / "m.json"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "eval_mesh.py"),
+         "--gt", str(gt), "--pred", str(pred), "--n", "2000",
+         "--out", str(out)],
+        capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 0, proc.stderr
+    data = json.loads(out.read_text())
+    assert data["aggregate"]["pairs"] == 2
+    assert data["aggregate"]["fscore_mean"] > 0.4

@@ -1,0 +1,108 @@
+"""Evaluate generated meshes against ground truth (Chamfer / F-score / NC).
+
+Pairs files by stem: `--pred out/chair.ply` vs `--gt data/chair.obj`, or
+whole directories (every pred file whose stem prefix-matches a gt stem —
+infer.py emits `<stem>_<faces>f_<k>.ply`, so `chair_1000f_0.ply` matches
+`chair.obj`). Prints one JSON line per pair plus an aggregate.
+
+Usage:
+    python tools/eval_mesh.py --gt data/ --pred out/ [--n 10000]
+        [--tau 0.01] [--out metrics.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+MESH_EXTS = (".obj", ".ply", ".glb", ".gltf", ".off", ".stl")
+
+
+def _collect(path: str) -> dict:
+    """stem -> path for every mesh file under `path` (file or dir)."""
+    if os.path.isfile(path):
+        return {os.path.splitext(os.path.basename(path))[0]: path}
+    out = {}
+    for p in sorted(glob.glob(os.path.join(path, "*"))):
+        if p.lower().endswith(MESH_EXTS):
+            out[os.path.splitext(os.path.basename(p))[0]] = p
+    return out
+
+
+def _match(pred_stem: str, gt_stems: list) -> str | None:
+    """Longest gt stem that prefixes the pred stem (infer.py suffixes)."""
+    best = None
+    for g in gt_stems:
+        if pred_stem == g or pred_stem.startswith(g + "_"):
+            if best is None or len(g) > len(best):
+                best = g
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gt", required=True, help="GT mesh file or directory")
+    ap.add_argument("--pred", required=True, help="pred mesh file or directory")
+    ap.add_argument("--n", type=int, default=10000, help="surface samples")
+    ap.add_argument("--tau", type=float, default=0.01, help="F-score radius")
+    ap.add_argument("--bound", type=float, default=0.0,
+                    help="renormalize BOTH meshes to this bound before "
+                         "comparing (0 = compare as-is)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", type=str, default=None)
+    args = ap.parse_args()
+
+    from edgerunner_tpu.data.mesh_io import load_mesh, normalize_mesh
+    from edgerunner_tpu.eval import mesh_metrics
+
+    gt = _collect(args.gt)
+    pred = _collect(args.pred)
+    if not gt or not pred:
+        sys.exit(f"no meshes found (gt: {len(gt)}, pred: {len(pred)})")
+
+    rows = []
+    for pstem, ppath in pred.items():
+        gstem = _match(pstem, list(gt))
+        if gstem is None:
+            continue
+        gv, gf = load_mesh(gt[gstem])
+        pv, pf = load_mesh(ppath)
+        if args.bound > 0:
+            gv = normalize_mesh(gv, args.bound)
+            if len(pv):
+                pv = normalize_mesh(pv, args.bound)
+        m = mesh_metrics(gv, gf, pv, pf, n=args.n, tau=args.tau,
+                         seed=args.seed)
+        m["pred"] = os.path.basename(ppath)
+        m["gt"] = os.path.basename(gt[gstem])
+        rows.append(m)
+        print(json.dumps(m))
+
+    if not rows:
+        sys.exit("no (pred, gt) pairs matched by stem")
+    finite = [r for r in rows if np.isfinite(r["chamfer_l2"])]
+    agg = {
+        "pairs": len(rows),
+        "degenerate": len(rows) - len(finite),
+        "chamfer_l2_mean": (float(np.mean([r["chamfer_l2"] for r in finite]))
+                            if finite else float("inf")),
+        "fscore_mean": float(np.mean([r["fscore"] for r in rows])),
+        "normal_consistency_mean":
+            float(np.mean([r["normal_consistency"] for r in rows])),
+    }
+    print(json.dumps({"aggregate": agg}))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"rows": rows, "aggregate": agg}, f, indent=1)
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
