@@ -108,9 +108,9 @@ class ResAttBlock(nn.Module):
         def body(mdl, x):
             x = x + SelfAttention(
                 mdl.dim, mdl.num_heads, dtype=mdl.dtype, name="att"
-            )(nn.LayerNorm(dtype=mdl.dtype, name="ln1")(x))
+            )(nn.LayerNorm(epsilon=1e-5, dtype=mdl.dtype, name="ln1")(x))
             x = x + FeedForward(mdl.dim, dtype=mdl.dtype, name="mlp")(
-                nn.LayerNorm(dtype=mdl.dtype, name="ln2")(x)
+                nn.LayerNorm(epsilon=1e-5, dtype=mdl.dtype, name="ln2")(x)
             )
             return x
 
@@ -132,9 +132,9 @@ class ResCrossAttBlock(nn.Module):
         def body(mdl, x, context):
             x = x + CrossAttention(
                 mdl.dim, mdl.num_heads, dtype=mdl.dtype, name="att"
-            )(nn.LayerNorm(dtype=mdl.dtype, name="ln1")(x), context)
+            )(nn.LayerNorm(epsilon=1e-5, dtype=mdl.dtype, name="ln1")(x), context)
             x = x + FeedForward(mdl.dim, dtype=mdl.dtype, name="mlp")(
-                nn.LayerNorm(dtype=mdl.dtype, name="ln2")(x)
+                nn.LayerNorm(epsilon=1e-5, dtype=mdl.dtype, name="ln2")(x)
             )
             return x
 

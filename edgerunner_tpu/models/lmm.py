@@ -45,7 +45,7 @@ class LMM(nn.Module):
             self.image_encoder = CLIPVisionTower(
                 clip_config_from_options(opt, self.dtype), name="image_encoder")
             self.proj_cond = Dense(opt.hidden_dim, dtype=self.dtype, name="proj_cond")
-            self.norm_cond = nn.LayerNorm(name="norm_cond")
+            self.norm_cond = nn.LayerNorm(epsilon=1e-5, name="norm_cond")
         elif opt.cond_mode == "point":
             enc_cls = PointEncoderEmbed if opt.point_encoder_mode == "embed" else PointEncoderFPS
             self.point_encoder = enc_cls(
@@ -58,10 +58,10 @@ class LMM(nn.Module):
                 name="point_encoder",
             )
             self.proj_cond = Dense(opt.hidden_dim, dtype=self.dtype, name="proj_cond")
-            self.norm_cond = nn.LayerNorm(name="norm_cond")
+            self.norm_cond = nn.LayerNorm(epsilon=1e-5, name="norm_cond")
         elif opt.cond_mode == "point_latent":
             self.proj_cond = Dense(opt.hidden_dim, dtype=self.dtype, name="proj_cond")
-            self.norm_cond = nn.LayerNorm(name="norm_cond")
+            self.norm_cond = nn.LayerNorm(epsilon=1e-5, name="norm_cond")
 
         if opt.use_num_face_cond:
             self.embed_num_face = nn.Embed(

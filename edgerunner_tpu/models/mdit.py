@@ -42,7 +42,7 @@ class MDiT(nn.Module):
         self.image_encoder = CLIPVisionTower(
             clip_config_from_options(opt, self.dtype), name="image_encoder")
         self.proj_cond = Dense(opt.dit_hidden_dim, dtype=self.dtype, name="proj_cond")
-        self.norm_cond = nn.LayerNorm(name="norm_cond")
+        self.norm_cond = nn.LayerNorm(epsilon=1e-5, name="norm_cond")
 
         enc_cls = PointEncoderEmbed if opt.point_encoder_mode == "embed" else PointEncoderFPS
         # frozen, pretrained from the ArAE checkpoint (reference:

@@ -71,7 +71,7 @@ class PointEncoderEmbed(nn.Module):
             (1, self.latent_size, self.hidden_dim),
         )
         x = PointEmbed(dim=self.hidden_dim, dtype=self.dtype, name="point_embed")(pts)
-        x = nn.LayerNorm(name="ln")(x).astype(self.dtype)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln")(x).astype(self.dtype)
         q = jnp.broadcast_to(query, (B, self.latent_size, self.hidden_dim)).astype(self.dtype)
         latent = ResCrossAttBlock(
             self.hidden_dim, self.num_heads, dtype=self.dtype, remat=self.remat,
@@ -96,7 +96,7 @@ class PointEncoderFPS(nn.Module):
         from edgerunner_tpu.ops.pointops import farthest_point_sample
 
         embed = PointEmbed(dim=self.hidden_dim, dtype=self.dtype, name="point_embed")
-        x = nn.LayerNorm(name="ln")(embed(pts)).astype(self.dtype)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln")(embed(pts)).astype(self.dtype)
         idx = farthest_point_sample(pts, self.latent_size)  # [B, latent_size]
         query_pts = jnp.take_along_axis(pts, idx[..., None], axis=1)
         q = embed(query_pts)

@@ -343,7 +343,9 @@ class OPTDecoderLayer(nn.Module):
     def setup(self):
         c = self.cfg
         self.self_attn = OPTAttention(c, name="self_attn")
-        self.self_attn_layer_norm = nn.LayerNorm(name="self_attn_layer_norm")
+        # epsilon=1e-5 everywhere a LayerNorm mirrors a torch default-eps one
+        # (torch 1e-5 vs flax 1e-6; reference leaves eps unset outside DiT)
+        self.self_attn_layer_norm = nn.LayerNorm(epsilon=1e-5, name="self_attn_layer_norm")
         if c.moe_experts:
             from edgerunner_tpu.models.moe import MoEMLP
 
@@ -357,7 +359,7 @@ class OPTDecoderLayer(nn.Module):
             D = _dense_cls(c)
             self.fc1 = D(c.intermediate_dim, dtype=c.dtype, name="fc1")
             self.fc2 = D(c.hidden_dim, dtype=c.dtype, name="fc2")
-        self.final_layer_norm = nn.LayerNorm(name="final_layer_norm")
+        self.final_layer_norm = nn.LayerNorm(epsilon=1e-5, name="final_layer_norm")
         self.drop = nn.Dropout(rate=c.dropout)
 
     def _mlp(self, h, deterministic):

@@ -51,6 +51,11 @@ def _fake_reference_lmm_sd(opt) -> dict:
     sd["point_encoder.query_embed"] = r.normal(
         size=(1, opt.point_latent_size, P)).astype(np.float32)
     put("point_encoder.point_embed.mlp", lin(51, P))
+    # the reference registers the frequency basis as a buffer, so it is part
+    # of the state_dict surface (reference point.py:44-51); each row holds
+    # freq//6 powers in one of three axis slots -> [3, freq//2]
+    sd["point_encoder.point_embed.basis"] = r.normal(
+        size=(3, 24)).astype(np.float32)
     put("point_encoder.ln", {"weight": np.ones(P, np.float32),
                              "bias": np.zeros(P, np.float32)})
     for ln in ("ln1", "ln2"):

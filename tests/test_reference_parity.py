@@ -1,0 +1,391 @@
+"""Numerical parity against the ACTUAL reference implementation (torch, CPU).
+
+The converter/exporter suite (test_convert.py) validates the parameter NAME
+surface against hand-built fixtures. Here the reference's own torch modules
+are imported from the reference checkout (heavyweight deps stubbed;
+flash-attn replaced by an exact pure-torch implementation of the same API),
+instantiated at tiny shapes with their own init, and the JAX framework must
+reproduce them end to end:
+
+  * full-LMM teacher-forcing forward: loss_ce / loss_kl / logits on a padded
+    batch (exercises point encoder, cond glue, masked varlen attention path,
+    post-LN decoder, shifted CE — reference models.py:147-202)
+  * greedy generation: IDENTICAL token streams through the reference's HF
+    `generate` + grammar FSM vs this framework's on-device decode engine
+    (the BASELINE.md north star, reference models.py:204-303)
+  * export direction: export_reference_ckpt output loads into the reference
+    model with strict=True and reproduces this framework's logits
+  * DiT denoiser forward incl. the modulated-residual quirk
+    (reference dit.py:100-196)
+
+Torch weights are random-init (no released checkpoints exist,
+reference readme.md:13) — parity over random weights at several shapes is
+exactly what makes conversion of real weights a one-command validation the
+day they appear.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = os.environ.get("EDGERUNNER_REFERENCE", "/root/reference")
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "core")),
+    reason=f"reference checkout not found at {REF}")
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+RNG = jax.random.PRNGKey(0)
+
+TINY = dict(cond_mode="point", point_latent_size=16, num_cond_tokens=17,
+            point_hidden_dim=32, point_num_heads=4, point_latent_dim=8,
+            hidden_dim=64, num_layers=2, num_heads=4, max_seq_length=64,
+            use_num_face_cond=True, checkpointing=False, freeze_encoder=False)
+
+
+def _stub(name, **attrs):
+    import importlib.machinery
+
+    m = types.ModuleType(name)
+    m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    sys.modules[name] = m
+    return m
+
+
+def _exact_sdpa(q, k, v, causal):
+    """Exact softmax attention, flash-attn layout [B, N, H, D]."""
+    import torch.nn.functional as F
+
+    B, N, H, D = q.shape
+    M = k.shape[1]
+    qt = q.permute(0, 2, 1, 3).reshape(B * H, N, D)
+    kt = k.permute(0, 2, 1, 3).reshape(B * H, M, D)
+    vt = v.permute(0, 2, 1, 3).reshape(B * H, M, D)
+    w = torch.bmm(qt, kt.transpose(1, 2)) / (D ** 0.5)
+    if causal and N > 1:
+        # flash-attn causal semantics: bottom-right aligned
+        i = torch.arange(N)[:, None]
+        j = torch.arange(M)[None, :]
+        w = w.masked_fill((j - i > M - N)[None], float("-inf"))
+    w = F.softmax(w, dim=-1)
+    return torch.bmm(w, vt).reshape(B, H, N, D).permute(0, 2, 1, 3)
+
+
+def _install_reference_stubs():
+    """Make the reference importable on this box: stub its CUDA/IO-oriented
+    deps and provide an exact torch implementation of the flash-attn API so
+    the reference's masked varlen path runs (attention.py:70-93)."""
+    import transformers  # noqa: F401  (import BEFORE spec-less stubs)
+
+    _stub("kiui", lo=lambda *a, **k: None)
+    _stub("kiui.mesh_utils", clean_mesh=None, decimate_mesh=None)
+    _stub("kiui.op", recenter=None)
+    _stub("trimesh")
+    _stub("megfile")
+    _stub("tyro", extras=types.SimpleNamespace(
+        subcommand_type_from_defaults=lambda *a, **k: None))
+    _stub("torchvision")
+    _stub("torchvision.transforms")
+    _stub("torchvision.transforms.functional", resize=None, normalize=None)
+
+    def flash_attn_func(q, k, v, dropout_p=0.0, causal=False, **kw):
+        assert dropout_p == 0.0
+        return _exact_sdpa(q, k, v, causal)
+
+    def unpad_input(x, mask):
+        B, N = mask.shape[:2]
+        mask = mask.bool()
+        seqlens = mask.sum(-1, dtype=torch.int32)
+        indices = torch.nonzero(mask.flatten(), as_tuple=False).flatten()
+        cu = torch.cat([torch.zeros(1, dtype=torch.int32),
+                        seqlens.cumsum(0, dtype=torch.int32)])
+        return x.reshape(B * N, *x.shape[2:])[indices], indices, cu, int(
+            seqlens.max())
+
+    def pad_input(x_unpad, indices, B, N):
+        out = torch.zeros(B * N, *x_unpad.shape[1:], dtype=x_unpad.dtype)
+        out[indices] = x_unpad
+        return out.reshape(B, N, *x_unpad.shape[1:])
+
+    def flash_attn_varlen_func(q, k, v, cu_seqlens_q, cu_seqlens_k,
+                               max_seqlen_q, max_seqlen_k, dropout_p=0.0,
+                               causal=False, **kw):
+        assert dropout_p == 0.0
+        out = torch.zeros_like(q)
+        for b in range(len(cu_seqlens_q) - 1):
+            qs, qe = int(cu_seqlens_q[b]), int(cu_seqlens_q[b + 1])
+            ks, ke = int(cu_seqlens_k[b]), int(cu_seqlens_k[b + 1])
+            out[qs:qe] = _exact_sdpa(q[None, qs:qe], k[None, ks:ke],
+                                     v[None, ks:ke], causal)[0]
+        return out
+
+    _stub("flash_attn", flash_attn_func=flash_attn_func,
+          flash_attn_varlen_func=flash_attn_varlen_func)
+    _stub("flash_attn.bert_padding", unpad_input=unpad_input,
+          pad_input=pad_input, index_first_axis=lambda x, idx: x[idx])
+
+
+def _shim_generate_cache(ref_shape_opt_cls):
+    """transformers >= 4.5x seeds generate() with an empty DynamicCache where
+    the 4.46-era reference expected None; translate back to the legacy tuple
+    contract its prepare_inputs_for_generation was written for."""
+    orig = ref_shape_opt_cls.prepare_inputs_for_generation
+    if getattr(orig, "_cache_shimmed", False):
+        return
+
+    def prep(self, input_ids, past_key_values=None, attention_mask=None,
+             inputs_embeds=None, num_tokens=None, **kw):
+        if past_key_values is not None:
+            if hasattr(past_key_values, "to_legacy_cache"):
+                past_key_values = past_key_values.to_legacy_cache()
+            if (len(past_key_values) == 0 or past_key_values[0] is None
+                    or past_key_values[0][0] is None):
+                past_key_values = None
+        return orig(self, input_ids, past_key_values=past_key_values,
+                    attention_mask=attention_mask,
+                    inputs_embeds=inputs_embeds, num_tokens=num_tokens, **kw)
+
+    prep._cache_shimmed = True
+    ref_shape_opt_cls.prepare_inputs_for_generation = prep
+
+
+@pytest.fixture(scope="module")
+def ref_env():
+    """Imported reference modules + paired (reference, converted-JAX) tiny
+    LMMs sharing the reference's randomly initialized weights."""
+    _install_reference_stubs()
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+
+    from core.models import LMM as RefLMM  # noqa: PLC0415
+    from core.options import Options as RefOptions  # noqa: PLC0415
+    from core.transformer.modeling_opt import ShapeOPT as RefShapeOPT  # noqa: PLC0415
+    import core.models as ref_models  # noqa: PLC0415
+
+    # generate() ends in save_mesh (trimesh detokenize) — not under test here
+    ref_models.save_mesh = lambda *a, **k: None
+    _shim_generate_cache(RefShapeOPT)
+
+    from edgerunner_tpu.config import Options  # noqa: PLC0415
+    from edgerunner_tpu.models.lmm import LMM  # noqa: PLC0415
+    from edgerunner_tpu.train.checkpoint import (  # noqa: PLC0415
+        init_lmm_params, tolerant_merge)
+    from convert_reference_ckpt import convert_lmm  # noqa: PLC0415
+
+    torch.manual_seed(0)
+    ref_opt = RefOptions(generate_mode="greedy", **TINY)
+    our_opt = Options(mixed_precision="no", generate_mode="greedy", **TINY)
+    ref = RefLMM(ref_opt).eval()
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    tree = convert_lmm(sd)
+    model = LMM(our_opt)
+    params = init_lmm_params(model, our_opt, RNG)
+    problems = []
+    merged = tolerant_merge(params, tree, log=lambda m: problems.append(m))
+    bad = [m for m in problems
+           if "mismatch" in m or "unexpected" in m or "missing" in m]
+    assert not bad, bad
+
+    return types.SimpleNamespace(ref=ref, ref_opt=ref_opt, model=model,
+                                 opt=our_opt, params=merged, sd=sd)
+
+
+def _padded_batch(opt, B=2, M=12):
+    r = np.random.default_rng(0)
+    C = opt.num_cond_tokens
+    V = opt.discrete_bins + 6
+    conds = r.normal(size=(B, 64, 3)).astype(np.float32)
+    lens = np.array([C + 1 + M + 1, C + 1 + M - 3], np.int64)[:B]
+    tokens = np.zeros((B, 1 + M + 1), np.int64)
+    tokens[:, 0] = 1
+    tokens[:, 1:M + 1] = r.integers(6, V, size=(B, M))
+    tokens[0, M + 1] = 2
+    if B > 1:
+        tokens[1, M - 3:] = 0
+        tokens[1, M - 4] = 2
+    labels = np.full((B, C + 1 + M + 1), -100, np.int64)
+    for b in range(B):
+        labels[b, C + 1:lens[b]] = tokens[b, 1:lens[b] - C]
+    masks = np.zeros((B, C + 1 + M + 1), bool)
+    for b in range(B):
+        masks[b, :lens[b]] = True
+    num_faces = np.array([100, 700], np.int64)[:B]
+    return conds, tokens, labels, masks, lens, num_faces
+
+
+def test_lmm_forward_parity(ref_env):
+    """Same weights, same padded batch: reference torch forward and this
+    framework agree on loss_ce, loss_kl, and every valid-position logit."""
+    conds, tokens, labels, masks, lens, num_faces = _padded_batch(ref_env.opt)
+
+    with torch.no_grad():
+        out_ref = ref_env.ref({
+            "conds": torch.tensor(conds), "tokens": torch.tensor(tokens),
+            "labels": torch.tensor(labels), "masks": torch.tensor(masks),
+            "num_faces": torch.tensor(num_faces),
+            "num_tokens": torch.tensor(lens)})
+
+    out = ref_env.model.apply(
+        ref_env.params, conds, tokens.astype(np.int32),
+        labels.astype(np.int32), num_faces.astype(np.int32),
+        lens.astype(np.int32))
+
+    np.testing.assert_allclose(float(out["loss_ce"]),
+                               float(out_ref["loss_ce"]), rtol=2e-5)
+    np.testing.assert_allclose(float(out["loss_kl"]),
+                               float(out_ref["loss_kl"]), rtol=1e-3)
+    lr = out_ref["logits"].numpy()
+    lo = np.asarray(out["logits"], np.float32)
+    assert lr.shape == lo.shape
+    for b in range(lr.shape[0]):
+        np.testing.assert_allclose(lo[b, :lens[b]], lr[b, :lens[b]],
+                                   atol=5e-4, rtol=1e-3)
+
+
+def test_greedy_token_streams_identical(ref_env):
+    """North star (BASELINE.md): greedy decode produces IDENTICAL token
+    streams — the reference's HF generate loop + Python grammar FSM vs this
+    framework's static-KV on-device decode with the on-device FSM."""
+    from edgerunner_tpu.generate import generate_tokens  # noqa: PLC0415
+
+    r = np.random.default_rng(7)
+    for num_faces, seed in ((8, 0), (12, 1)):
+        conds = r.normal(size=(1, 64, 3)).astype(np.float32)
+        with torch.no_grad():
+            _, all_tokens = ref_env.ref.generate(
+                torch.tensor(conds), num_faces=num_faces,
+                tokenizer=object(),  # truthy -> meto grammar FSM
+                max_new_tokens=64, clean=False)
+        rtok = np.asarray(all_tokens[0])
+
+        ours = np.asarray(generate_tokens(
+            ref_env.model, ref_env.params, conds, num_faces=num_faces,
+            max_new_tokens=64)[0])
+
+        n = len(rtok)
+        assert n > 4, f"reference produced a trivial stream: {rtok}"
+        np.testing.assert_array_equal(
+            ours[:n], rtok,
+            err_msg=f"greedy stream diverged (num_faces={num_faces})")
+        # ours PAD-fills after EOS — nothing extra may follow
+        if rtok[-1] == 2:
+            assert (ours[n:] == 0).all()
+
+
+def test_greedy_streams_identical_lr_backend(ref_env):
+    """Same north-star check on the LR backend (vocab 2*bins+6, residual
+    coordinate tokens — reference models.py:78-80): greedy streams from the
+    reference HF loop and our decode engine are identical."""
+    from core.models import LMM as RefLMM  # noqa: PLC0415
+    from core.options import Options as RefOptions  # noqa: PLC0415
+    from convert_reference_ckpt import convert_lmm  # noqa: PLC0415
+    from edgerunner_tpu.config import Options  # noqa: PLC0415
+    from edgerunner_tpu.generate import generate_tokens  # noqa: PLC0415
+    from edgerunner_tpu.models.lmm import LMM  # noqa: PLC0415
+    from edgerunner_tpu.train.checkpoint import (  # noqa: PLC0415
+        init_lmm_params, tolerant_merge)
+
+    torch.manual_seed(4)
+    kw = dict(TINY, meto_backend="LR")
+    ref = RefLMM(RefOptions(generate_mode="greedy", **kw)).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    opt = Options(mixed_precision="no", generate_mode="greedy", **kw)
+    model = LMM(opt)
+    merged = tolerant_merge(init_lmm_params(model, opt, RNG),
+                            convert_lmm(sd), log=lambda m: None)
+
+    conds = np.random.default_rng(11).normal(size=(1, 64, 3)).astype(
+        np.float32)
+    with torch.no_grad():
+        _, all_tokens = ref.generate(torch.tensor(conds), num_faces=8,
+                                     tokenizer=object(), max_new_tokens=64,
+                                     clean=False)
+    rtok = np.asarray(all_tokens[0])
+    ours = np.asarray(generate_tokens(model, merged, conds, num_faces=8,
+                                      max_new_tokens=64)[0])
+    assert len(rtok) > 4
+    np.testing.assert_array_equal(ours[:len(rtok)], rtok)
+
+
+def test_export_loads_into_reference(ref_env):
+    """Export direction: export_reference_ckpt's state_dict loads into the
+    REAL reference module with strict=True and reproduces this framework's
+    logits (reference main.py:63-93 load semantics)."""
+    from core.models import LMM as RefLMM  # noqa: PLC0415
+    from core.options import Options as RefOptions  # noqa: PLC0415
+    from export_reference_ckpt import export_lmm  # noqa: PLC0415
+    from edgerunner_tpu.train.checkpoint import init_lmm_params  # noqa: PLC0415
+
+    # fresh JAX-side random init (NOT the reference's weights)
+    params = init_lmm_params(ref_env.model, ref_env.opt,
+                             jax.random.PRNGKey(3))
+    sd = export_lmm(params)
+
+    torch.manual_seed(1)
+    ref2 = RefLMM(RefOptions(**TINY)).eval()
+    missing_unexpected = ref2.load_state_dict(
+        {k: torch.tensor(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=True)
+    assert not missing_unexpected.missing_keys
+    assert not missing_unexpected.unexpected_keys
+
+    conds, tokens, labels, masks, lens, num_faces = _padded_batch(
+        ref_env.opt, B=1)
+    with torch.no_grad():
+        out_ref = ref2({
+            "conds": torch.tensor(conds), "tokens": torch.tensor(tokens),
+            "labels": torch.tensor(labels), "masks": torch.tensor(masks),
+            "num_faces": torch.tensor(num_faces),
+            "num_tokens": torch.tensor(lens)})
+    out = ref_env.model.apply(params, conds, tokens.astype(np.int32),
+                              labels.astype(np.int32),
+                              num_faces.astype(np.int32),
+                              lens.astype(np.int32))
+    np.testing.assert_allclose(float(out["loss_ce"]),
+                               float(out_ref["loss_ce"]), rtol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(out["logits"], np.float32)[0, :lens[0]],
+        out_ref["logits"].numpy()[0, :lens[0]], atol=5e-4, rtol=1e-3)
+
+
+def test_dit_denoiser_parity(ref_env):
+    """DiT forward incl. the modulated-residual quirk (reference
+    dit.py:123-139: the attn1 residual reuses the adaLN-modulated stream)."""
+    from core.transformer.dit import DiT as RefDiT  # noqa: PLC0415
+    from convert_reference_ckpt import convert_mdit  # noqa: PLC0415
+    from edgerunner_tpu.models.dit import DiT  # noqa: PLC0415
+
+    torch.manual_seed(2)
+    H, NH, LS, LD, NL = 32, 4, 16, 8, 2
+    ref_dit = RefDiT(hidden_dim=H, num_heads=NH, latent_size=LS,
+                     latent_dim=LD, num_layers=NL,
+                     gradient_checkpointing=False).eval()
+    sd = {f"dit.{k}": v.detach().numpy()
+          for k, v in ref_dit.state_dict().items()}
+    dit_params = convert_mdit(sd)["params"]["dit"]
+
+    r = np.random.default_rng(5)
+    x = r.normal(size=(2, LS, LD)).astype(np.float32)
+    c = r.normal(size=(2, 5, H)).astype(np.float32)
+    t = np.array([17, 901], np.int64)
+
+    with torch.no_grad():
+        want = ref_dit(torch.tensor(x), torch.tensor(c),
+                       torch.tensor(t)).numpy()
+
+    ours = DiT(hidden_dim=H, num_heads=NH, latent_size=LS, latent_dim=LD,
+               num_layers=NL)
+    got = np.asarray(ours.apply({"params": dit_params}, x, c,
+                                t.astype(np.int32)), np.float32)
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)

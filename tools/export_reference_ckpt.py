@@ -51,6 +51,15 @@ def _res_cross_att_block(sd, prefix, tree):
 
 def _point_encoder(sd, prefix, tree):
     _linear(sd, prefix + ".point_embed.mlp", tree["point_embed"]["mlp"])
+    # the reference registers its fixed power-of-2 frequency basis as a
+    # BUFFER (reference point.py:44-51), so it appears in state_dicts; emit
+    # it so strict=True loads succeed (the JAX side computes it on the fly)
+    freq = _np(tree["point_embed"]["mlp"]["kernel"]).shape[0] - 3
+    e = (2.0 ** np.arange(freq // 6, dtype=np.float32)) * np.pi
+    z = np.zeros(freq // 6, np.float32)
+    sd[prefix + ".point_embed.basis"] = np.stack([
+        np.concatenate([e, z, z]), np.concatenate([z, e, z]),
+        np.concatenate([z, z, e])])
     _layernorm(sd, prefix + ".ln", tree["ln"])
     _res_cross_att_block(sd, prefix + ".cross_att", tree["cross_att"])
     _linear(sd, prefix + ".linear", tree["linear"])
