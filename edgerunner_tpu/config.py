@@ -201,6 +201,14 @@ class Options:
     # int8 decoder projection weights for decoding (weight-only quantization,
     # per-output-column scales; halves the per-step weight HBM traffic)
     w_quant: bool = False
+    # LoRA fine-tuning: rank of the additive low-rank adapters on every
+    # decoder projection (0 = off). With lora_rank > 0 the trainer updates
+    # ONLY the adapters — the standard flow is --resume base.ckpt
+    # --lora_rank 8, then tools/merge_lora.py to fold the adapters back
+    # into the base weights for adapter-free (and quantizable) serving.
+    lora_rank: int = 0
+    # LoRA scaling numerator: the adapter delta is (xA)B * lora_alpha/rank
+    lora_alpha: float = 16.0
     # Medusa-style multi-token-prediction draft heads: head k predicts token
     # t+2+k; enables speculative decoding (--spec_decode). 0 = off.
     mtp_heads: int = 0
@@ -414,6 +422,14 @@ def validate(opt: Options) -> Options:
         assert opt.moe_experts % opt.ep_size == 0, (
             f"moe_experts ({opt.moe_experts}) must divide by ep_size "
             f"({opt.ep_size})")
+    if opt.lora_rank:
+        assert opt.lora_rank > 0, f"lora_rank must be >= 0, got {opt.lora_rank}"
+        assert not opt.w_quant, (
+            "lora_rank and w_quant are mutually exclusive: merge the "
+            "adapters first (tools/merge_lora.py), then serve with --w_quant")
+        assert not opt.moe_experts, (
+            "lora_rank with moe_experts adapts only the attention "
+            "projections (the MoE MLP has no LoRA path); unsupported for now")
     if (opt.max_seq_length + opt.num_cond_tokens > 16384
             and opt.checkpointing and not opt.remat_prevent_cse):
         print("[WARN] long-context training with remat_prevent_cse=false: "

@@ -25,6 +25,80 @@ class Dense(nn.Dense):
     kernel_init: Callable = dense_init
 
 
+class LoRADense(nn.Module):
+    """Dense with an additive low-rank adapter: y = xW + b + (xA)B * α/r.
+
+    The base params keep Dense's names (`kernel`/`bias`) and the adapters
+    (`lora_a`/`lora_b`) live in the SAME module scope, so a full checkpoint
+    trained without LoRA tolerant-merges straight into a LoRA-enabled model:
+    base weights load, adapters stay at init — and `lora_b` initializes to
+    zeros, so a freshly-adapted model is exactly the base model.
+
+    Fine-tuning recipe: `--resume base.ckpt --lora_rank r` trains only the
+    adapters (train/state.py masks everything else to zero-update); fold
+    them back with `tools/merge_lora.py` (W += AB·α/r) for adapter-free
+    serving, including under --w_quant.
+
+    The reference has no parameter-efficient fine-tuning; this is a
+    production extension (LoRA, Hu et al. 2021).
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+    kernel_init: Callable = dense_init
+    rank: int = 8
+    alpha: float = 16.0
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (in_dim, self.features), jnp.float32)
+        xc = x.astype(self.dtype)
+        y = xc @ kernel.astype(self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        a = self.param("lora_a", dense_init, (in_dim, self.rank), jnp.float32)
+        b = self.param("lora_b", nn.initializers.zeros,
+                       (self.rank, self.features), jnp.float32)
+        scale = jnp.asarray(self.alpha / self.rank, self.dtype)
+        return y + (xc @ a.astype(self.dtype)) @ b.astype(self.dtype) * scale
+
+
+def merge_lora_tree(params, alpha: float = 16.0):
+    """Fold LoRA adapters into their base kernels: W += AB·α/r.
+
+    Walks the param pytree; any dict holding kernel + lora_a + lora_b is
+    rewritten to the merged kernel with the adapters dropped — the result
+    is a plain (lora_rank=0 / Dense) checkpoint, bit-compatible with the
+    base model layout, ready for --w_quant or export. Works on both the
+    per-layer and the scan_layers-stacked ([L, in, r] @ [L, r, out]) layouts.
+    The rank is read off lora_a's trailing dim; pass the lora_alpha the
+    adapters were trained with.
+    """
+    from collections.abc import Mapping
+
+    def rec(node):
+        if not isinstance(node, Mapping):
+            return node
+        if "kernel" in node and "lora_a" in node and "lora_b" in node:
+            a = jnp.asarray(node["lora_a"], jnp.float32)
+            b = jnp.asarray(node["lora_b"], jnp.float32)
+            k = jnp.asarray(node["kernel"], jnp.float32)
+            merged = (k + jnp.matmul(a, b) * (alpha / a.shape[-1])).astype(
+                node["kernel"].dtype)
+            out = {kk: rec(vv) for kk, vv in node.items()
+                   if kk not in ("lora_a", "lora_b")}
+            out["kernel"] = merged
+            return out
+        return {kk: rec(vv) for kk, vv in node.items()}
+
+    return rec(params)
+
+
 class SelfAttention(nn.Module):
     """Fused-QKV multi-head self-attention."""
 

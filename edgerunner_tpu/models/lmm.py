@@ -89,6 +89,8 @@ class LMM(nn.Module):
             kv_bits=opt.kv_bits,
             kv_group=opt.kv_group,
             w_quant=opt.w_quant,
+            lora_rank=opt.lora_rank,
+            lora_alpha=opt.lora_alpha,
             mtp_heads=opt.mtp_heads,
             scan_layers=opt.scan_layers or opt.pp_size > 1,
             moe_experts=opt.moe_experts,

@@ -32,8 +32,20 @@ from edgerunner_tpu.ops.w_quant import QuantDense
 
 def _dense_cls(cfg):
     """Projection layer class: int8-kernel QuantDense under w_quant
-    (inference-only; see ops/w_quant.py), plain Dense otherwise."""
-    return QuantDense if cfg.w_quant else Dense
+    (inference-only; see ops/w_quant.py), LoRADense under lora_rank
+    (parameter-efficient fine-tuning; see models/layers.py), plain Dense
+    otherwise. w_quant + lora is rejected in config.validate — merge the
+    adapters first (tools/merge_lora.py), then quantize."""
+    if cfg.w_quant:
+        return QuantDense
+    if cfg.lora_rank:
+        import functools
+
+        from edgerunner_tpu.models.layers import LoRADense
+
+        return functools.partial(LoRADense, rank=cfg.lora_rank,
+                                 alpha=cfg.lora_alpha)
+    return Dense
 
 
 @dataclasses.dataclass(frozen=True)
@@ -69,6 +81,12 @@ class ShapeOPTConfig:
     # scale per attention head) — tightens int4 numerics, same DMA traffic
     kv_group: int = 0
     w_quant: bool = False   # int8 projection weights for decode
+    # LoRA adapters on every decoder projection (q/k/v/out, fc1/fc2):
+    # rank-r additive deltas in the SAME param scope as the base kernels,
+    # so base checkpoints load unchanged. 0 = off. Training masks all
+    # non-adapter updates to zero (train/state.py LORA_TRAINABLE_KEYS).
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
     # multi-token-prediction draft heads (Medusa-style) for speculative
     # decoding: head k predicts token t+2+k from the hidden state at t.
     # 0 disables. Heads are a zero-init residual block + the shared lm_head,

@@ -142,6 +142,13 @@ TP_RULES: list[tuple[str, P]] = [
     (r".*/fc_out/kernel", P("tp", None)),
     # embeddings / lm head: shard the vocab/feature-out dim
     (r".*/lm_head/kernel", P(None, "tp")),
+    # LoRA adapters follow their base kernel's sharded dim: the rank dim is
+    # tiny and stays replicated; lora_b of a column-parallel kernel shards
+    # its output columns, lora_a of a row-parallel kernel its input rows
+    (r".*(self_attn|att)/(q_proj|k_proj|v_proj|qkv_proj)/lora_b", P(None, "tp")),
+    (r".*(self_attn|att)/out_proj/lora_a", P("tp", None)),
+    (r".*/fc1/lora_b", P(None, "tp")),
+    (r".*/fc2/lora_a", P("tp", None)),
 ]
 
 

@@ -76,6 +76,11 @@ def _subtree_mask(params, keys: tuple, value_inside: bool):
     return jax.tree_util.tree_map_with_path(mark, params)
 
 
+# Leaf names that stay trainable under LoRA fine-tuning (everything else
+# is masked to zero-update; see models/layers.py LoRADense)
+LORA_TRAINABLE_KEYS = ("lora_a", "lora_b")
+
+
 def make_optimizer(opt, total_steps: int, frozen_keys: tuple = (),
                    ) -> tuple[optax.GradientTransformation, Callable]:
     schedule = cosine_warmup_schedule(
@@ -84,7 +89,17 @@ def make_optimizer(opt, total_steps: int, frozen_keys: tuple = (),
     # (1.4GB on the 0.68B flagship) at negligible quality cost
     adamw = optax.adamw(schedule, b1=0.9, b2=0.95,
                         weight_decay=opt.weight_decay, mu_dtype=jnp.bfloat16)
-    if frozen_keys:
+    if getattr(opt, "lora_rank", 0):
+        # parameter-efficient fine-tuning: ONLY the adapters update — the
+        # inverse of frozen_keys (train-inside rather than freeze-inside);
+        # subsumes any frozen_keys (non-adapter params are already frozen)
+        adamw = optax.chain(
+            optax.masked(adamw,
+                         lambda p: _subtree_mask(p, LORA_TRAINABLE_KEYS, True)),
+            optax.masked(optax.set_to_zero(),
+                         lambda p: _subtree_mask(p, LORA_TRAINABLE_KEYS, False)),
+        )
+    elif frozen_keys:
         adamw = optax.chain(
             optax.masked(adamw, lambda p: _subtree_mask(p, frozen_keys, False)),
             optax.masked(optax.set_to_zero(),

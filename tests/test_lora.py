@@ -1,0 +1,173 @@
+"""LoRA fine-tuning: adapter init is a no-op, only adapters train, merge is
+exact, TP shardings apply, decode works with adapters.
+
+The reference has no parameter-efficient fine-tuning — this is a production
+extension (see models/layers.py LoRADense)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from edgerunner_tpu.config import Options, validate
+from edgerunner_tpu.models.layers import merge_lora_tree
+from edgerunner_tpu.models.lmm import LMM
+from edgerunner_tpu.parallel import batch_sharding, make_mesh, param_shardings
+from edgerunner_tpu.train.checkpoint import init_lmm_params, tolerant_merge
+from edgerunner_tpu.train.state import (
+    create_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+
+RNG = jax.random.PRNGKey(0)
+
+
+def tiny_opt(**kw):
+    base = dict(
+        cond_mode="point", point_latent_size=16, num_cond_tokens=17,
+        point_hidden_dim=32, point_num_heads=4, point_latent_dim=8,
+        hidden_dim=64, num_layers=2, num_heads=4, max_seq_length=256,
+        use_num_face_cond=True, checkpointing=False, point_num=64,
+        batch_size=8, num_workers=2, testset_size=4,
+    )
+    base.update(kw)
+    return Options(**base)
+
+
+def _make_batch(opt, B=8, M=24):
+    rng = np.random.default_rng(0)
+    C = opt.num_cond_tokens
+    return {
+        "conds": rng.normal(size=(B, opt.point_num, 3)).astype(np.float32),
+        "tokens": np.concatenate([np.full((B, 1), 1), np.full((B, M), 7),
+                                  np.full((B, 1), 2)], 1).astype(np.int32),
+        "labels": np.concatenate([np.full((B, C + 1), -100), np.full((B, M), 7),
+                                  np.full((B, 1), 2)], 1).astype(np.int32),
+        "lengths": np.full((B,), C + 1 + M + 1, np.int32),
+        "num_faces": np.full((B,), 500, np.int32),
+    }
+
+
+def _lora_leaves(params):
+    out = {}
+
+    def walk(path, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(path + (k,), v)
+        elif path[-1] in ("lora_a", "lora_b"):
+            out[path] = node
+
+    walk((), params if isinstance(params, dict) else dict(params))
+    return out
+
+
+def test_fresh_adapters_are_noop_on_a_base_checkpoint():
+    """tolerant_merge of a lora_rank=0 checkpoint into a lora-enabled model
+    loads every base weight; lora_b inits to zeros, so the adapted model's
+    logits equal the base model's exactly."""
+    base_opt = tiny_opt()
+    base_model = LMM(base_opt)
+    base_params = init_lmm_params(base_model, base_opt, RNG)
+
+    lora_opt = tiny_opt(lora_rank=4)
+    lora_model = LMM(lora_opt)
+    lora_params = init_lmm_params(lora_model, lora_opt, jax.random.PRNGKey(1))
+    assert _lora_leaves(lora_params), "lora params missing from the tree"
+    merged = tolerant_merge(lora_params, base_params, log=lambda *a: None)
+
+    batch = _make_batch(base_opt, B=2)
+    base_out = make_eval_step(base_model)(base_params, batch)
+    lora_out = make_eval_step(lora_model)(merged, batch)
+    np.testing.assert_array_equal(np.asarray(base_out["logits"]),
+                                  np.asarray(lora_out["logits"]))
+
+
+def test_training_updates_only_adapters_and_merge_is_exact():
+    opt = tiny_opt(lora_rank=4, lora_alpha=8.0)
+    model = LMM(opt)
+    params = init_lmm_params(model, opt, RNG)
+    tx, _ = make_optimizer(opt, total_steps=20)
+    state = create_train_state(params, tx)
+    step = jax.jit(make_train_step(model, tx))
+
+    batch = _make_batch(opt)
+    losses = []
+    for i in range(4):
+        state, metrics = step(state, batch, RNG)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0], f"adapter-only loss did not decrease: {losses}"
+
+    # base weights are bit-identical; both adapter matrices moved
+    # (lora_b moves on step 1; its nonzero value unlocks lora_a's grad)
+    before, after = _lora_leaves(params), _lora_leaves(state.params)
+    for path in after:
+        if path[-1] == "lora_b":
+            assert np.abs(np.asarray(after[path])).max() > 0
+
+    def assert_base_frozen(p0, p1, path=()):
+        if isinstance(p0, dict):
+            for k in p0:
+                assert_base_frozen(p0[k], p1[k], path + (k,))
+        elif path[-1] not in ("lora_a", "lora_b"):
+            np.testing.assert_array_equal(
+                np.asarray(p0), np.asarray(p1),
+                err_msg=f"base param {'/'.join(path)} changed under LoRA")
+
+    assert_base_frozen(params, state.params)
+
+    # merging folds the adapters into the kernels exactly
+    merged = merge_lora_tree(state.params, alpha=opt.lora_alpha)
+    assert not _lora_leaves(merged)
+    base_model = LMM(tiny_opt())
+    lora_loss = float(make_eval_step(model)(state.params, batch)["loss"])
+    merged_loss = float(make_eval_step(base_model)(merged, batch)["loss"])
+    np.testing.assert_allclose(merged_loss, lora_loss, rtol=2e-5)
+
+
+def test_lora_under_tensor_parallelism():
+    opt = tiny_opt(lora_rank=4, tp_size=2)
+    model = LMM(opt)
+    mesh = make_mesh(-1, 2)
+    params = init_lmm_params(model, opt, RNG)
+    sh = param_shardings(params, mesh)
+    params = jax.tree.map(lambda x, s: jax.device_put(x, s), params, sh)
+    tx, _ = make_optimizer(opt, total_steps=20)
+    state = create_train_state(params, tx)
+    step = jax.jit(make_train_step(model, tx))
+    batch = {k: jax.device_put(v, batch_sharding(mesh))
+             for k, v in _make_batch(opt).items()}
+    _, metrics = step(state, batch, RNG)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_decode_with_adapters_matches_merged_decode():
+    from edgerunner_tpu.generate import generate_tokens
+
+    opt = tiny_opt(lora_rank=4, max_seq_length=512, decode_bucket=64,
+                   generate_mode="greedy")
+    model = LMM(opt)
+    params = init_lmm_params(model, opt, RNG)
+    # make the adapters matter: random lora_b instead of zeros
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, x: (jax.random.normal(RNG, x.shape, x.dtype) * 0.1
+                      if getattr(p[-1], "key", None) == "lora_b" else x),
+        params)
+    conds = np.random.default_rng(0).normal(size=(1, opt.point_num, 3)).astype(np.float32)
+    toks_lora = np.asarray(generate_tokens(
+        model, params, conds, num_faces=20, rng=RNG, max_new_tokens=64))
+
+    merged = merge_lora_tree(params, alpha=opt.lora_alpha)
+    base_model = LMM(tiny_opt(max_seq_length=512, decode_bucket=64,
+                              generate_mode="greedy"))
+    toks_merged = np.asarray(generate_tokens(
+        base_model, merged, conds, num_faces=20, rng=RNG, max_new_tokens=64))
+    np.testing.assert_array_equal(toks_lora, toks_merged)
+
+
+def test_lora_excludes_w_quant():
+    with pytest.raises(AssertionError):
+        validate(tiny_opt(lora_rank=4, w_quant=True))

@@ -1,0 +1,51 @@
+"""Fold trained LoRA adapters back into the base weights.
+
+Usage:
+    python tools/merge_lora.py --ckpt workspace/ckpt/latest/params \
+        --out workspace/ckpt/merged --lora_alpha 16
+
+The output is a plain (lora_rank=0) checkpoint: load it with --resume and
+NO --lora_rank flag, quantize it with --w_quant, or export it to the
+reference format (tools/export_reference_ckpt.py). Merging is exact up to
+one fp32 matmul per projection — the adapted model and the merged model
+produce the same logits (tests/test_lora.py asserts this).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--ckpt", required=True, help="checkpoint dir with LoRA params")
+    ap.add_argument("--out", required=True, help="output checkpoint dir")
+    ap.add_argument("--lora_alpha", type=float, default=16.0,
+                    help="the lora_alpha the adapters were trained with")
+    args = ap.parse_args()
+
+    from edgerunner_tpu.models.layers import merge_lora_tree
+    from edgerunner_tpu.train.checkpoint import restore_pytree, save_pytree
+
+    params = restore_pytree(args.ckpt)
+    merged = merge_lora_tree(params, alpha=args.lora_alpha)
+
+    import jax
+
+    n_before = len(jax.tree_util.tree_leaves(params))
+    n_after = len(jax.tree_util.tree_leaves(merged))
+    if n_before == n_after:
+        print("[WARN] no lora_a/lora_b leaves found — nothing merged")
+    else:
+        print(f"[INFO] merged {(n_before - n_after) // 2} adapters "
+              f"({n_before} -> {n_after} leaves)")
+    save_pytree(args.out, merged)
+    print(f"[INFO] wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
