@@ -120,6 +120,12 @@ class Options:
     eval_mode: Literal["none", "loss", "generate"] = "loss"
     debug_eval: bool = False
     warmup_ratio: float = 0.01
+    # exponential moving average of the weights (0 = off): ema <- ema*d +
+    # params*(1-d) after every optimizer step. Standard for diffusion
+    # training (the reference has none); saved as an `ema/` tree next to
+    # each checkpoint's `model/` — generate with --resume ws/ema. Typical:
+    # 0.999 (DiT), 0.9999 for long runs.
+    ema_decay: float = 0.0
     use_wandb: bool = False
     # persist optimizer state with each epoch checkpoint (resumable training;
     # disable on slow-transfer links where the upload dominates epoch time)

@@ -153,6 +153,7 @@ class CheckpointManager:
         self.async_save = async_save
         self._ckptr_model = ocp.StandardCheckpointer() if async_save else None
         self._ckptr_opt = ocp.StandardCheckpointer() if async_save else None
+        self._ckptr_ema = ocp.StandardCheckpointer() if async_save else None
         self._pending = None
 
     def wait(self, log=print):
@@ -162,19 +163,21 @@ class CheckpointManager:
             return
         self._ckptr_model.wait_until_finished()
         self._ckptr_opt.wait_until_finished()
+        self._ckptr_ema.wait_until_finished()
         if self._pending is not None:
             pending, self._pending = self._pending, None
             pending(log)
 
     def _save(self, tag: str, params: Any, opt_state: Any = None,
               loss: Optional[float] = None, train_state: Optional[dict] = None,
-              log=print):
+              ema: Any = None, log=print):
         save_dir = os.path.join(self.workspace, tag)
         # multi-host: orbax saves are collective (all processes call
         # save_pytree), but the bookkeeping below — train_state.json,
         # latest symlink, best copy, pruning — must run on one process
         # or it races on shared storage
         primary = jax.process_index() == 0
+        has_ema = ema is not None
         if self.async_save:
             self.wait(log)  # finish + bookkeep the previous save first
             save_pytree(os.path.join(save_dir, "model"), params,
@@ -182,19 +185,24 @@ class CheckpointManager:
             if opt_state is not None:
                 save_pytree(os.path.join(save_dir, "opt_state"), opt_state,
                             ckptr=self._ckptr_opt, wait=False)
+            if has_ema:
+                save_pytree(os.path.join(save_dir, "ema"), ema,
+                            ckptr=self._ckptr_ema, wait=False)
             if primary:
                 self._pending = (lambda lg: self._bookkeep(
-                    tag, save_dir, loss, train_state, lg))
+                    tag, save_dir, loss, train_state, lg, has_ema))
             return
         save_pytree(os.path.join(save_dir, "model"), params)
         if opt_state is not None:
             save_pytree(os.path.join(save_dir, "opt_state"), opt_state)
+        if has_ema:
+            save_pytree(os.path.join(save_dir, "ema"), ema)
         if not primary:
             return
-        self._bookkeep(tag, save_dir, loss, train_state, log)
+        self._bookkeep(tag, save_dir, loss, train_state, log, has_ema)
 
     def _bookkeep(self, tag: str, save_dir: str, loss: Optional[float],
-                  train_state: Optional[dict], log=print):
+                  train_state: Optional[dict], log=print, has_ema=False):
         # update best BEFORE dumping train_state.json so a resume restores
         # the true best-so-far (stale best_loss would let the first
         # post-resume epoch overwrite best/ even when it is worse)
@@ -214,6 +222,14 @@ class CheckpointManager:
             else:
                 shutil.rmtree(latest)
         os.symlink(os.path.join(tag, "model"), latest)
+        if has_ema:
+            latest_ema = os.path.join(self.workspace, "ema")
+            if os.path.islink(latest_ema) or os.path.exists(latest_ema):
+                if os.path.islink(latest_ema):
+                    os.unlink(latest_ema)
+                else:
+                    shutil.rmtree(latest_ema)
+            os.symlink(os.path.join(tag, "ema"), latest_ema)
 
         if new_best:
             best = os.path.join(self.workspace, "best")
@@ -229,13 +245,25 @@ class CheckpointManager:
 
     def save_epoch(self, epoch: int, params: Any, opt_state: Any = None,
                    loss: Optional[float] = None,
-                   train_state: Optional[dict] = None, log=print):
-        self._save(f"ep{epoch:04d}", params, opt_state, loss, train_state, log)
+                   train_state: Optional[dict] = None, ema: Any = None,
+                   log=print):
+        self._save(f"ep{epoch:04d}", params, opt_state, loss, train_state,
+                   ema, log)
 
     def save_step(self, step: int, params: Any, opt_state: Any = None,
-                  train_state: Optional[dict] = None, log=print):
+                  train_state: Optional[dict] = None, ema: Any = None,
+                  log=print):
         """Mid-epoch checkpoint (opt-in via --save_every_steps)."""
-        self._save(f"step{step:08d}", params, opt_state, None, train_state, log)
+        self._save(f"step{step:08d}", params, opt_state, None, train_state,
+                   ema, log)
+
+
+def sibling_ema_path(resume_path: str) -> Optional[str]:
+    """`.../epNNNN/model` (or the `model` symlink) -> the neighboring `ema/`
+    tree, if the checkpoint carries one (training ran with --ema_decay)."""
+    base = os.path.dirname(os.path.abspath(resume_path.rstrip("/")))
+    cand = os.path.join(base, "ema")
+    return cand if os.path.isdir(cand) else None
 
 
 def find_train_state(resume_path: str) -> Optional[dict]:

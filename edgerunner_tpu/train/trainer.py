@@ -157,15 +157,41 @@ class Trainer:
             print(msg)
 
     # ---------------------------------------------------------------- setup --
-    def init_state(self, params, step: int = 0, opt_state_path: str = None):
+    def init_state(self, params, step: int = 0, opt_state_path: str = None,
+                   ema_path: str = None):
         """opt_state_path: restore a saved optimizer state (resumable
         training — the reference's resume is weights-only, SURVEY §5);
-        `step` restarts the LR schedule where the run left off."""
+        `step` restarts the LR schedule where the run left off. ema_path:
+        restore a saved EMA tree (exact EMA continuation across resumes;
+        without it a fresh EMA restarts from the loaded params)."""
         shardings = param_shardings(params, self.mesh)
         params = jax.tree.map(
             lambda x, s: jax.device_put(x, s), params, shardings)
         self.state = create_train_state(params, self.tx, step=step)
         self._param_shardings = shardings
+
+        # weight EMA (--ema_decay): a second param-sized tree updated after
+        # every optimizer step; params may be donated into the train step,
+        # so the EMA must own its buffers (jnp.copy / fresh device_put)
+        self.ema = None
+        decay = float(getattr(self.opt, "ema_decay", 0.0) or 0.0)
+        if decay > 0.0:
+            import jax.numpy as jnp
+
+            if ema_path:
+                from edgerunner_tpu.train.checkpoint import restore_pytree
+
+                raw = restore_pytree(ema_path)
+                self.ema = jax.tree.map(
+                    lambda x, s: jax.device_put(np.asarray(x), s),
+                    raw, shardings)
+            else:
+                self.ema = jax.tree.map(jnp.copy, params)
+            self._ema_step = jax.jit(
+                lambda e, p: jax.tree.map(
+                    lambda a, b: a * decay + b.astype(a.dtype) * (1.0 - decay),
+                    e, p),
+                donate_argnums=(0,))
 
         if opt_state_path:
             from edgerunner_tpu.train.checkpoint import restore_pytree
@@ -233,6 +259,8 @@ class Trainer:
             dev_batch = _device_batch(batch, bsh, sp=self.sp,
                                       pad_token_id=self.opt.pad_token_id)
             self.state, metrics = self._train_step(self.state, dev_batch, rng)
+            if self.ema is not None:
+                self.ema = self._ema_step(self.ema, self.state.params)
             loss = float(metrics["loss"])
             if profile_dir and epoch == 0 and i == 14:
                 jax.profiler.stop_trace()

@@ -27,6 +27,7 @@ from edgerunner_tpu.train.checkpoint import (
     CheckpointManager,
     find_train_state,
     init_lmm_params,
+    sibling_ema_path,
     restore_pytree,
     tolerant_merge,
 )
@@ -142,7 +143,10 @@ def main():
     num_params = sum(x.size for x in jax.tree.leaves(params))
     logger.info(f"total param count: {num_params/1e6:.3f} M")
 
-    trainer.init_state(params, step=resume_step, opt_state_path=opt_state_path)
+    ema_path = (sibling_ema_path(opt.resume)
+                if opt.ema_decay > 0 and opt.resume else None)
+    trainer.init_state(params, step=resume_step, opt_state_path=opt_state_path,
+                       ema_path=ema_path)
     manager = CheckpointManager(opt.workspace, keep=2,
                                 async_save=opt.async_checkpointing)
     if opt.resume is not None and opt.resume_train_state:
@@ -170,7 +174,7 @@ def main():
                 opt_state=(trainer.state.opt_state
                            if opt.save_optimizer_state else None),
                 train_state={"step": step, "loader": train_loader.state()},
-                log=logger.info)
+                ema=trainer.ema, log=logger.info)
 
     profile_dir = os.path.join(opt.workspace, "profile")
 
@@ -192,7 +196,7 @@ def main():
                     loss=avg_loss,
                     train_state={"step": int(trainer.state.step),
                                  "loader": train_loader.state()},
-                    log=logger.info)
+                    ema=trainer.ema, log=logger.info)
             if opt.use_wandb:
                 import wandb
 

@@ -20,6 +20,7 @@ from edgerunner_tpu.train.checkpoint import (
     CheckpointManager,
     find_train_state,
     restore_pytree,
+    sibling_ema_path,
     tolerant_merge,
 )
 from edgerunner_tpu.train.state import (
@@ -109,7 +110,10 @@ def main():
     num_params = sum(x.size for x in jax.tree.leaves(params))
     logger.info(f"total param count: {num_params/1e6:.3f} M")
 
-    trainer.init_state(params, step=resume_step, opt_state_path=opt_state_path)
+    ema_path = (sibling_ema_path(opt.resume2)
+                if opt.ema_decay > 0 and opt.resume2 else None)
+    trainer.init_state(params, step=resume_step, opt_state_path=opt_state_path,
+                       ema_path=ema_path)
     manager = CheckpointManager(opt.workspace, keep=2,
                                 async_save=opt.async_checkpointing)
 
@@ -121,7 +125,7 @@ def main():
                 opt_state=(trainer.state.opt_state
                            if opt.save_optimizer_state else None),
                 train_state={"step": step, "loader": train_loader.state()},
-                log=logger.info)
+                ema=trainer.ema, log=logger.info)
 
     for epoch in range(start_epoch, opt.num_epochs):
         if not opt.debug_eval:
@@ -137,7 +141,7 @@ def main():
                     loss=avg_loss,
                     train_state={"step": int(trainer.state.step),
                                  "loader": train_loader.state()},
-                    log=logger.info)
+                    ema=trainer.ema, log=logger.info)
         if opt.eval_mode == "loss":
             trainer.eval_epoch(test_loader, epoch, rng=rng)
 

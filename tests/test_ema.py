@@ -1,0 +1,130 @@
+"""Weight EMA (--ema_decay): per-step update math, checkpoint round-trip,
+resume continuation. Standard diffusion-training machinery the reference
+lacks (it trains DiT on raw weights only)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from edgerunner_tpu.config import Options
+from edgerunner_tpu.models.lmm import LMM
+from edgerunner_tpu.train.checkpoint import (
+    CheckpointManager,
+    init_lmm_params,
+    restore_pytree,
+    sibling_ema_path,
+)
+from edgerunner_tpu.train.trainer import Trainer
+
+RNG = jax.random.PRNGKey(0)
+
+
+def tiny_opt(**kw):
+    base = dict(
+        cond_mode="point", point_latent_size=16, num_cond_tokens=17,
+        point_hidden_dim=32, point_num_heads=4, point_latent_dim=8,
+        hidden_dim=64, num_layers=2, num_heads=4, max_seq_length=256,
+        use_num_face_cond=True, checkpointing=False, point_num=64,
+        batch_size=8, num_workers=2, testset_size=4, ema_decay=0.5,
+    )
+    base.update(kw)
+    return Options(**base)
+
+
+def _make_batch(opt, B=8, M=24):
+    rng = np.random.default_rng(0)
+    C = opt.num_cond_tokens
+    return {
+        "conds": rng.normal(size=(B, opt.point_num, 3)).astype(np.float32),
+        "tokens": np.concatenate([np.full((B, 1), 1), np.full((B, M), 7),
+                                  np.full((B, 1), 2)], 1).astype(np.int32),
+        "labels": np.concatenate([np.full((B, C + 1), -100), np.full((B, M), 7),
+                                  np.full((B, 1), 2)], 1).astype(np.int32),
+        "lengths": np.full((B,), C + 1 + M + 1, np.int32),
+        "num_faces": np.full((B,), 500, np.int32),
+    }
+
+
+class _FakeLoader:
+    def __init__(self, opt, n=3):
+        self.batches = [_make_batch(opt) for _ in range(n)]
+
+    def __len__(self):
+        return len(self.batches)
+
+    def __iter__(self):
+        return iter(self.batches)
+
+
+def _leaf(tree, path):
+    for k in path:
+        tree = tree[k]
+    return np.asarray(tree)
+
+
+def test_ema_tracks_the_per_step_recursion():
+    opt = tiny_opt(ema_decay=0.5)
+    model = LMM(opt)
+    params = init_lmm_params(model, opt, RNG)
+    trainer = Trainer(model, opt, total_steps=10)
+    trainer.init_state(params)
+    assert trainer.ema is not None
+
+    probe = ("mesh_decoder", "decoder", "layers_0", "fc1", "kernel")
+    p_hist = [_leaf(params, probe)]
+    snaps = []
+
+    def on_step(step, metrics):
+        snaps.append(_leaf(trainer.state.params, probe))
+
+    trainer.train_epoch(_FakeLoader(opt), 0, RNG, on_step=on_step)
+    p_hist += snaps
+
+    d = opt.ema_decay
+    expect = p_hist[0]
+    for p in p_hist[1:]:
+        expect = expect * d + p * (1 - d)
+    np.testing.assert_allclose(_leaf(trainer.ema, probe), expect,
+                               rtol=1e-6, atol=1e-7)
+    # EMA lags training: it must differ from both the init and the live params
+    assert not np.array_equal(expect, p_hist[0])
+    assert not np.array_equal(expect, p_hist[-1])
+
+
+def test_ema_checkpoints_and_resumes(tmp_path):
+    opt = tiny_opt(ema_decay=0.9)
+    model = LMM(opt)
+    params = init_lmm_params(model, opt, RNG)
+    trainer = Trainer(model, opt, total_steps=10)
+    trainer.init_state(params)
+    trainer.train_epoch(_FakeLoader(opt, n=2), 0, RNG)
+
+    ws = str(tmp_path / "ws")
+    manager = CheckpointManager(ws, keep=2)
+    manager.save_epoch(0, trainer.state.params, loss=1.0, ema=trainer.ema)
+
+    # the latest-pointer symlinks exist for both trees
+    resume = os.path.join(ws, "model")
+    ema_dir = sibling_ema_path(resume)
+    assert ema_dir is not None and os.path.isdir(ema_dir)
+
+    restored = restore_pytree(ema_dir)
+    probe = ("mesh_decoder", "decoder", "layers_0", "fc1", "kernel")
+    np.testing.assert_array_equal(_leaf(restored, probe),
+                                  _leaf(trainer.ema, probe))
+
+    # exact EMA continuation: a second trainer resumes the EMA tree
+    t2 = Trainer(model, opt, total_steps=10)
+    t2.init_state(trainer.state.params, ema_path=ema_dir)
+    np.testing.assert_array_equal(_leaf(t2.ema, probe),
+                                  _leaf(trainer.ema, probe))
+
+
+def test_no_ema_by_default():
+    opt = tiny_opt(ema_decay=0.0)
+    model = LMM(opt)
+    trainer = Trainer(model, opt, total_steps=10)
+    trainer.init_state(init_lmm_params(model, opt, RNG))
+    assert trainer.ema is None
