@@ -72,7 +72,7 @@ def test_ema_tracks_the_per_step_recursion():
     trainer.init_state(params)
     assert trainer.ema is not None
 
-    probe = ("mesh_decoder", "decoder", "layers_0", "fc1", "kernel")
+    probe = ("params", "mesh_decoder", "model", "layers_0", "fc1", "kernel")
     p_hist = [_leaf(params, probe)]
     snaps = []
 
@@ -111,7 +111,7 @@ def test_ema_checkpoints_and_resumes(tmp_path):
     assert ema_dir is not None and os.path.isdir(ema_dir)
 
     restored = restore_pytree(ema_dir)
-    probe = ("mesh_decoder", "decoder", "layers_0", "fc1", "kernel")
+    probe = ("params", "mesh_decoder", "model", "layers_0", "fc1", "kernel")
     np.testing.assert_array_equal(_leaf(restored, probe),
                                   _leaf(trainer.ema, probe))
 
