@@ -35,8 +35,16 @@ import queue
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
 
 import numpy as np
+
+
+def _cond_shape(opt) -> tuple:
+    """Per-row conditioning shape (matches serve_engine._dummy_cond)."""
+    if opt.cond_mode == "point_latent":
+        return (opt.point_latent_size, opt.point_latent_dim)
+    return (opt.point_num, 3)
 
 
 class Batcher:
@@ -105,7 +113,7 @@ class Batcher:
             t0 = time.time()
             try:
                 B = self.batch
-                conds = np.zeros((B, self.opt.point_num, 3), np.float32)
+                conds = np.zeros((B,) + _cond_shape(self.opt), np.float32)
                 for i, (pts, _, _, _, _) in enumerate(items):
                     conds[i] = pts
                 # bucket the face budget: largest request wins, so the
@@ -188,17 +196,32 @@ def make_handler(batcher, opt):
         def do_GET(self):
             if self.path == "/healthz":
                 self._json(200, {"ok": True, "cond_mode": opt.cond_mode,
-                                 "batch": batcher.batch})
+                                 "batch": batcher.batch,
+                                 "pipeline": hasattr(batcher, "submit_image")})
             else:
                 self._json(404, {"error": "unknown path"})
 
         def do_POST(self):
+            if self.path == "/generate_image":
+                self._generate_image()
+                return
             if self.path != "/generate":
                 self._json(404, {"error": "unknown path"})
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
+                num_faces = int(req.get("num_faces", opt.test_num_face[0]))
+                if opt.cond_mode == "point_latent":
+                    # pipeline servers also accept a raw latent cond
+                    lat = np.asarray(req.get("latents", []), np.float32)
+                    if lat.shape != _cond_shape(opt):
+                        self._json(400, {"error": "latents must be "
+                                         f"{list(_cond_shape(opt))}"})
+                        return
+                    result = batcher.submit(lat, num_faces, req.get("seed"))
+                    self._json(200, result)
+                    return
                 pts = np.asarray(req.get("points", []), np.float32)
                 if pts.ndim != 2 or pts.shape[1] != 3 or len(pts) == 0:
                     self._json(400, {"error": "points must be [[x,y,z], ...]"})
@@ -208,8 +231,54 @@ def make_handler(batcher, opt):
                 idx = rng.integers(0, len(pts), size=opt.point_num) \
                     if len(pts) != opt.point_num else np.arange(opt.point_num)
                 pts = pts[idx]
-                num_faces = int(req.get("num_faces", opt.test_num_face[0]))
                 result = batcher.submit(pts, num_faces, req.get("seed"))
+                self._json(200, result)
+            except Exception as e:  # noqa: BLE001
+                self._json(500, {"error": str(e)})
+
+        def _generate_image(self):
+            """body: {"image": base64 file bytes OR [H][W][3] floats in
+            [0,1], "num_faces": N, "seed": S} -> mesh json (+ "ddim_s")."""
+            if not hasattr(batcher, "submit_image"):
+                self._json(400, {"error": "server not in pipeline mode "
+                                 "(start with --resume2 DIT_CKPT)"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                raw = req.get("image")
+                if isinstance(raw, str):
+                    # base64-encoded image file: run the full preprocessing
+                    # (bg removal, recenter, white bg — reference infer.py:71-83)
+                    import base64
+                    import tempfile
+
+                    from edgerunner_tpu.data.image_io import load_image_cond
+
+                    with tempfile.NamedTemporaryFile(suffix=".png") as f:
+                        f.write(base64.b64decode(raw))
+                        f.flush()
+                        img = load_image_cond(f.name,
+                                              size=opt.clip_image_size)
+                elif raw is not None:
+                    img = np.asarray(raw, np.float32)
+                    s = opt.clip_image_size
+                    if img.ndim != 3 or img.shape[2] != 3:
+                        self._json(400, {"error": "image must be [H][W][3]"})
+                        return
+                    if img.shape[:2] != (s, s):
+                        from PIL import Image
+
+                        img8 = Image.fromarray(
+                            (np.clip(img, 0, 1) * 255).astype(np.uint8))
+                        img = np.asarray(img8.resize((s, s)),
+                                         np.float32) / 255.0
+                else:
+                    self._json(400, {"error": "missing image"})
+                    return
+                num_faces = int(req.get("num_faces", opt.test_num_face[0]))
+                result = batcher.submit_image(img, num_faces,
+                                              req.get("seed"))
                 self._json(200, result)
             except Exception as e:  # noqa: BLE001
                 self._json(500, {"error": str(e)})
@@ -228,6 +297,7 @@ class FleetFrontend:
                  devices, segment_steps: int = 128):
         from edgerunner_tpu.generate import replicate_params
 
+        self.batch = batch
         reps = replicate_params(params, devices)
         self.frontends = [
             ContinuousFrontend(opt, model, p, tokenizer, batch,
@@ -244,8 +314,60 @@ class FleetFrontend:
             fe.shutdown()
 
 
+class PipelineFrontend:
+    """Full-pipeline serving: image -> DiT DDIM -> point latent -> ArAE
+    decode. Serves the reference's infer_dit.py flow (reference:
+    infer_dit.py:34-144) over HTTP — the reference only has a B==1 CLI.
+
+    The inner frontend is a point_latent ArAE engine, so latent requests
+    (`/generate` with a [latent_size, latent_dim] cond) still work; image
+    requests run one DDIM pass first. DDIM runs are serialized on a lock
+    (one jitted sampler, ~100 steps); decode admission/batching stays with
+    the inner continuous engine."""
+
+    def __init__(self, opt, inner, model_dit, params_dit,
+                 dit_steps: int = 100, guidance_scale: float = 7.5):
+        self.opt = opt
+        self.inner = inner
+        self.batch = inner.batch
+        self.model_dit = model_dit
+        self.params_dit = params_dit
+        self.dit_steps = dit_steps
+        self.guidance = guidance_scale
+        self._lock = threading.Lock()
+
+    def submit(self, points: np.ndarray, num_faces: int, seed) -> dict:
+        return self.inner.submit(points, num_faces, seed)
+
+    def submit_image(self, image: np.ndarray, num_faces: int, seed) -> dict:
+        import jax
+
+        from edgerunner_tpu.models.mdit import run_mdit
+
+        t0 = time.time()
+        if seed is not None:
+            key = jax.random.PRNGKey(int(seed))
+        else:
+            key = jax.random.PRNGKey(
+                np.random.default_rng().integers(0, 2**31))
+        with self._lock:
+            latents = run_mdit(self.model_dit, self.params_dit,
+                               image[None].astype(np.float32),
+                               num_inference_steps=self.dit_steps,
+                               guidance_scale=self.guidance, rng=key)
+        ddim_s = time.time() - t0
+        out = self.inner.submit(np.asarray(latents[0]), num_faces, seed)
+        out["ddim_s"] = round(ddim_s, 3)
+        return out
+
+    def shutdown(self):
+        self.inner.shutdown()
+
+
 def build_server(opt, port: int = 0, max_wait_ms: float = 30.0,
-                 continuous: bool = True, segment_steps: int = 128):
+                 continuous: bool = True, segment_steps: int = 128,
+                 pipeline: Optional[bool] = None, dit_steps: int = 100,
+                 guidance_scale: float = 7.5):
     """Construct (server, batcher); separated from main() for tests."""
     import jax
     import jax.numpy as jnp
@@ -255,6 +377,12 @@ def build_server(opt, port: int = 0, max_wait_ms: float = 30.0,
     from edgerunner_tpu.utils import cast_params, get_tokenizer
 
     import dataclasses
+
+    if pipeline is None:
+        pipeline = opt.resume2 is not None
+    if pipeline:
+        # the ArAE consumes DiT-produced latents (reference: infer_dit.py:55)
+        opt = dataclasses.replace(opt, cond_mode="point_latent")
 
     tokenizer, _ = get_tokenizer(opt)
     load_opt = dataclasses.replace(opt, w_quant=False)
@@ -283,6 +411,28 @@ def build_server(opt, port: int = 0, max_wait_ms: float = 30.0,
     else:
         batcher = Batcher(opt, model, params, tokenizer,
                           max_wait_ms=max_wait_ms)
+
+    if pipeline:
+        from main_dit import init_mdit_params
+
+        from edgerunner_tpu.models.mdit import MDiT
+        from edgerunner_tpu.train.checkpoint import (
+            restore_pytree,
+            tolerant_merge,
+        )
+
+        model_dit = MDiT(opt)
+        params_dit = init_mdit_params(model_dit, opt,
+                                      jax.random.PRNGKey(opt.seed))
+        if opt.resume2 is not None:
+            params_dit = tolerant_merge(params_dit,
+                                        restore_pytree(opt.resume2),
+                                        align_posemb=opt.align_posemb)
+            print(f"[serve] loaded DiT checkpoint from {opt.resume2}")
+        batcher = PipelineFrontend(opt, batcher, model_dit, params_dit,
+                                   dit_steps=dit_steps,
+                                   guidance_scale=guidance_scale)
+
     server = ThreadingHTTPServer(("0.0.0.0", port), make_handler(batcher, opt))
     return server, batcher
 
@@ -301,6 +451,9 @@ def main():
                          "continuous batching")
     ap.add_argument("--segment_steps", type=int, default=128,
                     help="decode steps between admission points (continuous)")
+    ap.add_argument("--dit_steps", type=int, default=100,
+                    help="DDIM steps for /generate_image (pipeline mode)")
+    ap.add_argument("--guidance_scale", type=float, default=7.5)
     args, rest = ap.parse_known_args()
 
     import sys
@@ -309,12 +462,18 @@ def main():
     opt = validate(parse_cli(prog="serve.py"))
     enable_compilation_cache()
 
-    server, _ = build_server(opt, port=args.port, max_wait_ms=args.max_wait_ms,
-                             continuous=not args.no_continuous,
-                             segment_steps=args.segment_steps)
+    server, batcher = build_server(
+        opt, port=args.port, max_wait_ms=args.max_wait_ms,
+        continuous=not args.no_continuous,
+        segment_steps=args.segment_steps, dit_steps=args.dit_steps,
+        guidance_scale=args.guidance_scale)
     mode = "micro-batch" if args.no_continuous else "continuous"
+    cond = opt.cond_mode
+    if hasattr(batcher, "submit_image"):
+        mode += f" + image pipeline ({args.dit_steps}-step DDIM)"
+        cond = "point_latent"  # build_server forces it in pipeline mode
     print(f"[serve] listening on :{args.port} "
-          f"(batch {max(1, opt.test_batch_size)}, cond {opt.cond_mode}, "
+          f"(batch {max(1, opt.test_batch_size)}, cond {cond}, "
           f"{mode})")
     server.serve_forever()
 

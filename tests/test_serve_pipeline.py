@@ -1,0 +1,121 @@
+"""Full-pipeline serving: image -> DiT DDIM -> point latent -> ArAE over
+HTTP (serve.py pipeline mode). The reference's infer_dit.py is a B==1 CLI;
+here the same flow is a server endpoint."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from edgerunner_tpu.config import Options
+
+
+@pytest.fixture(scope="module")
+def server():
+    import serve as serve_mod
+
+    opt = Options(cond_mode="point", point_latent_size=16, num_cond_tokens=17,
+                  point_hidden_dim=32, point_num_heads=4, point_latent_dim=8,
+                  dit_hidden_dim=32, dit_num_heads=4, dit_num_layers=2,
+                  clip_image_size=32, clip_patch_size=8, clip_hidden_dim=32,
+                  clip_num_heads=4, clip_num_layers=2,
+                  hidden_dim=64, num_layers=2, num_heads=4, max_seq_length=256,
+                  use_num_face_cond=True, checkpointing=False, decode_bucket=64,
+                  generate_mode="greedy", point_num=64, test_batch_size=2,
+                  test_num_face=(8,))
+    srv, batcher = serve_mod.build_server(opt, port=0, pipeline=True,
+                                          segment_steps=16, dit_steps=4)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+    batcher.shutdown()
+
+
+def _post(url, obj, timeout=600):
+    req = urllib.request.Request(
+        url, data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read())
+
+
+def test_healthz_reports_pipeline(server):
+    with urllib.request.urlopen(server + "/healthz", timeout=30) as r:
+        h = json.loads(r.read())
+    assert h["ok"] and h["pipeline"] and h["cond_mode"] == "point_latent"
+
+
+def test_generate_image(server):
+    img = np.random.default_rng(0).uniform(0, 1, (32, 32, 3)).tolist()
+    out = _post(server + "/generate_image",
+                {"image": img, "num_faces": 8, "seed": 0})
+    assert "tokens" in out and "vertices" in out and "faces" in out
+    assert out["ddim_s"] > 0 and out["wall_s"] > 0
+
+
+def test_generate_image_resizes(server):
+    # a non-clip-size image is resized host-side before CLIP
+    img = np.random.default_rng(1).uniform(0, 1, (48, 40, 3)).tolist()
+    out = _post(server + "/generate_image",
+                {"image": img, "num_faces": 8, "seed": 1})
+    assert "tokens" in out
+
+
+def test_seeded_requests_reproduce(server):
+    img = np.random.default_rng(2).uniform(0, 1, (32, 32, 3)).tolist()
+    a = _post(server + "/generate_image",
+              {"image": img, "num_faces": 8, "seed": 7})
+    b = _post(server + "/generate_image",
+              {"image": img, "num_faces": 8, "seed": 7})
+    assert a["tokens"] == b["tokens"]
+
+
+def test_raw_latent_request(server):
+    # pipeline servers still accept a raw point-latent cond on /generate
+    lat = np.random.default_rng(3).normal(size=(16, 8)).tolist()
+    out = _post(server + "/generate",
+                {"latents": lat, "num_faces": 8, "seed": 0})
+    assert "tokens" in out and "vertices" in out
+
+
+def test_latent_shape_validated(server):
+    bad = np.zeros((4, 8)).tolist()
+    req = urllib.request.Request(
+        server + "/generate", data=json.dumps(
+            {"latents": bad, "num_faces": 8}).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=60)
+    assert e.value.code == 400
+
+
+def test_non_pipeline_server_rejects_image():
+    import serve as serve_mod
+
+    opt = Options(cond_mode="point", point_latent_size=16, num_cond_tokens=17,
+                  point_hidden_dim=32, point_num_heads=4, point_latent_dim=8,
+                  hidden_dim=64, num_layers=2, num_heads=4, max_seq_length=256,
+                  use_num_face_cond=True, checkpointing=False, decode_bucket=64,
+                  generate_mode="greedy", point_num=64, test_batch_size=1,
+                  test_num_face=(8,))
+    srv, batcher = serve_mod.build_server(opt, port=0, pipeline=False,
+                                          segment_steps=16)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        img = np.zeros((8, 8, 3)).tolist()
+        req = urllib.request.Request(
+            url + "/generate_image", data=json.dumps(
+                {"image": img, "num_faces": 8}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=60)
+        assert e.value.code == 400
+    finally:
+        srv.shutdown()
+        batcher.shutdown()
