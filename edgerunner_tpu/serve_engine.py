@@ -39,6 +39,10 @@ from edgerunner_tpu.models.lmm import LMM
 from edgerunner_tpu.ops import sampling as S
 
 
+class EngineOverloaded(RuntimeError):
+    """Queue depth reached max_queue; caller should shed load (HTTP 503)."""
+
+
 class Request:
     __slots__ = ("points", "num_faces", "seed", "slot_result", "done_event",
                  "t_submit")
@@ -57,7 +61,8 @@ class ContinuousEngine:
 
     def __init__(self, model: LMM, params, opt, *, batch: int,
                  segment_steps: int = 128, max_faces: Optional[int] = None,
-                 bench_no_eos: bool = False):
+                 bench_no_eos: bool = False,
+                 max_queue: Optional[int] = None):
         self.model = model
         self.params = params
         self.opt = opt
@@ -92,6 +97,13 @@ class ContinuousEngine:
         self._stop = threading.Event()
         self._slots: list[Optional[Request]] = [None] * self.B
         self._rng_fallback = jax.random.PRNGKey(opt.seed)
+        # backpressure + observability
+        self.max_queue = max_queue
+        self._t_start = time.time()
+        self._stats_lock = threading.Lock()
+        self._done_count = 0
+        self._wall_sum = 0.0
+        self._tokens_out = 0
 
         self._build_fns()
         self._init_state()
@@ -101,6 +113,9 @@ class ContinuousEngine:
     # ------------------------------------------------------------- public --
     def submit(self, points: np.ndarray, num_faces: int,
                seed: Optional[int]) -> dict:
+        if self.max_queue is not None and self.q.qsize() >= self.max_queue:
+            raise EngineOverloaded(
+                f"queue depth {self.q.qsize()} >= max_queue {self.max_queue}")
         req = Request(points, num_faces, seed)
         self.q.put(req)
         req.done_event.wait()
@@ -117,6 +132,21 @@ class ContinuousEngine:
         dispatch signal for a multi-device engine fleet. Racy reads are
         fine: it only steers load balancing."""
         return self.q.qsize() + sum(r is not None for r in self._slots)
+
+    def stats(self) -> dict:
+        """Serving observability snapshot (racy reads are fine)."""
+        with self._stats_lock:
+            done, wall, toks = self._done_count, self._wall_sum, \
+                self._tokens_out
+        return {
+            "requests_done": done,
+            "queue_depth": self.q.qsize(),
+            "slots_busy": sum(r is not None for r in self._slots),
+            "slots_total": self.B,
+            "mean_wall_s": round(wall / done, 3) if done else None,
+            "tokens_out": toks,
+            "uptime_s": round(time.time() - self._t_start, 1),
+        }
 
     # ------------------------------------------------------------ jit fns --
     def _build_fns(self):
@@ -355,7 +385,12 @@ class ContinuousEngine:
             return
         toks = tokens_np[slot, :int(n_np[slot])]
         req.slot_result["tokens"] = np.asarray(toks)
-        req.slot_result["wall_s"] = round(time.time() - req.t_submit, 3)
+        wall = time.time() - req.t_submit
+        req.slot_result["wall_s"] = round(wall, 3)
+        with self._stats_lock:
+            self._done_count += 1
+            self._wall_sum += wall
+            self._tokens_out += int(n_np[slot])
         req.done_event.set()
 
     def _worker(self):

@@ -6,12 +6,23 @@ generation is a B==1 script, reference infer.py).
         --test_batch_size 8 [--kv_quant true --w_quant true]
 
 API:
-    GET  /healthz           -> {"ok": true, "model": ..., "batch": N}
+    GET  /healthz           -> {"ok": true, "cond_mode": ..., "batch": N,
+                                "pipeline": bool}
+    GET  /statz             -> {"requests_done", "queue_depth", "slots_busy",
+                                "slots_total", "mean_wall_s", "tokens_out",
+                                "uptime_s"} (serving observability)
     POST /generate          body: {"points": [[x,y,z], ...]  (conditioning
                             point cloud; resampled/padded to opt.point_num),
                             "num_faces": 1000, "seed": 0}
                             -> {"vertices": [[x,y,z]...], "faces": [[a,b,c]...],
                                 "tokens": [...], "wall_s": float}
+                            (point_latent servers take "latents" instead)
+    POST /generate_image    pipeline mode (--resume2 DIT_CKPT): body
+                            {"image": base64 file bytes OR [H][W][3] floats,
+                            "num_faces", "seed"} -> mesh json + "ddim_s"
+
+Backpressure: --max_queue N answers 503 when N requests are already queued
+per engine (the load-shedding signal for an external balancer).
 
 Two scheduling engines:
   * continuous (default): one persistent fixed-shape decode state of
@@ -78,6 +89,9 @@ class Batcher:
     def shutdown(self):
         self._stop.set()
         self.q.put(None)
+
+    def stats(self) -> dict:
+        return {"queue_depth": self.q.qsize(), "slots_total": self.batch}
 
     # ------------------------------------------------------------- worker --
     def _drain(self):
@@ -154,14 +168,18 @@ class ContinuousFrontend:
     detokenization runs in the request's own thread, off the decode loop."""
 
     def __init__(self, opt, model, params, tokenizer, batch: int,
-                 segment_steps: int = 128):
+                 segment_steps: int = 128, max_queue=None):
         from edgerunner_tpu.serve_engine import ContinuousEngine
 
         self.opt = opt
         self.tokenizer = tokenizer
         self.batch = batch
         self.engine = ContinuousEngine(model, params, opt, batch=batch,
-                                       segment_steps=segment_steps)
+                                       segment_steps=segment_steps,
+                                       max_queue=max_queue)
+
+    def stats(self) -> dict:
+        return self.engine.stats()
 
     def submit(self, points: np.ndarray, num_faces: int, seed) -> dict:
         from edgerunner_tpu.data import save_mesh
@@ -198,6 +216,8 @@ def make_handler(batcher, opt):
                 self._json(200, {"ok": True, "cond_mode": opt.cond_mode,
                                  "batch": batcher.batch,
                                  "pipeline": hasattr(batcher, "submit_image")})
+            elif self.path == "/statz":
+                self._json(200, batcher.stats())
             else:
                 self._json(404, {"error": "unknown path"})
 
@@ -234,7 +254,10 @@ def make_handler(batcher, opt):
                 result = batcher.submit(pts, num_faces, req.get("seed"))
                 self._json(200, result)
             except Exception as e:  # noqa: BLE001
-                self._json(500, {"error": str(e)})
+                from edgerunner_tpu.serve_engine import EngineOverloaded
+
+                code = 503 if isinstance(e, EngineOverloaded) else 500
+                self._json(code, {"error": str(e)})
 
         def _generate_image(self):
             """body: {"image": base64 file bytes OR [H][W][3] floats in
@@ -281,7 +304,10 @@ def make_handler(batcher, opt):
                                               req.get("seed"))
                 self._json(200, result)
             except Exception as e:  # noqa: BLE001
-                self._json(500, {"error": str(e)})
+                from edgerunner_tpu.serve_engine import EngineOverloaded
+
+                code = 503 if isinstance(e, EngineOverloaded) else 500
+                self._json(code, {"error": str(e)})
 
     return Handler
 
@@ -294,20 +320,37 @@ class FleetFrontend:
     serving path at all."""
 
     def __init__(self, opt, model, params, tokenizer, batch: int,
-                 devices, segment_steps: int = 128):
+                 devices, segment_steps: int = 128, max_queue=None):
         from edgerunner_tpu.generate import replicate_params
 
         self.batch = batch
         reps = replicate_params(params, devices)
         self.frontends = [
             ContinuousFrontend(opt, model, p, tokenizer, batch,
-                               segment_steps=segment_steps)
+                               segment_steps=segment_steps,
+                               max_queue=max_queue)
             for p in reps
         ]
 
     def submit(self, points: np.ndarray, num_faces: int, seed) -> dict:
         fe = min(self.frontends, key=lambda f: f.engine.load())
         return fe.submit(points, num_faces, seed)
+
+    def stats(self) -> dict:
+        per = [f.stats() for f in self.frontends]
+        done = sum(s["requests_done"] for s in per)
+        walls = [s["mean_wall_s"] * s["requests_done"] for s in per
+                 if s["mean_wall_s"] is not None]
+        return {
+            "requests_done": done,
+            "queue_depth": sum(s["queue_depth"] for s in per),
+            "slots_busy": sum(s["slots_busy"] for s in per),
+            "slots_total": sum(s["slots_total"] for s in per),
+            "mean_wall_s": round(sum(walls) / done, 3) if done else None,
+            "tokens_out": sum(s["tokens_out"] for s in per),
+            "uptime_s": max(s["uptime_s"] for s in per),
+            "engines": per,
+        }
 
     def shutdown(self):
         for fe in self.frontends:
@@ -335,9 +378,15 @@ class PipelineFrontend:
         self.dit_steps = dit_steps
         self.guidance = guidance_scale
         self._lock = threading.Lock()
+        self._ddim_runs = 0
 
     def submit(self, points: np.ndarray, num_faces: int, seed) -> dict:
         return self.inner.submit(points, num_faces, seed)
+
+    def stats(self) -> dict:
+        s = self.inner.stats() if hasattr(self.inner, "stats") else {}
+        s["ddim_runs"] = self._ddim_runs
+        return s
 
     def submit_image(self, image: np.ndarray, num_faces: int, seed) -> dict:
         import jax
@@ -355,6 +404,7 @@ class PipelineFrontend:
                                image[None].astype(np.float32),
                                num_inference_steps=self.dit_steps,
                                guidance_scale=self.guidance, rng=key)
+            self._ddim_runs += 1
         ddim_s = time.time() - t0
         out = self.inner.submit(np.asarray(latents[0]), num_faces, seed)
         out["ddim_s"] = round(ddim_s, 3)
@@ -367,7 +417,8 @@ class PipelineFrontend:
 def build_server(opt, port: int = 0, max_wait_ms: float = 30.0,
                  continuous: bool = True, segment_steps: int = 128,
                  pipeline: Optional[bool] = None, dit_steps: int = 100,
-                 guidance_scale: float = 7.5):
+                 guidance_scale: float = 7.5,
+                 max_queue: Optional[int] = None):
     """Construct (server, batcher); separated from main() for tests."""
     import jax
     import jax.numpy as jnp
@@ -403,11 +454,13 @@ def build_server(opt, port: int = 0, max_wait_ms: float = 30.0,
         batcher = FleetFrontend(opt, model, params, tokenizer,
                                 batch=max(1, opt.test_batch_size),
                                 devices=devices,
-                                segment_steps=segment_steps)
+                                segment_steps=segment_steps,
+                                max_queue=max_queue)
     elif continuous:
         batcher = ContinuousFrontend(opt, model, params, tokenizer,
                                      batch=max(1, opt.test_batch_size),
-                                     segment_steps=segment_steps)
+                                     segment_steps=segment_steps,
+                                     max_queue=max_queue)
     else:
         batcher = Batcher(opt, model, params, tokenizer,
                           max_wait_ms=max_wait_ms)
@@ -454,6 +507,9 @@ def main():
     ap.add_argument("--dit_steps", type=int, default=100,
                     help="DDIM steps for /generate_image (pipeline mode)")
     ap.add_argument("--guidance_scale", type=float, default=7.5)
+    ap.add_argument("--max_queue", type=int, default=0,
+                    help="shed load (HTTP 503) when this many requests are "
+                         "already queued per engine (0 = unbounded)")
     args, rest = ap.parse_known_args()
 
     import sys
@@ -466,7 +522,8 @@ def main():
         opt, port=args.port, max_wait_ms=args.max_wait_ms,
         continuous=not args.no_continuous,
         segment_steps=args.segment_steps, dit_steps=args.dit_steps,
-        guidance_scale=args.guidance_scale)
+        guidance_scale=args.guidance_scale,
+        max_queue=args.max_queue or None)
     mode = "micro-batch" if args.no_continuous else "continuous"
     cond = opt.cond_mode
     if hasattr(batcher, "submit_image"):

@@ -228,3 +228,49 @@ def test_spec_engine_midflight_admission():
             "short request waited for the long one on the spec path")
     finally:
         engine.shutdown()
+
+
+def test_stats_and_max_queue_backpressure(engine_and_model):
+    """Observability counters advance and max_queue sheds load with
+    EngineOverloaded (serve.py maps it to HTTP 503)."""
+    from edgerunner_tpu.serve_engine import EngineOverloaded
+
+    _, model, params, opt = engine_and_model
+    eng = ContinuousEngine(model, params, opt, batch=1, segment_steps=16,
+                           bench_no_eos=True, max_queue=1)
+    try:
+        s0 = eng.stats()
+        assert s0["requests_done"] == 0 and s0["slots_total"] == 1
+
+        # A occupies the single slot (full budget, EOS masked), B queues
+        results = {}
+
+        def bg(name, seed):
+            results[name] = eng.submit(_pts(seed), 64, seed=seed)
+
+        ta = threading.Thread(target=bg, args=("a", 0))
+        ta.start()
+        # wait until A is actually in a slot so B stays queued
+        for _ in range(200):
+            if sum(r is not None for r in eng._slots) == 1:
+                break
+            time.sleep(0.05)
+        tb = threading.Thread(target=bg, args=("b", 1))
+        tb.start()
+        for _ in range(200):
+            if eng.q.qsize() >= 1:
+                break
+            time.sleep(0.05)
+
+        with pytest.raises(EngineOverloaded):
+            eng.submit(_pts(2), 8, seed=2)
+
+        ta.join(600)
+        tb.join(600)
+        assert "tokens" in results["a"] and "tokens" in results["b"]
+        s1 = eng.stats()
+        assert s1["requests_done"] == 2
+        assert s1["tokens_out"] > 0 and s1["mean_wall_s"] > 0
+        assert s1["queue_depth"] == 0 and s1["slots_busy"] == 0
+    finally:
+        eng.shutdown()

@@ -77,3 +77,11 @@ def test_bad_request(server):
         assert False, "expected 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_statz(server):
+    # hit after the generation tests above; counters exist for both engines
+    with urllib.request.urlopen(server + "/statz", timeout=30) as r:
+        s = json.loads(r.read())
+    assert s["slots_total"] >= 1
+    assert s["queue_depth"] == 0
