@@ -291,8 +291,17 @@ class Trainer:
                 self.log(log)
         self._loop_loss, self._loop_n = total_loss, n
 
-    def eval_epoch(self, loader, epoch: int, rng=None) -> float:
+    def eval_epoch(self, loader, epoch: int, rng=None,
+                   use_ema: bool = False) -> float:
+        """use_ema: evaluate the EMA weights instead of the live params
+        (standard practice when --ema_decay is on — the EMA is what gets
+        deployed; requires init_state with ema enabled)."""
         assert self.state is not None
+        params = self.state.params
+        tag = ""
+        if use_ema:
+            assert self.ema is not None, "use_ema requires --ema_decay > 0"
+            params, tag = self.ema, " (ema)"
         bsh = batch_sharding(self.mesh)
         total_loss, n = 0.0, 0
         set_sequence_parallel(self.mesh if self.sp > 1 else None)
@@ -306,14 +315,14 @@ class Trainer:
                 dev_batch = _device_batch(batch, bsh, sp=self.sp,
                                           pad_token_id=self.opt.pad_token_id)
                 if self._eval_needs_rng:
-                    out = self._eval_step(self.state.params, dev_batch, rng)
+                    out = self._eval_step(params, dev_batch, rng)
                 else:
-                    out = self._eval_step(self.state.params, dev_batch)
+                    out = self._eval_step(params, dev_batch)
                 total_loss += float(out["loss"])
                 n += 1
         finally:
             set_sequence_parallel(None)
             set_pipeline_parallel(None)
         avg = total_loss / max(n, 1)
-        self.log(f"Eval epoch: {epoch} loss: {avg:.6f}")
+        self.log(f"Eval epoch: {epoch}{tag} loss: {avg:.6f}")
         return avg

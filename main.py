@@ -206,6 +206,9 @@ def main():
 
         if opt.eval_mode == "loss":
             trainer.eval_epoch(test_loader, epoch)
+            if trainer.ema is not None:
+                # the EMA tree is what gets deployed; track its loss too
+                trainer.eval_epoch(test_loader, epoch, use_ema=True)
             # qualitative dumps: GT + argmax-pred meshes from one batch
             # (reference: main.py:253-264; meto streams may be invalid early
             # in training — save_mesh tolerates that)

@@ -144,6 +144,9 @@ def main():
                     ema=trainer.ema, log=logger.info)
         if opt.eval_mode == "loss":
             trainer.eval_epoch(test_loader, epoch, rng=rng)
+            if trainer.ema is not None:
+                # the EMA tree is what gets deployed; track its loss too
+                trainer.eval_epoch(test_loader, epoch, rng=rng, use_ema=True)
 
     # async checkpointing: commit the last in-flight save + its bookkeeping
     manager.wait(log=logger.info)

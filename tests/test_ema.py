@@ -128,3 +128,23 @@ def test_no_ema_by_default():
     trainer = Trainer(model, opt, total_steps=10)
     trainer.init_state(init_lmm_params(model, opt, RNG))
     assert trainer.ema is None
+
+
+def test_eval_with_ema_weights():
+    """eval_epoch(use_ema=True) scores the EMA tree — it must differ from
+    the live-params eval once training has moved the weights."""
+    opt = tiny_opt(ema_decay=0.9)
+    model = LMM(opt)
+    trainer = Trainer(model, opt, total_steps=10)
+    trainer.init_state(init_lmm_params(model, opt, RNG))
+    trainer.train_epoch(_FakeLoader(opt, n=3), 0, RNG)
+
+    loader = _FakeLoader(opt, n=1)
+    l_live = trainer.eval_epoch(loader, 0)
+    l_ema = trainer.eval_epoch(loader, 0, use_ema=True)
+    assert l_live != l_ema
+
+    t2 = Trainer(model, tiny_opt(ema_decay=0.0), total_steps=10)
+    t2.init_state(init_lmm_params(model, opt, RNG))
+    with pytest.raises(AssertionError):
+        t2.eval_epoch(loader, 0, use_ema=True)
