@@ -43,6 +43,17 @@ magnitude below that, consistent with the 50 tok/s estimate.
 
 Flags: --tiny (CPU smoke), --batch N (default 40), --faces N (default 1000),
 --no_kv_quant (exact bf16 cache), --skip_train (decode only).
+
+Output contract (round-3 postmortem: the official bench timed out before
+printing anything, VERDICT r3 weak #1): the headline JSON line is printed
+and flushed IMMEDIATELY after the headline decode measurement, BEFORE any
+probe runs. Probes then run under a single global budget (--probe_budget,
+default 1500s; each capped at 600s; skipped when the budget is spent) and a
+final JSON line with identical metric/value but probe-augmented detail is
+printed last. A harness that reads the first JSON line or the last one gets
+the same headline number either way, and a kill mid-probe can no longer
+lose it. tests/test_bench_contract.py asserts the headline appears in <60s
+under --tiny.
 """
 
 from __future__ import annotations
@@ -235,6 +246,9 @@ def main():
     ap.add_argument("--skip_probes", action="store_true",
                     help="headline decode only (no train/DiT/long-context "
                          "probes)")
+    ap.add_argument("--probe_budget", type=float, default=1500.0,
+                    help="global wall-clock budget (s) for ALL probes "
+                         "combined; probes that do not fit are skipped")
     ap.add_argument("--_train_probe", action="store_true",
                     help=argparse.SUPPRESS)  # subprocess entry
     ap.add_argument("--_long_ctx", action="store_true", help=argparse.SUPPRESS)
@@ -329,15 +343,40 @@ def main():
 
     detail["peak_hbm_gb"] = _peak_hbm_gb()
 
-    def _sub_probe(extra_flags, key, timeout=3000):
+    # vs_baseline divides by a DERIVED A100 estimate (0.75 meshes/min; see
+    # module docstring) — the reference publishes no per-mesh wall time
+    detail["baseline_is_estimate"] = True
+
+    def _headline(d):
+        return {
+            "metric": "gen_meshes_per_min_per_chip",
+            "value": round(meshes_per_min, 3),
+            "unit": "meshes/min",
+            "vs_baseline": round(meshes_per_min / A100_REF_MESHES_PER_MIN, 3),
+            "detail": d,
+        }
+
+    # THE HEADLINE PRINTS NOW, before any probe — a timeout later in the
+    # probe chain can no longer lose the round's number (VERDICT r3 weak #1)
+    print(json.dumps(_headline(detail)), flush=True)
+
+    probe_deadline = time.time() + args.probe_budget
+
+    def _sub_probe(extra_flags, key, timeout=600):
         """Run a probe in a separate process: isolates its HBM from the
-        decode model, and a probe failure cannot lose the headline number."""
+        decode model, and a probe failure cannot lose the headline number.
+        Each probe is capped at min(timeout, remaining global budget) and
+        skipped outright when <60s of budget remains."""
+        remaining = probe_deadline - time.time()
+        if remaining < 60:
+            detail[key] = {"skipped": "probe budget exhausted"}
+            return
         cmd = [sys.executable, __file__] + extra_flags
         if args.tiny:
             cmd.append("--tiny")
         try:
             proc = subprocess.run(cmd, capture_output=True, text=True,
-                                  timeout=timeout)
+                                  timeout=min(timeout, remaining))
             for line in proc.stdout.splitlines():
                 if line.startswith("TRAIN_JSON "):
                     detail[key] = json.loads(line[len("TRAIN_JSON "):])
@@ -355,15 +394,8 @@ def main():
     if not args.skip_train:
         _sub_probe(["--_train_probe"], "train")
     if not (args.skip_train or args.skip_probes):
-        # the flagship long-context envelope: one train step at the full
-        # 43,009 positions (VERDICT r2 item 1a)
-        _sub_probe(["--_train_probe", "--_long_ctx"], "train_long")
         # DiT train step at flagship dims (reference readme.md:56)
         _sub_probe(["--_dit_probe"], "train_dit")
-        # 4000-face decode (BASELINE config 4; VERDICT r2 item 1b)
-        _sub_probe(["--batch", "12", "--faces", "4000", "--repeats", "1",
-                    "--skip_train", "--skip_probes"], "decode_long",
-                   timeout=4000)
         # exact-bf16 headline at its best batch, machine-recorded next to
         # the quantized default (VERDICT r2 item 4). b8: the bf16 cache is
         # ~1GB/row at the 1000-face budget (2x int8, 4x int4), and the int8
@@ -371,6 +403,13 @@ def main():
         _sub_probe(["--no_kv_quant", "--no_w_quant", "--batch", "8",
                     "--repeats", "2", "--skip_train", "--skip_probes"],
                    "exact_bf16")
+        # 4000-face decode (BASELINE config 4; VERDICT r2 item 1b)
+        _sub_probe(["--batch", "12", "--faces", "4000", "--repeats", "1",
+                    "--skip_train", "--skip_probes"], "decode_long")
+        # the flagship long-context envelope: one train step at the full
+        # 43,009 positions (VERDICT r2 item 1a) — the most expensive probe
+        # runs LAST so it can only ever cost its own slot
+        _sub_probe(["--_train_probe", "--_long_ctx"], "train_long")
 
     # speculative decoding: acceptance needs *trained* MTP heads, which a
     # random-init bench run cannot have — so report the committed
@@ -399,16 +438,18 @@ def main():
     except Exception:
         pass
 
-    # vs_baseline divides by a DERIVED A100 estimate (0.75 meshes/min; see
-    # module docstring) — the reference publishes no per-mesh wall time
-    detail["baseline_is_estimate"] = True
-    print(json.dumps({
-        "metric": "gen_meshes_per_min_per_chip",
-        "value": round(meshes_per_min, 3),
-        "unit": "meshes/min",
-        "vs_baseline": round(meshes_per_min / A100_REF_MESHES_PER_MIN, 3),
-        "detail": detail,
-    }))
+    # final line: identical headline, probe-augmented detail — lands in the
+    # output tail on a clean finish; also snapshotted to evidence/ locally
+    final = _headline(detail)
+    try:
+        import os
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "evidence", "bench_last.json"), "w") as f:
+            json.dump(final, f, indent=1)
+    except Exception:  # noqa: BLE001
+        pass
+    print(json.dumps(final), flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,104 @@
+"""Bench output contract (VERDICT r3 weak #1): round 3's official benchmark
+was killed by the driver before it printed anything, so the round recorded
+no headline number. bench.py now prints the headline JSON line IMMEDIATELY
+after the headline decode measurement and BEFORE any probe subprocess runs.
+
+These tests pin that contract:
+  * `python bench.py --tiny` emits a parseable headline line in <60s of
+    wall clock, even though probes would keep running afterwards (we kill
+    the process as soon as the line appears — exactly what a driver timeout
+    would do — and the headline must already be out).
+  * the headline line carries the driver schema: metric/value/unit/
+    vs_baseline/detail.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH = os.path.join(REPO, "bench.py")
+
+
+def _headline_env():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    return env
+
+
+@pytest.mark.timeout(120)
+def test_tiny_headline_within_60s_and_before_probes():
+    t0 = time.time()
+    proc = subprocess.Popen(
+        [sys.executable, BENCH, "--tiny"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        env=_headline_env(), cwd=REPO)
+    headline = None
+    try:
+        deadline = t0 + 60
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if not line:
+                if proc.poll() is not None:
+                    break
+                continue
+            line = line.strip()
+            if line.startswith("{") and '"metric"' in line:
+                headline = json.loads(line)
+                break
+    finally:
+        # simulate the driver killing the bench mid-probe: the headline
+        # must already have been printed by now
+        proc.kill()
+        proc.wait()
+    elapsed = time.time() - t0
+    assert headline is not None, f"no headline JSON within {elapsed:.0f}s"
+    assert elapsed < 60, f"headline took {elapsed:.0f}s (contract: <60s)"
+
+    assert headline["metric"] == "gen_meshes_per_min_per_chip"
+    assert headline["unit"] == "meshes/min"
+    assert headline["value"] > 0
+    assert headline["vs_baseline"] > 0
+    d = headline["detail"]
+    assert d["baseline_is_estimate"] is True
+    assert d["tokens_per_mesh"] > 0
+    # probes must NOT have run yet when the first headline prints
+    assert "train" not in d and "exact_bf16" not in d
+
+
+@pytest.mark.timeout(300)
+def test_tiny_full_run_final_line_merges_probes():
+    """With a generous budget the final printed line repeats the identical
+    headline value and folds the probe results into detail."""
+    proc = subprocess.run(
+        [sys.executable, BENCH, "--tiny"],
+        capture_output=True, text=True, timeout=280,
+        env=_headline_env(), cwd=REPO)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [ln for ln in proc.stdout.splitlines()
+             if ln.startswith("{") and '"metric"' in ln]
+    assert len(lines) == 2, proc.stdout[-2000:]
+    first, last = json.loads(lines[0]), json.loads(lines[-1])
+    assert first["value"] == last["value"]
+    assert first["vs_baseline"] == last["vs_baseline"]
+    assert "train" in last["detail"]
+    tr = last["detail"]["train"]
+    assert "error" not in tr and tr.get("s_per_iter", 0) > 0
+
+
+@pytest.mark.timeout(120)
+def test_zero_probe_budget_skips_probes_fast():
+    proc = subprocess.run(
+        [sys.executable, BENCH, "--tiny", "--probe_budget", "0"],
+        capture_output=True, text=True, timeout=110,
+        env=_headline_env(), cwd=REPO)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [ln for ln in proc.stdout.splitlines()
+             if ln.startswith("{") and '"metric"' in ln]
+    last = json.loads(lines[-1])
+    assert last["detail"]["train"] == {"skipped": "probe budget exhausted"}
