@@ -237,6 +237,9 @@ def main():
     ap.add_argument("--kv_group", type=int, default=0,
                     help="int4 scale group size in lanes (0 = per-row; "
                          "96 = per-head at flagship dims)")
+    ap.add_argument("--kv_rotate", action="store_true",
+                    help="QuaRot-style per-head K/V rotation before "
+                         "quantization (quality: tools/kv_quant_quality.py)")
     ap.add_argument("--spec", type=str, default=None, metavar="CKPT",
                     help="speculative decoding: load CKPT (trained with "
                          "--mtp_heads) and decode with draft verification")
@@ -278,7 +281,8 @@ def main():
     w_quant = not args.no_w_quant
     opt = dataclasses.replace(config_defaults["ArAE"], generate_mode="greedy",
                               kv_quant=kv_quant, w_quant=w_quant,
-                              kv_bits=args.kv_bits, kv_group=args.kv_group)
+                              kv_bits=args.kv_bits, kv_group=args.kv_group,
+                              kv_rotate=args.kv_rotate and kv_quant)
     if args.spec:
         opt = dataclasses.replace(opt, mtp_heads=args.mtp_heads,
                                   spec_decode=True, resume=args.spec)
@@ -337,6 +341,7 @@ def main():
         "decode_tokens_per_s": round(toks_per_s, 1),
         "kv_quant": kv_quant,
         "kv_bits": args.kv_bits,
+        "kv_rotate": bool(args.kv_rotate and kv_quant),
         "w_quant": w_quant,
         "backend": jax.default_backend(),
     }

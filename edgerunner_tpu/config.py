@@ -204,6 +204,11 @@ class Options:
     # int4 numerics at identical DMA traffic (the group scales ride the
     # same packed 128-lane plane)
     kv_group: int = 0
+    # QuaRot-style per-head orthogonal rotation of K/V rows before cache
+    # quantization (exactly invariant in the attention math; flattens
+    # outlier lanes so int4/int8 absmax scales tighten — see
+    # ops/kv_quant.py rotate_rows and tools/kv_quant_quality.py)
+    kv_rotate: bool = False
     # int8 decoder projection weights for decoding (weight-only quantization,
     # per-output-column scales; halves the per-step weight HBM traffic)
     w_quant: bool = False

@@ -88,6 +88,7 @@ class LMM(nn.Module):
             kv_quant=opt.kv_quant,
             kv_bits=opt.kv_bits,
             kv_group=opt.kv_group,
+            kv_rotate=opt.kv_rotate,
             w_quant=opt.w_quant,
             lora_rank=opt.lora_rank,
             lora_alpha=opt.lora_alpha,

@@ -80,6 +80,11 @@ class ShapeOPTConfig:
     # int4 group size in lanes (0 = one absmax scale per row; e.g. 96 = one
     # scale per attention head) — tightens int4 numerics, same DMA traffic
     kv_group: int = 0
+    # QuaRot-style per-head orthogonal rotation of K/V rows before
+    # quantization (ops/kv_quant.py rotate_rows): exactly invariant in the
+    # attention math, flattens outlier lanes so the absmax scales tighten.
+    # q is rotated and the attention output un-rotated per step.
+    kv_rotate: bool = False
     w_quant: bool = False   # int8 projection weights for decode
     # LoRA adapters on every decoder projection (q/k/v/out, fc1/fc2):
     # rank-r additive deltas in the SAME param scope as the base kernels,
@@ -125,6 +130,11 @@ def _kv_quantize(c: "ShapeOPTConfig", kf, vf):
         quantize_rows_int4_grouped,
     )
 
+    if c.kv_rotate:
+        from edgerunner_tpu.ops.kv_quant import rotate_rows
+
+        kf = rotate_rows(kf, c.num_attention_heads)
+        vf = rotate_rows(vf, c.num_attention_heads)
     if c.kv_bits == 4:
         if c.kv_group:
             kq, ks = quantize_rows_int4_grouped(kf, c.kv_group)
@@ -231,6 +241,12 @@ class OPTAttention(nn.Module):
                 fused_decode_attention_q4,
             )
 
+            if c.kv_rotate:
+                from edgerunner_tpu.ops.kv_quant import rotate_rows
+
+                # cache rows are stored rotated: rotate q to match (logits
+                # are exactly invariant), un-rotate the V-space output below
+                qf = rotate_rows(qf, c.num_attention_heads).astype(qf.dtype)
             kv_vals, scales = k_cache, v_cache
             B, L, hd2 = kv_vals.shape
             # lane alignment: Mosaic DMA slices must be 128-aligned on the
@@ -238,18 +254,24 @@ class OPTAttention(nn.Module):
             if jax.default_backend() == "tpu" and L % DEFAULT_BLOCK == 0 \
                     and hd2 % 256 == 0:
                 if c.kv_bits == 4:
-                    return fused_decode_attention_q4(
+                    o = fused_decode_attention_q4(
                         qf.reshape(B, -1), kv_vals, scales, index,
                         num_heads=c.num_attention_heads,
                         group=c.kv_group).reshape(B, 1, -1)
-                return fused_decode_attention_q8(
-                    qf.reshape(B, -1), kv_vals, scales, index,
-                    num_heads=c.num_attention_heads).reshape(B, 1, -1)
-            kd, vd = _kv_dequantize(c, kv_vals, scales)
-            q = self._heads(qf)
-            kh = kd.reshape(B, L, c.num_attention_heads, c.head_dim)
-            vh = vd.reshape(B, L, c.num_attention_heads, c.head_dim)
-            return decode_attention(q, kh, vh, index + 1).reshape(B, 1, -1)
+                else:
+                    o = fused_decode_attention_q8(
+                        qf.reshape(B, -1), kv_vals, scales, index,
+                        num_heads=c.num_attention_heads).reshape(B, 1, -1)
+            else:
+                kd, vd = _kv_dequantize(c, kv_vals, scales)
+                q = self._heads(qf)
+                kh = kd.reshape(B, L, c.num_attention_heads, c.head_dim)
+                vh = vd.reshape(B, L, c.num_attention_heads, c.head_dim)
+                o = decode_attention(q, kh, vh, index + 1).reshape(B, 1, -1)
+            if c.kv_rotate:
+                o = rotate_rows(o, c.num_attention_heads,
+                                inverse=True).astype(c.dtype)
+            return o
 
         B, L = k_cache.shape[:2]
         if jax.default_backend() == "tpu" and L % DEFAULT_BLOCK == 0 \
@@ -281,22 +303,31 @@ class OPTAttention(nn.Module):
 
         H, Dh = c.num_attention_heads, c.head_dim
         if c.kv_quant:
+            if c.kv_rotate:
+                from edgerunner_tpu.ops.kv_quant import rotate_rows
+
+                qf = rotate_rows(qf, H).astype(qf.dtype)
             kv_vals, scales = k_cache, v_cache
             L, hd2 = kv_vals.shape[1], kv_vals.shape[2]
             if jax.default_backend() == "tpu" and L % DEFAULT_BLOCK == 0 \
                     and hd2 % 256 == 0:
                 if c.kv_bits == 4:
-                    return fused_decode_attention_q4_multi(
+                    o = fused_decode_attention_q4_multi(
                         qf.reshape(B, T, -1), kv_vals, scales, index_vec,
                         num_heads=H, group=c.kv_group)
-                return fused_decode_attention_q8_multi(
-                    qf.reshape(B, T, -1), kv_vals, scales, index_vec,
-                    num_heads=H)
-            kd, vd = _kv_dequantize(c, kv_vals, scales)
-            L2 = kd.shape[1]
-            return decode_attention_multi(
-                self._heads(qf), kd.reshape(B, L2, H, Dh),
-                vd.reshape(B, L2, H, Dh), index_vec).reshape(B, T, -1)
+                else:
+                    o = fused_decode_attention_q8_multi(
+                        qf.reshape(B, T, -1), kv_vals, scales, index_vec,
+                        num_heads=H)
+            else:
+                kd, vd = _kv_dequantize(c, kv_vals, scales)
+                L2 = kd.shape[1]
+                o = decode_attention_multi(
+                    self._heads(qf), kd.reshape(B, L2, H, Dh),
+                    vd.reshape(B, L2, H, Dh), index_vec).reshape(B, T, -1)
+            if c.kv_rotate:
+                o = rotate_rows(o, H, inverse=True).astype(c.dtype)
+            return o
         L = k_cache.shape[1]
         if jax.default_backend() == "tpu" and L % DEFAULT_BLOCK == 0 \
                 and k_cache.shape[-1] % 128 == 0:

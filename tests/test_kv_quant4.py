@@ -189,3 +189,120 @@ def test_generate_with_grouped_int4_cache_runs():
                         jnp.array([23, 23], jnp.int32))
     out = generate_tokens(model, params, np.asarray(conds), num_faces=8, rng=RNG)
     assert out.shape[0] == 2
+
+# ------------------------------------------------------- QuaRot-style rotation --
+
+def test_rotate_rows_exact_inverse():
+    from edgerunner_tpu.ops.kv_quant import rotate_rows
+
+    x = jax.random.normal(RNG, (2, 8, 384))
+    back = rotate_rows(rotate_rows(x, 4), 4, inverse=True)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_rotation_preserves_attention_logits():
+    from edgerunner_tpu.ops.kv_quant import rotate_rows
+
+    H, Dh = 4, 96
+    k1, k2 = jax.random.split(RNG)
+    q = jax.random.normal(k1, (2, H * Dh))
+    k = jax.random.normal(k2, (2, 16, H * Dh))
+    def per_head_logits(qq, kk):
+        qh = np.asarray(qq).reshape(2, H, Dh)
+        kh = np.asarray(kk).reshape(2, 16, H, Dh)
+        return np.einsum("bhd,blhd->blh", qh, kh)
+    ref = per_head_logits(q, k)
+    rot = per_head_logits(rotate_rows(q, H), rotate_rows(k, H))
+    np.testing.assert_allclose(rot, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_rotated_int4_tighter_on_outlier_rows():
+    from edgerunner_tpu.ops.kv_quant import rotate_rows
+
+    # one outlier lane per row — the regime where per-row absmax int4 is
+    # worst; rotation spreads the outlier across all lanes of its head
+    x = jax.random.normal(RNG, (2, 32, 384))
+    x = x.at[..., 5].set(40.0)
+
+    vals, scales = quantize_rows_int4(x)
+    plain = dequantize_rows_int4(vals, scales, jnp.float32)
+    rel_plain = float(jnp.linalg.norm(plain - x) / jnp.linalg.norm(x))
+
+    xr = rotate_rows(x, 4)
+    vals_r, scales_r = quantize_rows_int4(xr)
+    back = rotate_rows(dequantize_rows_int4(vals_r, scales_r, jnp.float32),
+                       4, inverse=True)
+    rel_rot = float(jnp.linalg.norm(back - x) / jnp.linalg.norm(x))
+    assert rel_rot < rel_plain * 0.5, (rel_rot, rel_plain)
+
+
+def test_rotated_int4_attention_closer_to_exact():
+    """End numerics: single-step attention over an int4 cache with rotation
+    lands closer to the exact (unquantized) output than without, on
+    outlier-heavy K/V."""
+    from edgerunner_tpu.ops.kv_quant import rotate_rows
+
+    B, L, H, Dh = 2, 64, 4, 96
+    hd = H * Dh
+    r = np.random.default_rng(3)
+    k = r.normal(size=(B, L, hd)).astype(np.float32)
+    v = r.normal(size=(B, L, hd)).astype(np.float32)
+    k[..., 7] *= 12.0
+    v[..., 201] *= 12.0
+    q = jnp.asarray(r.normal(size=(B, hd)).astype(np.float32))
+    k, v = jnp.asarray(k), jnp.asarray(v)
+    index = L - 1
+
+    def run(kk, vv, qq):
+        return decode_attention(qq.reshape(B, 1, H, Dh),
+                                kk.reshape(B, L, H, Dh),
+                                vv.reshape(B, L, H, Dh),
+                                index + 1).reshape(B, hd)
+
+    exact = run(k, v, q)
+
+    kq, ks = quantize_rows_int4(k)
+    vq, vs = quantize_rows_int4(v)
+    plain = run(dequantize_rows_int4(kq, ks, jnp.float32),
+                dequantize_rows_int4(vq, vs, jnp.float32), q)
+
+    kqr, ksr = quantize_rows_int4(rotate_rows(k, H))
+    vqr, vsr = quantize_rows_int4(rotate_rows(v, H))
+    rot = rotate_rows(
+        run(dequantize_rows_int4(kqr, ksr, jnp.float32),
+            dequantize_rows_int4(vqr, vsr, jnp.float32), rotate_rows(q, H)),
+        H, inverse=True)
+
+    err_plain = float(jnp.linalg.norm(plain - exact))
+    err_rot = float(jnp.linalg.norm(rot - exact))
+    assert err_rot < err_plain * 0.6, (err_rot, err_plain)
+
+
+def test_generate_with_rotated_int4_cache_runs():
+    opt = Options(cond_mode="point", point_latent_size=16, num_cond_tokens=17,
+                  point_hidden_dim=32, point_num_heads=4, point_latent_dim=8,
+                  hidden_dim=64, num_layers=2, num_heads=4, max_seq_length=256,
+                  use_num_face_cond=True, checkpointing=False, decode_bucket=64,
+                  generate_mode="greedy", kv_quant=True, kv_bits=4,
+                  kv_rotate=True)
+    model = LMM(opt)
+    conds = jax.random.normal(RNG, (2, 32, 3))
+    tokens = jnp.array([[1, 6, 7, 8, 2]] * 2)
+    labels = jnp.concatenate([jnp.full((2, 18), -100), tokens[:, 1:]], axis=1)
+    params = model.init({"params": RNG, "nof": RNG, "dropout": RNG},
+                        conds, tokens, labels, jnp.array([100, 100]),
+                        jnp.array([23, 23], jnp.int32))
+    out = generate_tokens(model, params, np.asarray(conds), num_faces=8, rng=RNG)
+    assert out.shape[0] == 2
+    # rotation + int8 cache must track the exact stream closely on a tiny
+    # model: the caches differ only by int8 rounding of rotated rows
+    opt8 = dataclasses.replace(opt, kv_bits=8)
+    out8 = generate_tokens(LMM(opt8), params, np.asarray(conds), num_faces=8,
+                           rng=RNG)
+    exact = generate_tokens(LMM(dataclasses.replace(opt, kv_quant=False,
+                                                    kv_rotate=False)),
+                            params, np.asarray(conds), num_faces=8, rng=RNG)
+    L2 = min(out8.shape[1], exact.shape[1])
+    match = float((np.asarray(out8)[:, :L2] == np.asarray(exact)[:, :L2]).mean())
+    assert match > 0.9, match

@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--kv_bits", type=int, default=8, choices=(4, 8))
     ap.add_argument("--kv_group", type=int, default=0,
                     help="int4 scale group size in lanes (0 = per-row)")
+    ap.add_argument("--kv_rotate", action="store_true",
+                    help="QuaRot-style per-head rotation before quantization")
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
     assert args.resume or args.random, "--resume CKPT or --random required"
@@ -81,7 +83,8 @@ def main():
         kv = quant and args.mode in ("kv", "both")
         wq = quant and args.mode in ("w", "both")
         o = dataclasses.replace(opt, kv_quant=kv, w_quant=wq,
-                                kv_bits=args.kv_bits, kv_group=args.kv_group)
+                                kv_bits=args.kv_bits, kv_group=args.kv_group,
+                                kv_rotate=args.kv_rotate and kv)
         load_o = dataclasses.replace(o, w_quant=False)
         model = LMM(load_o, dtype=jnp.bfloat16)
         params = cast_params(init_lmm_params(model, load_o, rng), jnp.bfloat16)
@@ -122,6 +125,7 @@ def main():
         "weights": args.resume or "random-init",
         "mode": args.mode,
         "kv_bits": args.kv_bits,
+        "kv_rotate": bool(args.kv_rotate),
         "batch": args.batch,
         "faces_requested": args.faces,
         "backend": jax.default_backend(),
