@@ -93,7 +93,10 @@ class ContinuousEngine:
         self.N = round_up_bucket(cap, opt.decode_bucket)
         self.max_len = round_up_bucket(self.plen + self.N + 1, 512)
 
-        self.q: queue.Queue = queue.Queue()
+        # bounded when max_queue is set: put_nowait in submit() enforces the
+        # backpressure limit atomically (a check-then-put lets concurrent
+        # submitters race past the limit)
+        self.q: queue.Queue = queue.Queue(maxsize=max_queue or 0)
         self._stop = threading.Event()
         self._slots: list[Optional[Request]] = [None] * self.B
         self._rng_fallback = jax.random.PRNGKey(opt.seed)
@@ -113,11 +116,16 @@ class ContinuousEngine:
     # ------------------------------------------------------------- public --
     def submit(self, points: np.ndarray, num_faces: int,
                seed: Optional[int]) -> dict:
-        if self.max_queue is not None and self.q.qsize() >= self.max_queue:
-            raise EngineOverloaded(
-                f"queue depth {self.q.qsize()} >= max_queue {self.max_queue}")
         req = Request(points, num_faces, seed)
-        self.q.put(req)
+        try:
+            # the bounded queue makes the limit atomic: under a burst of
+            # concurrent submits, at most max_queue requests can ever be
+            # queued (a check-then-put would let every racer through)
+            self.q.put_nowait(req)
+        except queue.Full:
+            raise EngineOverloaded(
+                f"queue depth {self.q.qsize()} >= max_queue "
+                f"{self.max_queue}") from None
         req.done_event.wait()
         if "error" in req.slot_result:
             raise RuntimeError(req.slot_result["error"])
@@ -125,7 +133,13 @@ class ContinuousEngine:
 
     def shutdown(self):
         self._stop.set()
-        self.q.put(None)
+        try:
+            # wake a worker blocked in the idle q.get(); if the queue is
+            # full the worker is busy (not blocked) and will observe _stop
+            # at the top of its next loop iteration
+            self.q.put_nowait(None)
+        except queue.Full:
+            pass
 
     def load(self) -> int:
         """Unfinished request count (queued + in a decode slot) — the

@@ -73,6 +73,14 @@ class Batcher:
         self.q: queue.Queue = queue.Queue()
         self.rng = jax.random.PRNGKey(opt.seed)
         self._stop = threading.Event()
+        # same observability schema as ContinuousEngine.stats so /statz has
+        # one shape regardless of --no_continuous (clients key on it)
+        self._t_start = time.time()
+        self._stats_lock = threading.Lock()
+        self._done_count = 0
+        self._wall_sum = 0.0
+        self._tokens_out = 0
+        self._busy = 0
         self.thread = threading.Thread(target=self._worker, daemon=True)
         self.thread.start()
 
@@ -91,7 +99,18 @@ class Batcher:
         self.q.put(None)
 
     def stats(self) -> dict:
-        return {"queue_depth": self.q.qsize(), "slots_total": self.batch}
+        with self._stats_lock:
+            done, wall, toks, busy = (self._done_count, self._wall_sum,
+                                      self._tokens_out, self._busy)
+        return {
+            "requests_done": done,
+            "queue_depth": self.q.qsize(),
+            "slots_busy": busy,
+            "slots_total": self.batch,
+            "mean_wall_s": round(wall / done, 3) if done else None,
+            "tokens_out": toks,
+            "uptime_s": round(time.time() - self._t_start, 1),
+        }
 
     # ------------------------------------------------------------- worker --
     def _drain(self):
@@ -125,6 +144,8 @@ class Batcher:
             if items is None:
                 break
             t0 = time.time()
+            with self._stats_lock:
+                self._busy = len(items)
             try:
                 B = self.batch
                 conds = np.zeros((B,) + _cond_shape(self.opt), np.float32)
@@ -148,6 +169,7 @@ class Batcher:
                                          num_faces=num_faces,
                                          rng=jnp.stack(keys))
                 wall = time.time() - t0
+                toks = 0
                 for i, (_, _, _, slot, done) in enumerate(items):
                     verts, faces = save_mesh(tokens[i], self.opt, path=None,
                                              tokenizer=self.tokenizer,
@@ -156,11 +178,19 @@ class Batcher:
                     slot["faces"] = np.asarray(faces).tolist()
                     slot["tokens"] = (trim_eos(tokens[i]) - 3).tolist()
                     slot["wall_s"] = round(wall, 3)
+                    toks += len(slot["tokens"])
                     done.set()
+                with self._stats_lock:
+                    self._done_count += len(items)
+                    self._wall_sum += wall * len(items)
+                    self._tokens_out += toks
+                    self._busy = 0
             except Exception as e:  # noqa: BLE001
                 for _, _, _, slot, done in items:
                     slot["error"] = str(e)
                     done.set()
+                with self._stats_lock:
+                    self._busy = 0
 
 
 class ContinuousFrontend:
@@ -180,6 +210,20 @@ class ContinuousFrontend:
 
     def stats(self) -> dict:
         return self.engine.stats()
+
+    def check_overloaded(self):
+        """Raise EngineOverloaded if a submit would be rejected right now.
+
+        Advisory pre-check (racy by design — the bounded queue still
+        enforces the real limit at submit): lets upstream stages shed load
+        BEFORE burning expensive work, e.g. the pipeline frontend's ~100-step
+        DDIM pass."""
+        from edgerunner_tpu.serve_engine import EngineOverloaded
+
+        e = self.engine
+        if e.max_queue is not None and e.q.qsize() >= e.max_queue:
+            raise EngineOverloaded(
+                f"queue depth {e.q.qsize()} >= max_queue {e.max_queue}")
 
     def submit(self, points: np.ndarray, num_faces: int, seed) -> dict:
         from edgerunner_tpu.data import save_mesh
@@ -228,6 +272,8 @@ def make_handler(batcher, opt):
             if self.path != "/generate":
                 self._json(404, {"error": "unknown path"})
                 return
+            # parse phase: malformed client input (ragged lists, non-numeric
+            # fields, bad json) is a 400, never a 500
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
@@ -239,19 +285,24 @@ def make_handler(batcher, opt):
                         self._json(400, {"error": "latents must be "
                                          f"{list(_cond_shape(opt))}"})
                         return
-                    result = batcher.submit(lat, num_faces, req.get("seed"))
-                    self._json(200, result)
-                    return
-                pts = np.asarray(req.get("points", []), np.float32)
-                if pts.ndim != 2 or pts.shape[1] != 3 or len(pts) == 0:
-                    self._json(400, {"error": "points must be [[x,y,z], ...]"})
-                    return
-                # resample to the model's fixed point count
-                rng = np.random.default_rng(int(req.get("seed") or 0))
-                idx = rng.integers(0, len(pts), size=opt.point_num) \
-                    if len(pts) != opt.point_num else np.arange(opt.point_num)
-                pts = pts[idx]
-                result = batcher.submit(pts, num_faces, req.get("seed"))
+                    cond = lat
+                else:
+                    pts = np.asarray(req.get("points", []), np.float32)
+                    if pts.ndim != 2 or pts.shape[1] != 3 or len(pts) == 0:
+                        self._json(400, {"error":
+                                         "points must be [[x,y,z], ...]"})
+                        return
+                    # resample to the model's fixed point count
+                    rng = np.random.default_rng(int(req.get("seed") or 0))
+                    idx = rng.integers(0, len(pts), size=opt.point_num) \
+                        if len(pts) != opt.point_num else \
+                        np.arange(opt.point_num)
+                    cond = pts[idx]
+            except (ValueError, TypeError, json.JSONDecodeError) as e:
+                self._json(400, {"error": f"bad request: {e}"})
+                return
+            try:
+                result = batcher.submit(cond, num_faces, req.get("seed"))
                 self._json(200, result)
             except Exception as e:  # noqa: BLE001
                 from edgerunner_tpu.serve_engine import EngineOverloaded
@@ -292,9 +343,12 @@ def make_handler(batcher, opt):
                     if img.shape[:2] != (s, s):
                         from PIL import Image
 
+                        # bilinear, matching load_image_cond and the
+                        # reference's F.interpolate(mode='bilinear') so both
+                        # input paths condition identically
                         img8 = Image.fromarray(
                             (np.clip(img, 0, 1) * 255).astype(np.uint8))
-                        img = np.asarray(img8.resize((s, s)),
+                        img = np.asarray(img8.resize((s, s), Image.BILINEAR),
                                          np.float32) / 255.0
                 else:
                     self._json(400, {"error": "missing image"})
@@ -393,6 +447,10 @@ class PipelineFrontend:
 
         from edgerunner_tpu.models.mdit import run_mdit
 
+        # shed load BEFORE the serialized ~100-step DDIM pass: a request the
+        # inner engine would 503 anyway must not burn a DDIM run + the lock
+        if hasattr(self.inner, "check_overloaded"):
+            self.inner.check_overloaded()
         t0 = time.time()
         if seed is not None:
             key = jax.random.PRNGKey(int(seed))

@@ -274,3 +274,34 @@ def test_stats_and_max_queue_backpressure(engine_and_model):
         assert s1["queue_depth"] == 0 and s1["slots_busy"] == 0
     finally:
         eng.shutdown()
+
+
+def test_max_queue_bound_is_atomic(engine_and_model):
+    """The queue itself is bounded (put_nowait), so the backpressure limit
+    holds even under concurrent submitters — no check-then-put window."""
+    engine = engine_and_model[0]
+    assert engine.max_queue is None or \
+        engine.q.maxsize == engine.max_queue
+
+
+def test_pipeline_sheds_before_ddim():
+    """An overloaded inner engine rejects an image request BEFORE the DDIM
+    pass runs (no model_dit call, no lock hold)."""
+    import serve as serve_mod
+    from edgerunner_tpu.serve_engine import EngineOverloaded
+
+    class OverloadedInner:
+        batch = 1
+
+        def check_overloaded(self):
+            raise EngineOverloaded("queue full")
+
+        def submit(self, *a):  # pragma: no cover - must not be reached
+            raise AssertionError("submit reached despite overload")
+
+    fe = serve_mod.PipelineFrontend(opt=None, inner=OverloadedInner(),
+                                    model_dit=None, params_dit=None)
+    with pytest.raises(EngineOverloaded):
+        # model_dit=None would crash inside the DDIM pass — reaching it
+        # would fail the test with AttributeError, not EngineOverloaded
+        fe.submit_image(np.zeros((8, 8, 3), np.float32), 8, seed=0)

@@ -85,3 +85,47 @@ def test_statz(server):
         s = json.loads(r.read())
     assert s["slots_total"] >= 1
     assert s["queue_depth"] == 0
+
+
+def test_statz_uniform_schema(server):
+    """Both engines (--no_continuous and continuous) must expose the full
+    documented /statz schema: requests_done/queue_depth/slots_busy/
+    slots_total/mean_wall_s/tokens_out/uptime_s."""
+    with urllib.request.urlopen(server + "/statz", timeout=30) as r:
+        s = json.loads(r.read())
+    for key in ("requests_done", "queue_depth", "slots_busy", "slots_total",
+                "mean_wall_s", "tokens_out", "uptime_s"):
+        assert key in s, key
+    # generation tests above have completed at least one request
+    assert s["requests_done"] >= 1
+    assert s["tokens_out"] > 0
+    assert s["mean_wall_s"] is None or s["mean_wall_s"] > 0
+    assert s["uptime_s"] > 0
+
+
+def test_malformed_fields_return_400(server):
+    """Ragged lists / non-numeric num_faces are client errors (400), not
+    500s from the engine."""
+    for body in (
+        {"points": [[0, 0, 0], [1, 1]], "num_faces": 8},        # ragged
+        {"points": [[0, 0, 0]], "num_faces": "lots"},           # non-numeric
+    ):
+        req = urllib.request.Request(
+            server + "/generate", data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, f"expected 400 for {body}"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400, (e.code, body)
+
+
+def test_bad_json_returns_400(server):
+    req = urllib.request.Request(
+        server + "/generate", data=b"{not json",
+        headers={"Content-Type": "application/json"}, method="POST")
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
