@@ -297,6 +297,16 @@ def _fan_mesh(rng, n):
     return v, f
 
 
+def shard_items_for_host(items: list, rank: int, world: int) -> list:
+    """Disjoint per-host item shard for multi-host data parallelism (the
+    DDP-rank split; see docs/MULTIHOST.md). Every host is trimmed to the
+    same item count: a host with one extra item can cross a batch boundary
+    and yield an extra step, deadlocking the collective train step when the
+    others have exhausted their loaders."""
+    n = len(items) // world
+    return items[rank::world][:n]
+
+
 class MixedDataset:
     """Concatenation of several mesh datasets (reference: MixedDataset,
     provider.py:435-466). Pass roots via opt.data_root as a colon-separated

@@ -32,9 +32,26 @@ def maybe_initialize_distributed():
     See docs/MULTIHOST.md for the full recipe."""
     import os
 
-    if (os.environ.get("COORDINATOR_ADDRESS")
-            or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+    coord = os.environ.get("COORDINATOR_ADDRESS")
+    if coord:
+        # plain-env launch (e.g. two shells / mpirun without a recognized
+        # cluster): bare initialize() cannot self-discover here — JAX's
+        # auto-detection only covers SLURM/OpenMPI/GKE — so the process
+        # geometry must come from the envs
+        num = os.environ.get("NUM_PROCESSES") or os.environ.get(
+            "JAX_NUM_PROCESSES")
+        pid = os.environ.get("PROCESS_ID") or os.environ.get(
+            "JAX_PROCESS_ID")
+        assert num is not None and pid is not None, (
+            "COORDINATOR_ADDRESS is set but NUM_PROCESSES/PROCESS_ID are "
+            "not; see docs/MULTIHOST.md")
+        jax.distributed.initialize(coordinator_address=coord,
+                                   num_processes=int(num),
+                                   process_id=int(pid))
+        return True
+    if (os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
             or os.environ.get("EDGERUNNER_DISTRIBUTED")):
+        # Cloud TPU pods / recognized clusters: initialize() self-discovers
         jax.distributed.initialize()
         return True
     return False

@@ -93,12 +93,11 @@ def main():
     # multi-host: each host trains on a disjoint shard of the items (the
     # DDP-rank split; see docs/MULTIHOST.md)
     if jax.process_count() > 1 and hasattr(train_dataset, "items"):
+        from edgerunner_tpu.data.dataset import shard_items_for_host
+
         rank, world = jax.process_index(), jax.process_count()
-        # trim every host to the same item count: a host with one extra item
-        # can cross a batch boundary and yield an extra step, deadlocking the
-        # collective train step when the others have exhausted their loaders
-        n = len(train_dataset.items) // world
-        train_dataset.items = train_dataset.items[rank::world][:n]
+        train_dataset.items = shard_items_for_host(train_dataset.items,
+                                                   rank, world)
         logger.info(f"host {rank}/{world}: {len(train_dataset)} train items")
     logger.info(f"train dataset size: {len(train_dataset)}")
     logger.info(f"test dataset size: {len(test_dataset)}")
