@@ -192,6 +192,9 @@ class Options:
     decode_bucket: int = 1024
     # batched generation (TPU improvement over the reference's B==1 limit)
     test_batch_size: int = 1
+    # eval_mode=generate: held-out samples scored per eval epoch (decoded in
+    # chunks of test_batch_size; mean±std chamfer/F-score logged)
+    eval_gen_samples: int = 16
     # int8 KV cache for decoding (halves cache HBM traffic; ~1% relative
     # attention error from per-token quantization)
     kv_quant: bool = False

@@ -39,8 +39,18 @@ def _http_fetch(url: str) -> bytes:
         return r.read()
 
 
+def _s3_fetch(url: str) -> bytes:
+    # stdlib SigV4 / anonymous S3 GET; a user register_fetcher("s3", ...)
+    # call replaces this default (reference: megfile s3 streaming,
+    # core/provider.py:162,248-249)
+    from edgerunner_tpu.data.s3 import s3_fetch
+
+    return s3_fetch(url)
+
+
 register_fetcher("http", _http_fetch)
 register_fetcher("https", _http_fetch)
+register_fetcher("s3", _s3_fetch)
 
 
 def url_scheme(path: str) -> str:

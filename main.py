@@ -232,43 +232,25 @@ def main():
         elif opt.eval_mode == "generate":
             import numpy as np
 
-            from edgerunner_tpu.eval import mesh_metrics
-            from edgerunner_tpu.generate import generate_tokens
+            from edgerunner_tpu.eval import generate_eval
 
-            scores = []
-            for i, batch in enumerate(test_loader):
-                tokens = generate_tokens(
-                    model, trainer.state.params, batch["conds"][:1],
-                    num_faces=int(opt.test_num_face[0]))
-                out_path = os.path.join(
-                    opt.workspace, f"testgen_ep{epoch}_{i}.obj")
-                pv, pf = save_mesh(tokens[0], opt, out_path,
-                                   tokenizer=tokenizer)
-                # quantitative eval vs the GT token stream of the same sample
-                # (the reference dumps meshes but publishes no geometry
-                # metric; chamfer/F-score make generate-eval comparable
-                # across runs)
-                try:
-                    C = opt.num_cond_tokens
-                    n_tok = int(batch["num_tokens"][0])
-                    gt = np.asarray(batch["labels"][0])[C + 1:n_tok - 1]
-                    gv, gf = save_mesh(gt, opt, None, tokenizer=tokenizer)
-                    scores.append(mesh_metrics(gv, gf, pv, pf, n=2000))
-                except Exception as e:  # noqa: BLE001 - eval must not kill training
-                    logger.warning(f"mesh metrics failed on sample {i}: {e}")
-                if i >= 3:
-                    break
+            stats = generate_eval(
+                model, trainer.state.params, test_loader, opt,
+                tokenizer=tokenizer, epoch=epoch,
+                workspace=opt.workspace, log=logger.warning)
             msg = f"Eval epoch: {epoch} generated meshes saved."
-            if scores:
-                ch = [s["chamfer_l2"] for s in scores]
-                ch = float(np.mean([c for c in ch if np.isfinite(c)] or
-                                   [float("inf")]))
-                fs = float(np.mean([s["fscore"] for s in scores]))
-                msg += f" chamfer={ch:.5f} fscore={fs:.3f} (n={len(scores)})"
+            if stats["n"]:
+                msg += (f" chamfer={stats['chamfer_mean']:.5f}"
+                        f"±{stats['chamfer_std']:.5f}"
+                        f" fscore={stats['fscore_mean']:.3f}"
+                        f"±{stats['fscore_std']:.3f} (n={stats['n']})")
                 if opt.use_wandb:
                     import wandb
 
-                    wandb.log({"eval_chamfer": ch, "eval_fscore": fs},
+                    wandb.log({"eval_chamfer": stats["chamfer_mean"],
+                               "eval_chamfer_std": stats["chamfer_std"],
+                               "eval_fscore": stats["fscore_mean"],
+                               "eval_fscore_std": stats["fscore_std"]},
                               commit=False)
             logger.info(msg)
 

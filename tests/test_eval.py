@@ -71,3 +71,44 @@ def test_cli_pairs_by_stem(tmp_path):
     data = json.loads(out.read_text())
     assert data["aggregate"]["pairs"] == 2
     assert data["aggregate"]["fscore_mean"] > 0.4
+
+
+def test_generate_eval_batched_stats():
+    """eval_mode=generate plumbing (VERDICT r3 weak #7): >= eval_gen_samples
+    held-out rows scored per epoch, decoded in test_batch_size chunks (6
+    samples / B=4 forces a padded last chunk), deterministic under seed."""
+    import jax
+
+    from edgerunner_tpu.config import Options
+    from edgerunner_tpu.data.dataset import DataLoader, SyntheticMeshDataset
+    from edgerunner_tpu.eval import generate_eval
+    from edgerunner_tpu.models.lmm import LMM
+
+    opt = Options(cond_mode="point", point_latent_size=16, num_cond_tokens=17,
+                  point_hidden_dim=32, point_num_heads=4, point_latent_dim=8,
+                  hidden_dim=64, num_layers=2, num_heads=4, max_seq_length=512,
+                  use_num_face_cond=True, checkpointing=False, point_num=64,
+                  decode_bucket=64, generate_mode="greedy", test_num_face=(12,),
+                  eval_gen_samples=6, test_batch_size=4)
+    ds = SyntheticMeshDataset(opt, size=8, training=False, tokenizer=None)
+    loader = DataLoader(ds, opt, 4, shuffle=False, drop_last=False, seed=0)
+
+    model = LMM(opt)
+    rng = jax.random.PRNGKey(0)
+    import jax.numpy as jnp
+    conds = jax.random.normal(rng, (2, opt.point_num, 3))
+    tokens = jnp.array([[1, 6, 7, 8, 2]]).repeat(2, 0)
+    labels = jnp.concatenate([jnp.full((2, 18), -100), tokens[:, 1:]], axis=1)
+    params = model.init({"params": rng, "nof": rng, "dropout": rng},
+                        conds, tokens, labels, jnp.array([100, 100]),
+                        jnp.array([23, 23], jnp.int32))
+
+    s1 = generate_eval(model, params, loader, opt)
+    assert s1["n"] == 6
+    for k in ("chamfer_mean", "chamfer_std", "fscore_mean", "fscore_std"):
+        assert isinstance(s1[k], float)
+    assert 0.0 <= s1["fscore_mean"] <= 1.0
+    # deterministic: a second pass over the (unshuffled) loader matches
+    s2 = generate_eval(model, params, loader, opt)
+    assert s1["fscore_mean"] == s2["fscore_mean"]
+    assert s1["chamfer_mean"] == s2["chamfer_mean"]
