@@ -333,4 +333,11 @@ def load_params_for_inference(model, opt, rng):
         print(f"[INFO] Loaded checkpoint from {opt.resume}")
     else:
         print("[WARN] model randomly initialized, are you sane?")
+    if getattr(opt, "resume2", None):
+        # second, possibly partial tree layered on top — e.g. the converted
+        # CLIP-ViT-H tower from tools/fetch_clip.py (reference loads the
+        # pretrained tower from HF at build time, core/models.py:41)
+        params = tolerant_merge(params, restore_pytree(opt.resume2),
+                                align_posemb=opt.align_posemb)
+        print(f"[INFO] Merged secondary checkpoint from {opt.resume2}")
     return params

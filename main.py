@@ -139,6 +139,14 @@ def main():
             else:
                 logger.warning("[resume] --resume_train_state set but no "
                                "train_state.json next to the checkpoint")
+    if opt.resume2:
+        # partial overlay independent of --resume, e.g. the converted
+        # pretrained CLIP tower from tools/fetch_clip.py (reference loads
+        # it from HF at model build, core/models.py:41)
+        params = tolerant_merge(params, restore_pytree(opt.resume2),
+                                align_posemb=opt.align_posemb,
+                                log=logger.warning)
+        logger.info(f"merged secondary checkpoint from {opt.resume2}")
     num_params = sum(x.size for x in jax.tree.leaves(params))
     logger.info(f"total param count: {num_params/1e6:.3f} M")
 

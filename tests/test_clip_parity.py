@@ -1,6 +1,8 @@
 """CLIP tower numeric parity vs HuggingFace CLIPVisionModel (random weights,
 small config) — validates the architecture and the weight converter."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -38,3 +40,79 @@ def test_tower_matches_hf_vision_model():
         ref = hf_model(torch.tensor(x).permute(0, 3, 1, 2)).last_hidden_state.numpy()
     got = np.asarray(tower.apply(params, jnp.asarray(x)))
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("RUN_SLOW"),
+    reason="flagship CLIP geometry (ViT-H: 1280x32, ~0.6B params); RUN_SLOW=1")
+def test_tower_matches_hf_at_vith_geometry():
+    """Random-weight parity at the exact laion ViT-H-14 geometry the
+    reference conditions on (core/models.py:41): hidden 1280, 32 layers,
+    16 heads, 224px / patch 14. Guards the converter + tower at the real
+    shape so tools/fetch_clip.py only needs network, not new code."""
+    from transformers import CLIPVisionConfig as HFConfig, CLIPVisionModel
+
+    hf_cfg = HFConfig(
+        hidden_size=1280, intermediate_size=5120, num_hidden_layers=32,
+        num_attention_heads=16, image_size=224, patch_size=14,
+        hidden_act="gelu", layer_norm_eps=1e-5,
+    )
+    torch.manual_seed(0)
+    hf_model = CLIPVisionModel(hf_cfg).eval()
+
+    cfg = CLIPVisionConfig(image_size=224, patch_size=14, hidden_size=1280,
+                           intermediate_size=5120, num_layers=32,
+                           num_heads=16)
+    tower = CLIPVisionTower(cfg)
+    params = {"params": convert_hf_clip_params(hf_model.state_dict())}
+
+    x = np.random.default_rng(0).normal(
+        size=(1, 224, 224, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf_model(
+            torch.tensor(x).permute(0, 3, 1, 2)).last_hidden_state.numpy()
+    got = np.asarray(tower.apply(params, jnp.asarray(x)))
+    # 32 f32 layers accumulate more rounding than the tiny case
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_fetch_clip_drill_local(tmp_path):
+    """tools/fetch_clip.py end to end against a local HF snapshot (the
+    no-network drill): save a small random CLIPVisionModel with
+    save_pretrained, fetch/convert/parity/save, then layer the overlay
+    onto an LMM via --resume2 semantics (tolerant_merge)."""
+    import subprocess
+    import sys
+
+    from transformers import CLIPVisionConfig as HFConfig, CLIPVisionModel
+
+    snap = tmp_path / "snapshot"
+    torch.manual_seed(0)
+    CLIPVisionModel(HFConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, image_size=28, patch_size=14,
+        hidden_act="gelu", layer_norm_eps=1e-5)).save_pretrained(snap)
+
+    out = tmp_path / "clip_ckpt"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "fetch_clip.py"),
+         "--local", str(snap), "--out", str(out)],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "parity vs torch" in r.stdout
+
+    # the overlay merges onto a model tree (what --resume2 does)
+    from edgerunner_tpu.train.checkpoint import restore_pytree, tolerant_merge
+
+    overlay = restore_pytree(str(out))
+    assert "image_encoder" in overlay["params"]
+    base = {"params": {"image_encoder": jax.tree.map(
+        np.zeros_like, overlay["params"]["image_encoder"]),
+        "other": np.ones((3,), np.float32)}}
+    merged = tolerant_merge(base, overlay)
+    got = np.concatenate([np.ravel(x) for x in
+                          jax.tree.leaves(merged["params"]["image_encoder"])])
+    assert np.abs(got).max() > 0  # overlay actually landed
+    np.testing.assert_array_equal(merged["params"]["other"], np.ones((3,)))

@@ -1,0 +1,109 @@
+"""One-command CLIP-ViT-H readiness drill (VERDICT r3 missing #1).
+
+The reference conditions image generation on a frozen pretrained
+`laion/CLIP-ViT-H-14-laion2B-s32B-b79K` vision tower loaded from
+HuggingFace at model build (reference: core/models.py:41,
+core/models_dit.py:52-59). This environment has no network, so the tower
+ships architecture-only; when network IS available, this script makes the
+framework image-condition-ready in one command:
+
+    python tools/fetch_clip.py --out /path/clip_vith
+    python main.py ArAE --cond_mode image --resume2 /path/clip_vith ...
+    python infer.py ArAE --cond_mode image --resume CKPT \
+        --resume2 /path/clip_vith --test_path photo.png ...
+
+What it does:
+  1. downloads the HF CLIPVisionModel (or loads --local SNAPSHOT_DIR)
+  2. converts the torch state_dict to this framework's flax pytree
+     (models/clip_vit.py convert_hf_clip_params)
+  3. LIVE PARITY CHECK: runs both towers on the same random pixel batch
+     and asserts outputs match to bf16-safe tolerance — the same check
+     tests/test_clip_parity.py runs at small + flagship geometry in-env
+  4. saves the overlay `{"params": {"image_encoder": ...}}` as an orbax
+     checkpoint consumable by --resume2 (tolerant_merge layers it onto any
+     ArAE/DiT checkpoint, train or inference)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_MODEL = "laion/CLIP-ViT-H-14-laion2B-s32B-b79K"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default=DEFAULT_MODEL,
+                    help="HuggingFace model id to download")
+    ap.add_argument("--local", default=None,
+                    help="local HF snapshot dir (skip download)")
+    ap.add_argument("--out", required=True, help="output orbax ckpt dir")
+    ap.add_argument("--skip_parity", action="store_true")
+    args = ap.parse_args()
+
+    import torch
+    from transformers import CLIPVisionModel
+
+    src = args.local or args.model
+    print(f"[fetch_clip] loading CLIPVisionModel from {src}")
+    hf = CLIPVisionModel.from_pretrained(src).eval()
+    cfg = hf.config
+    print(f"[fetch_clip] hidden={cfg.hidden_size} layers="
+          f"{cfg.num_hidden_layers} heads={cfg.num_attention_heads} "
+          f"image={cfg.image_size} patch={cfg.patch_size}")
+
+    from edgerunner_tpu.models.clip_vit import (
+        CLIPVisionConfig,
+        CLIPVisionTower,
+        convert_hf_clip_params,
+    )
+
+    tower_params = convert_hf_clip_params(hf.state_dict())
+
+    if not args.skip_parity:
+        import jax.numpy as jnp
+
+        tower = CLIPVisionTower(CLIPVisionConfig(
+            image_size=cfg.image_size, patch_size=cfg.patch_size,
+            hidden_size=cfg.hidden_size,
+            intermediate_size=cfg.intermediate_size,
+            num_layers=cfg.num_hidden_layers,
+            num_heads=cfg.num_attention_heads))
+        x = np.random.default_rng(0).normal(
+            size=(2, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+        with torch.no_grad():
+            ref = hf(torch.tensor(x).permute(0, 3, 1, 2)
+                     ).last_hidden_state.numpy()
+        got = np.asarray(tower.apply({"params": tower_params},
+                                     jnp.asarray(x)))
+        err = float(np.abs(got - ref).max())
+        rel = err / max(float(np.abs(ref).max()), 1e-9)
+        print(f"[fetch_clip] parity vs torch: max abs err {err:.3e} "
+              f"(rel {rel:.3e})")
+        assert rel < 5e-3, "converted tower diverges from the torch source"
+
+    from edgerunner_tpu.train.checkpoint import save_pytree
+
+    overlay = {"params": {"image_encoder": tower_params}}
+    save_pytree(os.path.abspath(args.out), overlay)
+    n = sum(int(np.prod(v.shape)) for v in _leaves(tower_params))
+    print(f"[fetch_clip] wrote {args.out} ({n/1e6:.1f} M params)")
+    print(f"[fetch_clip] use with: --resume2 {args.out}")
+
+
+def _leaves(tree):
+    if isinstance(tree, dict):
+        for v in tree.values():
+            yield from _leaves(v)
+    else:
+        yield tree
+
+
+if __name__ == "__main__":
+    main()
