@@ -13,16 +13,22 @@ overhead -> 4096-token bucket) with EOS masked out so every row decodes the
 full budget — measuring sustained decode throughput rather than how early a
 randomly-initialized model happens to emit EOS.
 
-Default configuration: int4 KV cache + int8 decoder weights, batch 40 —
-the int4 cache halves HBM again, which unlocks the larger batch that
-amortizes the weight stream (sweeps: int8+w b16 22.2 / b20 22.5 / b24 OOM;
-int4+w b24 23.4 / b32 24.0 / b40 24.9).
-Quality evidence (greedy token streams vs the exact bf16 configuration from
-a trained checkpoint): int8 KV 97.5% (evidence/kv_quant_quality.json),
-int4 KV 96.4% (evidence/kv4_quality.json), int8 weights 94.7%
-(evidence/w_only_quality.json), int4 KV + int8 weights — the default —
-95.1% (evidence/kv4_w_quality.json); decoded face counts match within 0.7%
-in every mode. tests/test_kv_quant*.py and tests/test_w_quant.py assert
+Headline configuration: EXACT bf16 — bf16 KV cache, bf16 weights, batch 8
+(the best batch that fits the bf16 cache in HBM; b12 under test). This is
+the configuration whose greedy token streams are identical to the model's
+reference semantics by construction, matching the BASELINE.md north star
+("identical token streams"). The quantized fast path (int4 KV + int8
+weights + QuaRot rotation, batch 40, ~1.9x the headline) is reported as
+detail.quant_fast, NOT as the headline: per the round-3 verdict its greedy
+streams still diverge from exact — mean token match 95.1% (r3 ckpt,
+evidence/kv4_w_quality.json) / 75.5% (r4 ckpt, kv4_w_quality_r4.json),
+improved to 85.9% by --kv_rotate (kv4rot_w_quality.json) but short of the
+>=99% bar, so the exact number is the one the driver records (VERDICT r3
+Next #2: "set the bench value to exact_bf16 and demote the quantized
+number to detail"). Per-mode quality evidence: int8 KV 97.5%
+(kv_quant_quality.json), int4 KV 96.4% (kv4_quality.json), int8 weights
+94.7% (w_only_quality.json); decoded face counts match within 0.7% in
+every mode. tests/test_kv_quant*.py and tests/test_w_quant.py assert
 quantized decode matches exact decode on a small model.
 
 Baseline (vs_baseline): the reference publishes no per-mesh wall time
@@ -41,8 +47,9 @@ batch 4 (readme.md:55) implies ~6k tok/s for a *parallel* teacher-forcing
 fwd+bwd at seq ~6k; serial decode with per-token host sync is 2 orders of
 magnitude below that, consistent with the 50 tok/s estimate.
 
-Flags: --tiny (CPU smoke), --batch N (default 40), --faces N (default 1000),
---no_kv_quant (exact bf16 cache), --skip_train (decode only).
+Flags: --tiny (CPU smoke), --batch N (default 8), --faces N (default 1000),
+--kv_quant/--w_quant (opt into the lossy fast path), --skip_train (decode
+only).
 
 Output contract (round-3 postmortem: the official bench timed out before
 printing anything, VERDICT r3 weak #1): the headline JSON line is printed
@@ -225,13 +232,15 @@ def dit_train_probe(tiny: bool = False, steps: int = 3, batch: int = 32):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true", help="CPU smoke scale")
-    ap.add_argument("--batch", type=int, default=40)
+    ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--faces", type=int, default=1000)
     ap.add_argument("--repeats", type=int, default=3)
-    ap.add_argument("--no_kv_quant", action="store_true",
-                    help="exact bf16 KV cache instead of the int8 default")
-    ap.add_argument("--no_w_quant", action="store_true",
-                    help="bf16 weights instead of the int8 weight default")
+    ap.add_argument("--kv_quant", action="store_true",
+                    help="int4/int8 KV cache instead of the exact bf16 "
+                         "default (lossy; see module docstring)")
+    ap.add_argument("--w_quant", action="store_true",
+                    help="int8 weights instead of the exact bf16 default "
+                         "(lossy; see module docstring)")
     ap.add_argument("--kv_bits", type=int, default=4, choices=(4, 8),
                     help="KV cache precision under --kv_quant")
     ap.add_argument("--kv_group", type=int, default=0,
@@ -277,8 +286,8 @@ def main():
     from edgerunner_tpu.models.lmm import LMM
     from edgerunner_tpu.train.checkpoint import init_lmm_params
 
-    kv_quant = not args.no_kv_quant
-    w_quant = not args.no_w_quant
+    kv_quant = args.kv_quant
+    w_quant = args.w_quant
     opt = dataclasses.replace(config_defaults["ArAE"], generate_mode="greedy",
                               kv_quant=kv_quant, w_quant=w_quant,
                               kv_bits=args.kv_bits, kv_group=args.kv_group,
@@ -401,15 +410,17 @@ def main():
     if not (args.skip_train or args.skip_probes):
         # DiT train step at flagship dims (reference readme.md:56)
         _sub_probe(["--_dit_probe"], "train_dit")
-        # exact-bf16 headline at its best batch, machine-recorded next to
-        # the quantized default (VERDICT r2 item 4). b8: the bf16 cache is
-        # ~1GB/row at the 1000-face budget (2x int8, 4x int4), and the int8
-        # sweep OOMed at b24 — b8 = ~9.3GB total is the safe best fit
-        _sub_probe(["--no_kv_quant", "--no_w_quant", "--batch", "8",
-                    "--repeats", "2", "--skip_train", "--skip_probes"],
-                   "exact_bf16")
-        # 4000-face decode (BASELINE config 4; VERDICT r2 item 1b)
-        _sub_probe(["--batch", "12", "--faces", "4000", "--repeats", "1",
+        # the quantized fast path (int4 KV + QuaRot rotation + int8 weights,
+        # batch 40), demoted from headline to detail because its greedy
+        # streams are not token-exact (module docstring; VERDICT r3 Next #2)
+        _sub_probe(["--kv_quant", "--w_quant", "--kv_rotate", "--batch",
+                    "40", "--repeats", "2", "--skip_train", "--skip_probes"],
+                   "quant_fast")
+        # 4000-face decode (BASELINE config 4; VERDICT r2 item 1b) — runs
+        # quantized: the bf16 cache at 16k tokens is ~2.4GB/row, so the
+        # exact config cannot batch at this length on one 16GB chip
+        _sub_probe(["--kv_quant", "--w_quant", "--kv_rotate", "--batch",
+                    "12", "--faces", "4000", "--repeats", "1",
                     "--skip_train", "--skip_probes"], "decode_long")
         # the flagship long-context envelope: one train step at the full
         # 43,009 positions (VERDICT r2 item 1a) — the most expensive probe

@@ -68,7 +68,10 @@ def test_tiny_headline_within_60s_and_before_probes():
     assert d["baseline_is_estimate"] is True
     assert d["tokens_per_mesh"] > 0
     # probes must NOT have run yet when the first headline prints
-    assert "train" not in d and "exact_bf16" not in d
+    assert "train" not in d and "quant_fast" not in d
+    # the headline config is the EXACT one (VERDICT r3 Next #2): quantized
+    # decode is detail-only until its streams are token-exact
+    assert d["kv_quant"] is False and d["w_quant"] is False
 
 
 @pytest.mark.timeout(300)
