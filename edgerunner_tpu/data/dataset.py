@@ -228,6 +228,12 @@ class SyntheticMeshDataset:
         self.size = size
         self.tokenizer = tokenizer
         self.training = training
+        # train meshes are seeded (base_seed, epoch, idx); the test split is
+        # pinned to (0, 0, idx), so any training run with --seed != 0 never
+        # regenerates a test mesh (epoch-0 of a seed-0 run would otherwise
+        # coincide with the test split — matters for held-out claims)
+        self.base_seed = opt.seed
+        self.epoch = 0
 
     def __len__(self) -> int:
         return self.size

@@ -18,6 +18,11 @@ core/transformer/attention.py:20-21,46,81-89). Differences by design:
   Non-causal grids stay rectangular (B, H, q_blocks, kv_blocks).
 * head_dim is zero-padded to the 128-lane boundary in the wrapper (ArAE uses
   head_dim 96), sequence lengths padded to the block size with length masks
+* heads are processed in GROUPS of up to 4 per kernel program (grid dim 1 is
+  H/G): at one head per program the ~0.8-2us per-program sequencing cost
+  dominated every pass (evidence/train_profile.md), so grouping divides the
+  program count by G while the per-head blocks stay identical — same math,
+  same numerics, 4x fewer program boundaries
 
 Public entries, both differentiable via jax.custom_vjp:
 * flash_attention(q, k, v, causal=..., q_len=..., kv_len=...) -> o
@@ -55,6 +60,23 @@ NEG_INF = -1e30
 DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 512
 DEFAULT_BWD_BLOCK = 512
+# Heads per kernel program. The per-program fixed cost (~0.8-2us of
+# sequencing, measured round 3: evidence/train_profile.md) dominated the
+# flash kernels at one head per program — grid (B, 16, T) at the README
+# probe shape is 2912 programs/call. Processing a GROUP of heads per
+# program divides the program count by G while the per-head math (two MXU
+# dots + one VPU exp per block) amortizes the fixed cost. G=4 keeps the
+# backward's VMEM footprint (4 operand blocks + 2 f32 accumulators + the
+# [BQ,BK] f32 intermediates) under budget at 512x512 blocks.
+DEFAULT_HEAD_GROUP = 4
+
+
+def _pick_head_group(H: int, requested: int = DEFAULT_HEAD_GROUP) -> int:
+    """Largest divisor of H that is <= requested (grid dim must be exact)."""
+    g = max(1, min(requested, H))
+    while H % g:
+        g -= 1
+    return g
 
 
 def _interpret() -> bool:
@@ -82,55 +104,70 @@ def _tri_pairs_kv_outer(n: int) -> np.ndarray:
 
 # ---------------------------------------------------------------- forward --
 
+def _make_valid(len_ref, b, iq, ik, shape, *, causal, block_q, block_k):
+    """[BQ, BK] bool validity mask for block (iq, ik). Built ONCE per kernel
+    program and shared across the program's head group — the mask is
+    head-independent, so hoisting it out of the head loop saves 3/4 of the
+    iota/compare VPU passes at head_group=4. (A lax.cond that skipped the
+    mask entirely on interior blocks was tried and REVERTED: 0.96 ->
+    1.14 s/it at the README probe shape — the scalar branch serializes
+    Mosaic's pipeline and costs far more than the mask it avoids.)"""
+    cols = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    valid = cols < len_ref[b]
+    if causal:
+        rows = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        valid = valid & (cols <= rows)
+    return valid
+
+
 def _fwd_reset(acc_ref, m_ref, l_ref):
     acc_ref[:] = jnp.zeros_like(acc_ref)
     m_ref[:] = jnp.full_like(m_ref, NEG_INF)
     l_ref[:] = jnp.zeros_like(l_ref)
 
 
-def _fwd_compute(len_ref, b, iq, ik, q_ref, k_ref, v_ref,
-                 acc_ref, m_ref, l_ref, *, scale, causal, block_q, block_k):
+def _fwd_compute(valid, h, q_ref, k_ref, v_ref,
+                 acc_ref, m_ref, l_ref, *, scale):
     # bf16 inputs keep bf16 dot operands (f32 accumulation via
     # preferred_element_type) — the MXU runs bf16 at ~4x its f32 rate
     # and this matches the CUDA flash-attn numerics the reference uses;
-    # f32 inputs (tests) keep full-precision dots
+    # f32 inputs (tests) keep full-precision dots. h is the (static,
+    # unrolled) head index within this program's head group; `valid` is the
+    # program-wide block mask from _make_valid (head-independent).
     dd = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
-    q = q_ref[0, 0].astype(dd)  # [BQ, D]
-    k = k_ref[0, 0].astype(dd)  # [BK, D]
-    v = v_ref[0, 0].astype(dd)  # [BK, D]
+    q = q_ref[0, h].astype(dd)  # [BQ, D]
+    k = k_ref[0, h].astype(dd)  # [BK, D]
+    v = v_ref[0, h].astype(dd)  # [BK, D]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale  # [BQ, BK]
-
-    cols = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    valid = cols < len_ref[b]
-    if causal:
-        rows = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-        valid = valid & (cols <= rows)
     s = jnp.where(valid, s, NEG_INF)
 
-    m_old = m_ref[:, :1]                       # [BQ, 1]
+    m_old = m_ref[h, :, :1]                    # [BQ, 1]
     m_blk = jnp.max(s, axis=1, keepdims=True)  # [BQ, 1]
     m_new = jnp.maximum(m_old, m_blk)
     p = jnp.exp(s - m_new)                     # [BQ, BK]
     alpha = jnp.exp(m_old - m_new)             # [BQ, 1]
 
-    l_ref[:, :1] = l_ref[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
-    m_ref[:, :1] = m_new
-    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+    l_ref[h, :, :1] = l_ref[h, :, :1] * alpha + jnp.sum(p, axis=1,
+                                                        keepdims=True)
+    m_ref[h, :, :1] = m_new
+    acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
         p.astype(dd), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
 
-def _fwd_store(o_ref, lse_ref, acc_ref, m_ref, l_ref):
-    l = l_ref[:, :1]
-    safe_l = jnp.where(l > 0, l, 1.0)
-    o_ref[0, 0] = (acc_ref[:] / safe_l).astype(o_ref.dtype)
-    lse_ref[0, 0] = m_ref[:, :1] + jnp.log(safe_l)
+def _fwd_store(o_ref, lse_ref, acc_ref, m_ref, l_ref, *, heads):
+    for h in range(heads):
+        l = l_ref[h, :, :1]
+        safe_l = jnp.where(l > 0, l, 1.0)
+        o_ref[0, h] = (acc_ref[h] / safe_l).astype(o_ref.dtype)
+        lse_ref[0, h] = m_ref[h, :, :1] + jnp.log(safe_l)
 
 
 def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                acc_ref, m_ref, l_ref, *, scale, causal, block_q, block_k):
+                acc_ref, m_ref, l_ref, *, scale, causal, block_q, block_k,
+                heads):
     b = pl.program_id(0)
     iq = pl.program_id(2)
     ik = pl.program_id(3)
@@ -146,17 +183,20 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
     @pl.when(run)
     def _():
-        _fwd_compute(len_ref, b, iq, ik, q_ref, k_ref, v_ref,
-                     acc_ref, m_ref, l_ref, scale=scale, causal=causal,
-                     block_q=block_q, block_k=block_k)
+        valid = _make_valid(len_ref, b, iq, ik, (block_q, block_k),
+                            causal=causal, block_q=block_q, block_k=block_k)
+        for h in range(heads):
+            _fwd_compute(valid, h, q_ref, k_ref, v_ref,
+                         acc_ref, m_ref, l_ref, scale=scale)
 
     @pl.when(ik == nk - 1)
     def _():
-        _fwd_store(o_ref, lse_ref, acc_ref, m_ref, l_ref)
+        _fwd_store(o_ref, lse_ref, acc_ref, m_ref, l_ref, heads=heads)
 
 
 def _fwd_kernel_tri(len_ref, tri_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                    acc_ref, m_ref, l_ref, *, scale, block_q, block_k):
+                    acc_ref, m_ref, l_ref, *, scale, block_q, block_k,
+                    heads):
     """Causal forward on the linearized triangular grid: program t handles
     live pair (iq, ik) = tri_ref[:, t]; every program does useful work."""
     b = pl.program_id(0)
@@ -168,17 +208,19 @@ def _fwd_kernel_tri(len_ref, tri_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     def _():
         _fwd_reset(acc_ref, m_ref, l_ref)
 
-    _fwd_compute(len_ref, b, iq, ik, q_ref, k_ref, v_ref,
-                 acc_ref, m_ref, l_ref, scale=scale, causal=True,
-                 block_q=block_q, block_k=block_k)
+    valid = _make_valid(len_ref, b, iq, ik, (block_q, block_k),
+                        causal=True, block_q=block_q, block_k=block_k)
+    for h in range(heads):
+        _fwd_compute(valid, h, q_ref, k_ref, v_ref,
+                     acc_ref, m_ref, l_ref, scale=scale)
 
     @pl.when(ik == iq)  # last live kv block of this q block (equal blocks)
     def _():
-        _fwd_store(o_ref, lse_ref, acc_ref, m_ref, l_ref)
+        _fwd_store(o_ref, lse_ref, acc_ref, m_ref, l_ref, heads=heads)
 
 
 def _fwd(q, k, v, kv_len, *, causal, block_q, block_k, d_orig,
-         interpret=None):
+         head_group=DEFAULT_HEAD_GROUP, interpret=None):
     """q/k/v: [B, H, N, D] (padded); kv_len: [B] int32.
     Returns (o [B,H,N,D], lse [B,H,N])."""
     B, H, N, D = q.shape
@@ -186,37 +228,39 @@ def _fwd(q, k, v, kv_len, *, causal, block_q, block_k, d_orig,
     nq = N // block_q
     nk = M // block_k
     scale = 1.0 / np.sqrt(d_orig)
+    G = _pick_head_group(H, head_group)
 
     out_shape = [
         jax.ShapeDtypeStruct((B, H, N, D), q.dtype),
         jax.ShapeDtypeStruct((B, H, N, 1), jnp.float32),
     ]
     scratch = [
-        pltpu.VMEM((block_q, D), jnp.float32),
-        pltpu.VMEM((block_q, 128), jnp.float32),
-        pltpu.VMEM((block_q, 128), jnp.float32),
+        pltpu.VMEM((G, block_q, D), jnp.float32),
+        pltpu.VMEM((G, block_q, 128), jnp.float32),
+        pltpu.VMEM((G, block_q, 128), jnp.float32),
     ]
 
     if causal and block_q == block_k and nq == nk:
         tmap = jnp.asarray(_tri_pairs_q_outer(nq))
-        q_ix = lambda b, h, t, lens, tri: (b, h, tri[0, t], 0)  # noqa: E731
-        kv_ix = lambda b, h, t, lens, tri: (b, h, tri[1, t], 0)  # noqa: E731
+        q_ix = lambda b, g, t, lens, tri: (b, g, tri[0, t], 0)  # noqa: E731
+        kv_ix = lambda b, g, t, lens, tri: (b, g, tri[1, t], 0)  # noqa: E731
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(B, H, tmap.shape[1]),
+            grid=(B, H // G, tmap.shape[1]),
             in_specs=[
-                pl.BlockSpec((1, 1, block_q, D), q_ix),
-                pl.BlockSpec((1, 1, block_k, D), kv_ix),
-                pl.BlockSpec((1, 1, block_k, D), kv_ix),
+                pl.BlockSpec((1, G, block_q, D), q_ix),
+                pl.BlockSpec((1, G, block_k, D), kv_ix),
+                pl.BlockSpec((1, G, block_k, D), kv_ix),
             ],
             out_specs=[
-                pl.BlockSpec((1, 1, block_q, D), q_ix),
-                pl.BlockSpec((1, 1, block_q, 1), q_ix),
+                pl.BlockSpec((1, G, block_q, D), q_ix),
+                pl.BlockSpec((1, G, block_q, 1), q_ix),
             ],
             scratch_shapes=scratch,
         )
         kernel = functools.partial(
-            _fwd_kernel_tri, scale=scale, block_q=block_q, block_k=block_k)
+            _fwd_kernel_tri, scale=scale, block_q=block_q, block_k=block_k,
+            heads=G)
         o, lse = pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape,
             interpret=_interpret() if interpret is None else interpret)(kv_len, tmap, q, k, v)
@@ -226,30 +270,30 @@ def _fwd(q, k, v, kv_len, *, causal, block_q, block_k, d_orig,
         # last LIVE block so the pipeline sees an unchanged block index and
         # elides the dead blocks' K/V DMA
         if causal:
-            kv_ix = lambda b, h, iq, ik, *_: (  # noqa: E731
-                b, h, jnp.minimum(ik, ((iq + 1) * block_q - 1) // block_k), 0)
+            kv_ix = lambda b, g, iq, ik, *_: (  # noqa: E731
+                b, g, jnp.minimum(ik, ((iq + 1) * block_q - 1) // block_k), 0)
         else:
-            kv_ix = lambda b, h, iq, ik, *_: (b, h, ik, 0)  # noqa: E731
+            kv_ix = lambda b, g, iq, ik, *_: (b, g, ik, 0)  # noqa: E731
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(B, H, nq, nk),
+            grid=(B, H // G, nq, nk),
             in_specs=[
-                pl.BlockSpec((1, 1, block_q, D),
-                             lambda b, h, iq, ik, *_: (b, h, iq, 0)),
-                pl.BlockSpec((1, 1, block_k, D), kv_ix),
-                pl.BlockSpec((1, 1, block_k, D), kv_ix),
+                pl.BlockSpec((1, G, block_q, D),
+                             lambda b, g, iq, ik, *_: (b, g, iq, 0)),
+                pl.BlockSpec((1, G, block_k, D), kv_ix),
+                pl.BlockSpec((1, G, block_k, D), kv_ix),
             ],
             out_specs=[
-                pl.BlockSpec((1, 1, block_q, D),
-                             lambda b, h, iq, ik, *_: (b, h, iq, 0)),
-                pl.BlockSpec((1, 1, block_q, 1),
-                             lambda b, h, iq, ik, *_: (b, h, iq, 0)),
+                pl.BlockSpec((1, G, block_q, D),
+                             lambda b, g, iq, ik, *_: (b, g, iq, 0)),
+                pl.BlockSpec((1, G, block_q, 1),
+                             lambda b, g, iq, ik, *_: (b, g, iq, 0)),
             ],
             scratch_shapes=scratch,
         )
         kernel = functools.partial(
             _fwd_kernel, scale=scale, causal=causal,
-            block_q=block_q, block_k=block_k)
+            block_q=block_q, block_k=block_k, heads=G)
         o, lse = pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape,
             interpret=_interpret() if interpret is None else interpret)(kv_len, q, k, v)
@@ -262,35 +306,31 @@ def _fwd(q, k, v, kv_len, *, causal, block_q, block_k, d_orig,
 
 # --------------------------------------------------------------- backward --
 
-def _dq_compute(len_ref, b, iq, ik, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                delta_ref, dq_acc, *, scale, causal, block_q, block_k):
+def _dq_compute(valid, h, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                delta_ref, dq_acc, *, scale):
     dd = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
-    q = q_ref[0, 0].astype(dd)
-    k = k_ref[0, 0].astype(dd)
-    v = v_ref[0, 0].astype(dd)
-    do = do_ref[0, 0].astype(dd)
-    lse = lse_ref[0, 0]      # [BQ, 1]
-    delta = delta_ref[0, 0]  # [BQ, 1]
+    q = q_ref[0, h].astype(dd)
+    k = k_ref[0, h].astype(dd)
+    v = v_ref[0, h].astype(dd)
+    do = do_ref[0, h].astype(dd)
+    lse = lse_ref[0, h]      # [BQ, 1]
+    delta = delta_ref[0, h]  # [BQ, 1]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
-    cols = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    valid = cols < len_ref[b]
-    if causal:
-        rows = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-        valid = valid & (cols <= rows)
     p = jnp.where(valid, jnp.exp(s - lse), 0.0)       # [BQ, BK]
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     ds = p * (dp - delta)                              # [BQ, BK]
-    dq_acc[:] = dq_acc[:] + scale * jax.lax.dot_general(
+    dq_acc[h] = dq_acc[h] + scale * jax.lax.dot_general(
         ds.astype(dd), k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
 
 def _bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                   dq_ref, dq_acc, *, scale, causal, block_q, block_k):
+                   dq_ref, dq_acc, *, scale, causal, block_q, block_k,
+                   heads):
     b = pl.program_id(0)
     iq = pl.program_id(2)
     ik = pl.program_id(3)
@@ -306,18 +346,21 @@ def _bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     @pl.when(run)
     def _():
-        _dq_compute(len_ref, b, iq, ik, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                    delta_ref, dq_acc, scale=scale, causal=causal,
-                    block_q=block_q, block_k=block_k)
+        valid = _make_valid(len_ref, b, iq, ik, (block_q, block_k),
+                            causal=causal, block_q=block_q, block_k=block_k)
+        for h in range(heads):
+            _dq_compute(valid, h, q_ref, k_ref, v_ref, do_ref,
+                        lse_ref, delta_ref, dq_acc, scale=scale)
 
     @pl.when(ik == nk - 1)
     def _():
-        dq_ref[0, 0] = dq_acc[:].astype(dq_ref.dtype)
+        for h in range(heads):
+            dq_ref[0, h] = dq_acc[h].astype(dq_ref.dtype)
 
 
 def _bwd_dq_kernel_tri(len_ref, tri_ref, q_ref, k_ref, v_ref, do_ref,
                        lse_ref, delta_ref, dq_ref, dq_acc,
-                       *, scale, block_q, block_k):
+                       *, scale, block_q, block_k, heads):
     b = pl.program_id(0)
     t = pl.program_id(2)
     iq = tri_ref[0, t]
@@ -327,52 +370,49 @@ def _bwd_dq_kernel_tri(len_ref, tri_ref, q_ref, k_ref, v_ref, do_ref,
     def _():
         dq_acc[:] = jnp.zeros_like(dq_acc)
 
-    _dq_compute(len_ref, b, iq, ik, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                delta_ref, dq_acc, scale=scale, causal=True,
-                block_q=block_q, block_k=block_k)
+    valid = _make_valid(len_ref, b, iq, ik, (block_q, block_k),
+                        causal=True, block_q=block_q, block_k=block_k)
+    for h in range(heads):
+        _dq_compute(valid, h, q_ref, k_ref, v_ref, do_ref,
+                    lse_ref, delta_ref, dq_acc, scale=scale)
 
     @pl.when(ik == iq)
     def _():
-        dq_ref[0, 0] = dq_acc[:].astype(dq_ref.dtype)
+        for h in range(heads):
+            dq_ref[0, h] = dq_acc[h].astype(dq_ref.dtype)
 
 
-def _dkv_compute(len_ref, b, iq, ik, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                 delta_ref, dk_acc, dv_acc, *, scale, causal,
-                 block_q, block_k):
+def _dkv_compute(valid, h, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                 delta_ref, dk_acc, dv_acc, *, scale):
     dd = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
-    q = q_ref[0, 0].astype(dd)
-    k = k_ref[0, 0].astype(dd)
-    v = v_ref[0, 0].astype(dd)
-    do = do_ref[0, 0].astype(dd)
-    lse = lse_ref[0, 0]      # [BQ, 1]
-    delta = delta_ref[0, 0]  # [BQ, 1]
+    q = q_ref[0, h].astype(dd)
+    k = k_ref[0, h].astype(dd)
+    v = v_ref[0, h].astype(dd)
+    do = do_ref[0, h].astype(dd)
+    lse = lse_ref[0, h]      # [BQ, 1]
+    delta = delta_ref[0, h]  # [BQ, 1]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale  # [BQ, BK]
-    cols = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    valid = cols < len_ref[b]
-    if causal:
-        rows = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-        valid = valid & (cols <= rows)
-    p = jnp.where(valid, jnp.exp(s - lse), 0.0)
+    p = jnp.where(valid, jnp.exp(s - lse), 0.0)       # [BQ, BK]
 
     # dv += P^T dO
-    dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
+    dv_acc[h] = dv_acc[h] + jax.lax.dot_general(
         p.astype(dd), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     ds = p * (dp - delta)  # [BQ, BK]
     # dk += dS^T Q * scale
-    dk_acc[:] = dk_acc[:] + scale * jax.lax.dot_general(
+    dk_acc[h] = dk_acc[h] + scale * jax.lax.dot_general(
         ds.astype(dd), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
 
 def _bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, dk_acc, dv_acc,
-                    *, scale, causal, block_q, block_k):
+                    *, scale, causal, block_q, block_k, heads):
     b = pl.program_id(0)
     ik = pl.program_id(2)   # kv block outer
     iq = pl.program_id(3)   # q block inner
@@ -389,19 +429,22 @@ def _bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     @pl.when(run)
     def _():
-        _dkv_compute(len_ref, b, iq, ik, q_ref, k_ref, v_ref, do_ref,
-                     lse_ref, delta_ref, dk_acc, dv_acc, scale=scale,
-                     causal=causal, block_q=block_q, block_k=block_k)
+        valid = _make_valid(len_ref, b, iq, ik, (block_q, block_k),
+                            causal=causal, block_q=block_q, block_k=block_k)
+        for h in range(heads):
+            _dkv_compute(valid, h, q_ref, k_ref, v_ref, do_ref,
+                         lse_ref, delta_ref, dk_acc, dv_acc, scale=scale)
 
     @pl.when(iq == nq - 1)
     def _():
-        dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
-        dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
+        for h in range(heads):
+            dk_ref[0, h] = dk_acc[h].astype(dk_ref.dtype)
+            dv_ref[0, h] = dv_acc[h].astype(dv_ref.dtype)
 
 
 def _bwd_dkv_kernel_tri(len_ref, tri_ref, q_ref, k_ref, v_ref, do_ref,
                         lse_ref, delta_ref, dk_ref, dv_ref, dk_acc, dv_acc,
-                        *, scale, block_q, block_k, nq):
+                        *, scale, block_q, block_k, nq, heads):
     b = pl.program_id(0)
     t = pl.program_id(2)
     iq = tri_ref[0, t]
@@ -412,23 +455,27 @@ def _bwd_dkv_kernel_tri(len_ref, tri_ref, q_ref, k_ref, v_ref, do_ref,
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    _dkv_compute(len_ref, b, iq, ik, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                 delta_ref, dk_acc, dv_acc, scale=scale, causal=True,
-                 block_q=block_q, block_k=block_k)
+    valid = _make_valid(len_ref, b, iq, ik, (block_q, block_k),
+                        causal=True, block_q=block_q, block_k=block_k)
+    for h in range(heads):
+        _dkv_compute(valid, h, q_ref, k_ref, v_ref, do_ref,
+                     lse_ref, delta_ref, dk_acc, dv_acc, scale=scale)
 
     @pl.when(iq == nq - 1)
     def _():
-        dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
-        dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
+        for h in range(heads):
+            dk_ref[0, h] = dk_acc[h].astype(dk_ref.dtype)
+            dv_ref[0, h] = dv_acc[h].astype(dv_ref.dtype)
 
 
 def _bwd(q, k, v, do, o, lse, kv_len, *, causal, block_q, block_k, d_orig,
-         dlse=None, interpret=None):
+         dlse=None, head_group=DEFAULT_HEAD_GROUP, interpret=None):
     B, H, N, D = q.shape
     M = k.shape[2]
     nq = N // block_q
     nk = M // block_k
     scale = 1.0 / np.sqrt(d_orig)
+    G = _pick_head_group(H, head_group)
 
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
                     axis=-1, keepdims=True)  # [B,H,N,1]
@@ -450,25 +497,25 @@ def _bwd(q, k, v, do, o, lse, kv_len, *, causal, block_q, block_k, d_orig,
         # accumulator lives across its inner dimension
         tq = jnp.asarray(_tri_pairs_q_outer(nq))
         tkv = jnp.asarray(_tri_pairs_kv_outer(nq))
-        q_ix = lambda b, h, t, lens, tri: (b, h, tri[0, t], 0)  # noqa: E731
-        kv_ix = lambda b, h, t, lens, tri: (b, h, tri[1, t], 0)  # noqa: E731
+        q_ix = lambda b, g, t, lens, tri: (b, g, tri[0, t], 0)  # noqa: E731
+        kv_ix = lambda b, g, t, lens, tri: (b, g, tri[1, t], 0)  # noqa: E731
         tri_in = [
-            pl.BlockSpec((1, 1, block_q, D), q_ix),
-            pl.BlockSpec((1, 1, block_k, D), kv_ix),
-            pl.BlockSpec((1, 1, block_k, D), kv_ix),
-            pl.BlockSpec((1, 1, block_q, D), q_ix),
-            pl.BlockSpec((1, 1, block_q, 1), q_ix),
-            pl.BlockSpec((1, 1, block_q, 1), q_ix),
+            pl.BlockSpec((1, G, block_q, D), q_ix),
+            pl.BlockSpec((1, G, block_k, D), kv_ix),
+            pl.BlockSpec((1, G, block_k, D), kv_ix),
+            pl.BlockSpec((1, G, block_q, D), q_ix),
+            pl.BlockSpec((1, G, block_q, 1), q_ix),
+            pl.BlockSpec((1, G, block_q, 1), q_ix),
         ]
         dq = pl.pallas_call(
             functools.partial(_bwd_dq_kernel_tri, scale=scale,
-                              block_q=block_q, block_k=block_k),
+                              block_q=block_q, block_k=block_k, heads=G),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
-                grid=(B, H, tq.shape[1]),
+                grid=(B, H // G, tq.shape[1]),
                 in_specs=tri_in,
-                out_specs=[pl.BlockSpec((1, 1, block_q, D), q_ix)],
-                scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+                out_specs=[pl.BlockSpec((1, G, block_q, D), q_ix)],
+                scratch_shapes=[pltpu.VMEM((G, block_q, D), jnp.float32)],
             ),
             out_shape=dq_shape,
             interpret=_interpret() if interpret is None else interpret,
@@ -476,18 +523,19 @@ def _bwd(q, k, v, do, o, lse, kv_len, *, causal, block_q, block_k, d_orig,
 
         dk, dv = pl.pallas_call(
             functools.partial(_bwd_dkv_kernel_tri, scale=scale,
-                              block_q=block_q, block_k=block_k, nq=nq),
+                              block_q=block_q, block_k=block_k, nq=nq,
+                              heads=G),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
-                grid=(B, H, tkv.shape[1]),
+                grid=(B, H // G, tkv.shape[1]),
                 in_specs=tri_in,
                 out_specs=[
-                    pl.BlockSpec((1, 1, block_k, D), kv_ix),
-                    pl.BlockSpec((1, 1, block_k, D), kv_ix),
+                    pl.BlockSpec((1, G, block_k, D), kv_ix),
+                    pl.BlockSpec((1, G, block_k, D), kv_ix),
                 ],
                 scratch_shapes=[
-                    pltpu.VMEM((block_k, D), jnp.float32),
-                    pltpu.VMEM((block_k, D), jnp.float32),
+                    pltpu.VMEM((G, block_k, D), jnp.float32),
+                    pltpu.VMEM((G, block_k, D), jnp.float32),
                 ],
             ),
             out_shape=dkv_shape,
@@ -499,32 +547,32 @@ def _bwd(q, k, v, do, o, lse, kv_len, *, causal, block_q, block_k, d_orig,
     # last live block so their K/V (dq pass) / Q-side (dkv pass) DMAs are
     # elided — same trick as the forward
     if causal:
-        r_kv_ix = lambda b, h, i, j, *_: (  # noqa: E731
-            b, h, jnp.minimum(j, ((i + 1) * block_q - 1) // block_k), 0)
-        r_q_ix_dkv = lambda b, h, j, i, *_: (  # noqa: E731
-            b, h, jnp.maximum(i, (j * block_k) // block_q), 0)
+        r_kv_ix = lambda b, g, i, j, *_: (  # noqa: E731
+            b, g, jnp.minimum(j, ((i + 1) * block_q - 1) // block_k), 0)
+        r_q_ix_dkv = lambda b, g, j, i, *_: (  # noqa: E731
+            b, g, jnp.maximum(i, (j * block_k) // block_q), 0)
     else:
-        r_kv_ix = lambda b, h, i, j, *_: (b, h, j, 0)  # noqa: E731
-        r_q_ix_dkv = lambda b, h, j, i, *_: (b, h, i, 0)  # noqa: E731
+        r_kv_ix = lambda b, g, i, j, *_: (b, g, j, 0)  # noqa: E731
+        r_q_ix_dkv = lambda b, g, j, i, *_: (b, g, i, 0)  # noqa: E731
 
     common_in = [
-        pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j, *_: (b, h, i, 0)),
-        pl.BlockSpec((1, 1, block_k, D), r_kv_ix),
-        pl.BlockSpec((1, 1, block_k, D), r_kv_ix),
-        pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j, *_: (b, h, i, 0)),
-        pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j, *_: (b, h, i, 0)),
-        pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j, *_: (b, h, i, 0)),
+        pl.BlockSpec((1, G, block_q, D), lambda b, g, i, j, *_: (b, g, i, 0)),
+        pl.BlockSpec((1, G, block_k, D), r_kv_ix),
+        pl.BlockSpec((1, G, block_k, D), r_kv_ix),
+        pl.BlockSpec((1, G, block_q, D), lambda b, g, i, j, *_: (b, g, i, 0)),
+        pl.BlockSpec((1, G, block_q, 1), lambda b, g, i, j, *_: (b, g, i, 0)),
+        pl.BlockSpec((1, G, block_q, 1), lambda b, g, i, j, *_: (b, g, i, 0)),
     ]
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, causal=causal,
-                          block_q=block_q, block_k=block_k),
+                          block_q=block_q, block_k=block_k, heads=G),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(B, H, nq, nk),
+            grid=(B, H // G, nq, nk),
             in_specs=common_in,
-            out_specs=[pl.BlockSpec((1, 1, block_q, D),
-                                    lambda b, h, i, j, *_: (b, h, i, 0))],
-            scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+            out_specs=[pl.BlockSpec((1, G, block_q, D),
+                                    lambda b, g, i, j, *_: (b, g, i, 0))],
+            scratch_shapes=[pltpu.VMEM((G, block_q, D), jnp.float32)],
         ),
         out_shape=dq_shape,
         interpret=_interpret() if interpret is None else interpret,
@@ -532,27 +580,27 @@ def _bwd(q, k, v, do, o, lse, kv_len, *, causal, block_q, block_k, d_orig,
 
     # dkv pass: kv blocks outer, q blocks inner
     dkv_in = [
-        pl.BlockSpec((1, 1, block_q, D), r_q_ix_dkv),
-        pl.BlockSpec((1, 1, block_k, D), lambda b, h, j, i, *_: (b, h, j, 0)),
-        pl.BlockSpec((1, 1, block_k, D), lambda b, h, j, i, *_: (b, h, j, 0)),
-        pl.BlockSpec((1, 1, block_q, D), r_q_ix_dkv),
-        pl.BlockSpec((1, 1, block_q, 1), r_q_ix_dkv),
-        pl.BlockSpec((1, 1, block_q, 1), r_q_ix_dkv),
+        pl.BlockSpec((1, G, block_q, D), r_q_ix_dkv),
+        pl.BlockSpec((1, G, block_k, D), lambda b, g, j, i, *_: (b, g, j, 0)),
+        pl.BlockSpec((1, G, block_k, D), lambda b, g, j, i, *_: (b, g, j, 0)),
+        pl.BlockSpec((1, G, block_q, D), r_q_ix_dkv),
+        pl.BlockSpec((1, G, block_q, 1), r_q_ix_dkv),
+        pl.BlockSpec((1, G, block_q, 1), r_q_ix_dkv),
     ]
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, causal=causal,
-                          block_q=block_q, block_k=block_k),
+                          block_q=block_q, block_k=block_k, heads=G),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(B, H, nk, nq),
+            grid=(B, H // G, nk, nq),
             in_specs=dkv_in,
             out_specs=[
-                pl.BlockSpec((1, 1, block_k, D), lambda b, h, j, i, *_: (b, h, j, 0)),
-                pl.BlockSpec((1, 1, block_k, D), lambda b, h, j, i, *_: (b, h, j, 0)),
+                pl.BlockSpec((1, G, block_k, D), lambda b, g, j, i, *_: (b, g, j, 0)),
+                pl.BlockSpec((1, G, block_k, D), lambda b, g, j, i, *_: (b, g, j, 0)),
             ],
             scratch_shapes=[
-                pltpu.VMEM((block_k, D), jnp.float32),
-                pltpu.VMEM((block_k, D), jnp.float32),
+                pltpu.VMEM((G, block_k, D), jnp.float32),
+                pltpu.VMEM((G, block_k, D), jnp.float32),
             ],
         ),
         out_shape=dkv_shape,

@@ -115,3 +115,32 @@ def test_bfloat16_inputs():
     ref = attention_reference(q, k, v, causal=True)
     np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
                                rtol=0.05, atol=0.05)
+
+
+def test_head_groups_forward_and_grad():
+    # H=8 with the default head group of 4 exercises the grouped grid
+    # (grid dim 1 = H/G = 2) in both tri and rect paths; H=2/1 above cover
+    # the divisor fallback
+    q, k, v = _rand(1, 256, 8, 64, key=7)
+    kv_len = jnp.array([200], jnp.int32)
+
+    for causal in (False, True):
+        out = flash_attention(q, k, v, causal=causal, kv_len=kv_len,
+                              block_q=128, block_k=128)
+        ref = attention_reference(q, k, v, causal=causal, kv_len=kv_len)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=True, kv_len=kv_len,
+                                       block_q=128, block_k=128) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_reference(q, k, v, causal=True,
+                                           kv_len=kv_len) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4, err_msg=f"d{name}")

@@ -62,7 +62,10 @@ def test_memory_scales_with_shard():
     """The einsum oracle materializes S x S score blocks (S = N / ring);
     the flash impl must materialize NEITHER S x S nor N x N score arrays —
     scores only ever exist as fixed-size VMEM blocks inside the kernel."""
-    B, N, H, D = 1, 128, 2, 32   # D != S so [B,H,S,S] is unambiguous
+    # D != S so [B,H,S,S] is unambiguous, and N > 128 so [B,H,N,N] cannot
+    # collide with the flash kernel's (1, head_group, block<=128, 128)
+    # VMEM block refs (head grouping makes dim 1 of a ref equal H here)
+    B, N, H, D = 1, 256, 2, 16
     mesh = _mesh(8)
     q = jnp.zeros((B, N, H, D))
     S = N // 8

@@ -96,6 +96,8 @@ def parse(out_dir: str, steps: int):
                 continue
             tot = defaultdict(float)
             cnt = defaultdict(int)
+            ktot = defaultdict(float)   # pallas kernels split by name
+            kcnt = defaultdict(int)
             for ev in line.events:
                 md = ev_names.get(ev.metadata_id)
                 name = md.name if md else "?"
@@ -104,6 +106,13 @@ def parse(out_dir: str, steps: int):
                 fam = m.group(1) if m else base
                 if "custom-call" in name:
                     fam = "custom-call(pallas)"
+                    # split by the pallas kernel symbol (kept in the HLO
+                    # metadata op_name / display name), e.g. _fwd_kernel_tri
+                    disp = md.display_name if md and md.display_name else name
+                    km = re.search(r"(_[a-z0-9_]*kernel[a-z0-9_]*)", disp)
+                    key = km.group(1) if km else disp[:48]
+                    ktot[key] += ev.duration_ps / 1e12
+                    kcnt[key] += 1
                 tot[fam] += ev.duration_ps / 1e12
                 cnt[fam] += 1
             print(f"{'family':30s} {'total_s':>9s} {'ms/step':>10s} {'count':>9s}")
@@ -112,6 +121,10 @@ def parse(out_dir: str, steps: int):
                 ssum += t
                 print(f"{fam:30s} {t:9.3f} {t/steps*1e3:10.2f} {cnt[fam]:9d}")
             print(f"{'TOTAL (device busy)':30s} {ssum:9.3f} {ssum/steps*1e3:10.2f}")
+            if ktot:
+                print(f"\n{'pallas kernel':46s} {'ms/step':>10s} {'count':>9s}")
+                for key, t in sorted(ktot.items(), key=lambda kv: -kv[1]):
+                    print(f"{key:46s} {t/steps*1e3:10.2f} {kcnt[key]:9d}")
         break
 
 
