@@ -428,18 +428,23 @@ def main():
         _sub_probe(["--_train_probe", "--_long_ctx"], "train_long")
 
     # speculative decoding: acceptance needs *trained* MTP heads, which a
-    # random-init bench run cannot have — so report the committed
-    # measurement from the in-env trained checkpoint (tools/bench_spec.py +
-    # tools/spec_stats.py; recipe: evidence/warmup_study.md) instead of
-    # re-running it here
+    # random-init bench run cannot have — so report the committed HELD-OUT
+    # measurement (tools/bench_spec.py + tools/spec_stats.py on a 111M
+    # checkpoint trained on REGENERATING synthetic meshes, evaluated on the
+    # pinned test split it never trained on) instead of re-running it here.
+    # Held-out verdict (round 4): 1.52 tokens/pass but ~1.0x wall-clock —
+    # each 1+3-token verify pass costs ~1.5x a single-token step, so spec
+    # decode stays OFF by default; the earlier 1.90x
+    # (evidence/spec_bench.json) was a memorized-checkpoint CEILING.
     try:
         import os
 
         here = os.path.dirname(os.path.abspath(__file__))
-        with open(os.path.join(here, "evidence", "spec_bench.json")) as f:
+        with open(os.path.join(here, "evidence",
+                               "spec_bench_heldout.json")) as f:
             sb = json.load(f)
         with open(os.path.join(here, "evidence",
-                               "spec_stats_trained.json")) as f:
+                               "spec_stats_heldout.json")) as f:
             ss = json.load(f)
         detail["spec"] = {
             "tokens_per_pass": ss["expected_tokens_per_pass"],
@@ -448,8 +453,12 @@ def main():
             "spec_meshes_per_min": sb["spec"]["meshes_per_min"],
             "speedup": sb["speedup"],
             "streams_identical": sb["streams_identical"],
-            "source": "evidence/spec_bench.json (memorized 111M synthetic "
-                      "checkpoint, 3 MTP heads, measured on-chip 2026-08-18)",
+            "distribution": "held-out",
+            "enabled_by_default": False,
+            "ceiling_memorized_speedup": 1.898,
+            "source": "evidence/spec_bench_heldout.json (111M ckpt trained "
+                      "on regenerating synthetic meshes, eval on the pinned "
+                      "held-out test split, measured on-chip 2026-08-19)",
         }
     except Exception:
         pass

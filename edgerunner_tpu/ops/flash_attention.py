@@ -18,11 +18,12 @@ core/transformer/attention.py:20-21,46,81-89). Differences by design:
   Non-causal grids stay rectangular (B, H, q_blocks, kv_blocks).
 * head_dim is zero-padded to the 128-lane boundary in the wrapper (ArAE uses
   head_dim 96), sequence lengths padded to the block size with length masks
-* heads are processed in GROUPS of up to 4 per kernel program (grid dim 1 is
-  H/G): at one head per program the ~0.8-2us per-program sequencing cost
-  dominated every pass (evidence/train_profile.md), so grouping divides the
-  program count by G while the per-head blocks stay identical — same math,
-  same numerics, 4x fewer program boundaries
+* heads are processed in GROUPS per kernel program (grid dim 1 is H/G; G=8
+  on the triangular causal paths with a raised per-call VMEM cap, G=4 on
+  rectangular grids): at one head per program the ~0.8-2us per-program
+  sequencing cost dominated every pass (evidence/train_profile.md), so
+  grouping divides the program count by G while the per-head blocks stay
+  identical — same math, same numerics, G-times fewer program boundaries
 
 Public entries, both differentiable via jax.custom_vjp:
 * flash_attention(q, k, v, causal=..., q_len=..., kv_len=...) -> o
@@ -69,6 +70,16 @@ DEFAULT_BWD_BLOCK = 512
 # backward's VMEM footprint (4 operand blocks + 2 f32 accumulators + the
 # [BQ,BK] f32 intermediates) under budget at 512x512 blocks.
 DEFAULT_HEAD_GROUP = 4
+# The causal-triangular paths (decoder self-attention, the hot case) take
+# G=8, halving their program count again relative to G=4. Their larger
+# VMEM footprint (G=8/512-blocks fwd measured 18MB) exceeds the
+# compiler's DEFAULT 16MB scoped-VMEM budget, so the tri pallas_calls
+# raise `vmem_limit_bytes` explicitly (v5e has 128MB of physical VMEM;
+# jax's own ragged-paged-attention kernel exposes the same knob). The
+# rectangular paths keep G=4: they serve the point encoder's 8k-sequence
+# cross-attention, where the G=8 operand blocks are pure waste (H=16
+# there too, but the grids are small) and the default budget is kept.
+DEFAULT_TRI_HEAD_GROUP = 8
 
 
 def _pick_head_group(H: int, requested: int = DEFAULT_HEAD_GROUP) -> int:
@@ -220,7 +231,7 @@ def _fwd_kernel_tri(len_ref, tri_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
 
 def _fwd(q, k, v, kv_len, *, causal, block_q, block_k, d_orig,
-         head_group=DEFAULT_HEAD_GROUP, interpret=None):
+         head_group=DEFAULT_TRI_HEAD_GROUP, interpret=None):
     """q/k/v: [B, H, N, D] (padded); kv_len: [B] int32.
     Returns (o [B,H,N,D], lse [B,H,N])."""
     B, H, N, D = q.shape
@@ -228,7 +239,9 @@ def _fwd(q, k, v, kv_len, *, causal, block_q, block_k, d_orig,
     nq = N // block_q
     nk = M // block_k
     scale = 1.0 / np.sqrt(d_orig)
-    G = _pick_head_group(H, head_group)
+    tri = causal and block_q == block_k and nq == nk
+    G = _pick_head_group(
+        H, head_group if tri else min(head_group, DEFAULT_HEAD_GROUP))
 
     out_shape = [
         jax.ShapeDtypeStruct((B, H, N, D), q.dtype),
@@ -240,7 +253,7 @@ def _fwd(q, k, v, kv_len, *, causal, block_q, block_k, d_orig,
         pltpu.VMEM((G, block_q, 128), jnp.float32),
     ]
 
-    if causal and block_q == block_k and nq == nk:
+    if tri:
         tmap = jnp.asarray(_tri_pairs_q_outer(nq))
         q_ix = lambda b, g, t, lens, tri: (b, g, tri[0, t], 0)  # noqa: E731
         kv_ix = lambda b, g, t, lens, tri: (b, g, tri[1, t], 0)  # noqa: E731
@@ -261,8 +274,15 @@ def _fwd(q, k, v, kv_len, *, causal, block_q, block_k, d_orig,
         kernel = functools.partial(
             _fwd_kernel_tri, scale=scale, block_q=block_q, block_k=block_k,
             heads=G)
+        # G=8 needs ~18MB of scoped VMEM (6MB f32 scratch + double-buffered
+        # operand blocks); the compiler's DEFAULT scoped limit is 16MB but
+        # the physical VMEM budget on v5e+ admits more — raise the cap only
+        # for this call (jax's own ragged-paged-attention kernel exposes the
+        # same knob). Harmless under interpret.
         o, lse = pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=40 * 1024 * 1024),
             interpret=_interpret() if interpret is None else interpret)(kv_len, tmap, q, k, v)
     else:
         # rectangular fallback (non-causal, or causal with unequal blocks):
@@ -469,13 +489,19 @@ def _bwd_dkv_kernel_tri(len_ref, tri_ref, q_ref, k_ref, v_ref, do_ref,
 
 
 def _bwd(q, k, v, do, o, lse, kv_len, *, causal, block_q, block_k, d_orig,
-         dlse=None, head_group=DEFAULT_HEAD_GROUP, interpret=None):
+         dlse=None, head_group=DEFAULT_TRI_HEAD_GROUP, interpret=None):
     B, H, N, D = q.shape
     M = k.shape[2]
     nq = N // block_q
     nk = M // block_k
     scale = 1.0 / np.sqrt(d_orig)
-    G = _pick_head_group(H, head_group)
+    tri = causal and block_q == block_k and nq == nk
+    # like the forward, the triangular path takes the bigger head group
+    # (the raised per-call VMEM cap covers its larger footprint); the
+    # rectangular path serves the point encoder's 8k cross-attention where
+    # the bigger group blew the default scoped-VMEM budget
+    G = _pick_head_group(
+        H, head_group if tri else min(head_group, DEFAULT_HEAD_GROUP))
 
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
                     axis=-1, keepdims=True)  # [B,H,N,1]
@@ -491,7 +517,7 @@ def _bwd(q, k, v, do, o, lse, kv_len, *, causal, block_q, block_k, d_orig,
         jax.ShapeDtypeStruct((B, H, M, D), v.dtype),
     ]
 
-    if causal and block_q == block_k and nq == nk:
+    if tri:
         # linearized triangular grids (see module docstring): dq keeps the
         # q block outer, dkv keeps the kv block outer so each pass's
         # accumulator lives across its inner dimension
@@ -518,6 +544,8 @@ def _bwd(q, k, v, do, o, lse, kv_len, *, causal, block_q, block_k, d_orig,
                 scratch_shapes=[pltpu.VMEM((G, block_q, D), jnp.float32)],
             ),
             out_shape=dq_shape,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
             interpret=_interpret() if interpret is None else interpret,
         )(kv_len, tq, q, k, v, do, lse, delta)[0]
 
@@ -539,6 +567,8 @@ def _bwd(q, k, v, do, o, lse, kv_len, *, causal, block_q, block_k, d_orig,
                 ],
             ),
             out_shape=dkv_shape,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
             interpret=_interpret() if interpret is None else interpret,
         )(kv_len, tkv, q, k, v, do, lse, delta)
         return dq, dk, dv

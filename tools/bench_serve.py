@@ -117,11 +117,48 @@ def main():
     ap.add_argument("--segment_steps", type=int, default=128)
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--engines", default="continuous,microbatch")
+    ap.add_argument("--fleet", default="",
+                    help="comma-separated engine counts (e.g. 1,2,4,8): "
+                         "for each N, run the trace against N "
+                         "ContinuousEngines on N local devices with "
+                         "least-loaded dispatch (serve.py --dp_size N "
+                         "token-level equivalent); use on a multi-device "
+                         "backend (real pod or "
+                         "xla_force_host_platform_device_count)")
     ap.add_argument("--save", action="store_true")
     args = ap.parse_args()
 
     model, params, opt = build_model(args)
     results = []
+
+    if args.fleet:
+        import jax
+
+        from edgerunner_tpu.generate import replicate_params
+        from edgerunner_tpu.serve_engine import ContinuousEngine
+
+        for n in [int(x) for x in args.fleet.split(",") if x]:
+            devices = jax.local_devices()[:n]
+            assert len(devices) == n, (
+                f"--fleet {n} but only {len(devices)} local devices")
+            engines = [
+                ContinuousEngine(model, p, opt, batch=args.batch,
+                                 segment_steps=args.segment_steps)
+                for p in replicate_params(params, devices)
+            ]
+
+            def submit(pts, nf, seed, _engines=engines):
+                eng = min(_engines, key=lambda e: e.load())
+                return eng.submit(pts, nf, seed)
+
+            for eng in engines:  # warm every engine's compiles + device
+                eng.submit(rng_pts(999, args), args.faces, 0)
+            row = run_trace(submit, args, f"fleet{n}")
+            row["devices"] = [str(d) for d in devices]
+            results.append(row)
+            for eng in engines:
+                eng.shutdown()
+            print(json.dumps(row), flush=True)
 
     if "continuous" in args.engines:
         from edgerunner_tpu.serve_engine import ContinuousEngine

@@ -118,6 +118,17 @@ def main():
     a, b = streams["vanilla"], streams["spec"]
     n = min(a.shape[1], b.shape[1])
     identical = bool((a[:, :n] == b[:, :n]).all())
+    # when streams differ, report WHERE: on TPU the bf16 multi-query verify
+    # pass accumulates in a different order than the single-token step, so
+    # an uncertain model can flip greedy argmax at near-ties — count the
+    # first divergence per row and the pre-divergence match rate so ties
+    # can be told apart from real verify bugs (a bug diverges immediately)
+    first_div = []
+    for r in range(a.shape[0]):
+        d = np.nonzero(a[r, :n] != b[r, :n])[0]
+        first_div.append(int(d[0]) if len(d) else -1)
+    prefix_match = round(float(np.mean(
+        [fd / n if fd >= 0 else 1.0 for fd in first_div])), 4)
 
     result = {
         "weights": args.resume,
@@ -127,6 +138,8 @@ def main():
         "faces": args.faces,
         "token_budget": token_budget,
         "streams_identical": identical,
+        "first_divergence_per_row": first_div,
+        "mean_prefix_match": prefix_match,
         "vanilla": results["vanilla"],
         "spec": results["spec"],
         "speedup": round(results["spec"]["meshes_per_min"]
