@@ -44,6 +44,10 @@ def build_model(args):
         config_defaults["ArAE"], generate_mode="greedy",
         kv_quant=args.kv_quant, w_quant=args.w_quant, kv_bits=args.kv_bits,
         test_batch_size=args.batch, test_num_face=(args.faces,))
+    if args.hidden_dim:
+        opt = dataclasses.replace(
+            opt, hidden_dim=args.hidden_dim, num_layers=args.num_layers,
+            num_heads=args.num_heads, max_seq_length=args.max_seq_length)
     if args.tiny:
         opt = dataclasses.replace(
             opt, hidden_dim=64, num_layers=2, num_heads=4,
@@ -114,6 +118,12 @@ def main():
     ap.add_argument("--kv_bits", type=int, default=4)
     ap.add_argument("--w_quant", action="store_true")
     ap.add_argument("--resume", default=None)
+    ap.add_argument("--hidden_dim", type=int, default=0,
+                    help="override model shape (0 = ArAE preset); set all "
+                         "four shape flags together to match --resume")
+    ap.add_argument("--num_layers", type=int, default=12)
+    ap.add_argument("--num_heads", type=int, default=12)
+    ap.add_argument("--max_seq_length", type=int, default=4096)
     ap.add_argument("--segment_steps", type=int, default=128)
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--engines", default="continuous,microbatch")
