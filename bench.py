@@ -13,8 +13,10 @@ overhead -> 4096-token bucket) with EOS masked out so every row decodes the
 full budget — measuring sustained decode throughput rather than how early a
 randomly-initialized model happens to emit EOS.
 
-Headline configuration: EXACT bf16 — bf16 KV cache, bf16 weights, batch 8
-(the best batch that fits the bf16 cache in HBM; b12 under test). This is
+Headline configuration: EXACT bf16 — bf16 KV cache, bf16 weights, batch 12
+(hardware-swept 2026-08-19: b8 13.16 / b12 14.09 / b14 13.80 meshes/min;
+decode is KV-bandwidth-bound, so batch amortizes weight streaming with
+diminishing returns and b16's cache would not fit 16GB HBM). This is
 the configuration whose greedy token streams are identical to the model's
 reference semantics by construction, matching the BASELINE.md north star
 ("identical token streams"). The quantized fast path (int4 KV + int8
@@ -47,7 +49,7 @@ batch 4 (readme.md:55) implies ~6k tok/s for a *parallel* teacher-forcing
 fwd+bwd at seq ~6k; serial decode with per-token host sync is 2 orders of
 magnitude below that, consistent with the 50 tok/s estimate.
 
-Flags: --tiny (CPU smoke), --batch N (default 8), --faces N (default 1000),
+Flags: --tiny (CPU smoke), --batch N (default 12), --faces N (default 1000),
 --kv_quant/--w_quant (opt into the lossy fast path), --skip_train (decode
 only).
 
@@ -232,7 +234,14 @@ def dit_train_probe(tiny: bool = False, steps: int = 3, batch: int = 32):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiny", action="store_true", help="CPU smoke scale")
-    ap.add_argument("--batch", type=int, default=8)
+    # headline batch: swept on hardware 2026-08-19 (exact bf16, 1000 faces)
+    #   b8 13.16 / b12 14.09 / b14 13.80 meshes/min
+    # decode is KV-bandwidth-bound at flagship shape (per-step KV reads grow
+    # with batch while weight streaming is fixed), so batch buys less and
+    # less — and past b12 measured throughput actually dips. 12 is the
+    # sweet spot; b16's KV alone (24L x 2 x 1536 x 2B x 6656 pos x 16 rows
+    # = 15.6GB) would not leave weight room in 16GB HBM.
+    ap.add_argument("--batch", type=int, default=12)
     ap.add_argument("--faces", type=int, default=1000)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--kv_quant", action="store_true",
