@@ -16,8 +16,20 @@ core/transformer/attention.py:20-21,46,81-89). Differences by design:
   cost — measured as the dominant train-step overhead, see
   evidence/train_profile.md); the triangular grid does not emit them at all.
   Non-causal grids stay rectangular (B, H, q_blocks, kv_blocks).
-* head_dim is zero-padded to the 128-lane boundary in the wrapper (ArAE uses
-  head_dim 96), sequence lengths padded to the block size with length masks
+* DEFAULT LAYOUT IS TRANSPOSED — q/k/v/o are carried as [B, H, D, N] with
+  head_dim in SUBLANES and the sequence in lanes. head_dim 96 tiles
+  sublanes exactly (6 x 16 bf16 / 12 x 8 f32), so the kernels stream zero
+  pad: the legacy [B, H, N, D] layout lane-pads 96 -> 128 (1.33x DMA on
+  every q/k/v/o/do/dq/dk/dv block) and, worse, keeps the per-row softmax
+  stats as [N, 1] columns whose blocks tile to [N, 128] in HBM — measured
+  ~1/3 of the backward passes' DMA was lse/delta lane padding. In the
+  transposed layout the logits block is s^T [BK, BQ], every per-row stat
+  (m/l/lse/delta) is a compact [1, BQ] lane-row, and all matmuls remain
+  native MXU dimension numbers (contraction on dim 0/0 of the transposed
+  operands measures as fast as canonical — see evidence/train_profile.md
+  round 4). The legacy layout remains for head dims that don't tile
+  sublanes (bf16 D % 16 != 0) and for A/B via the `layout=` argument.
+* sequence lengths padded to the block size with length masks
 * heads are processed in GROUPS per kernel program (grid dim 1 is H/G; G=8
   on the triangular causal paths with a raised per-call VMEM cap, G=4 on
   rectangular grids): at one head per program the ~0.8-2us per-program
@@ -639,59 +651,564 @@ def _bwd(q, k, v, do, o, lse, kv_len, *, causal, block_q, block_k, d_orig,
     return dq, dk, dv
 
 
+# ----------------------------------- transposed (D-in-sublanes) layout -----
+#
+# Arrays are [B, H, D, N] (sequence in lanes, head_dim in sublanes); the
+# logits block is s^T [BK, BQ] and every per-row softmax stat is a [1, BQ]
+# lane-row. Dot dimension numbers per pass (all measured native-speed on
+# MXU, see module docstring):
+#   s^T  = kT (.0) qT (.0)          [D,BK] x [D,BQ] -> [BK,BQ]
+#   acc  = vT (.1) pT (.0)          [D,BK] x [BK,BQ] -> [D,BQ]   (canonical)
+#   dp^T = vT (.0) doT (.0)         [D,BK] x [D,BQ] -> [BK,BQ]
+#   dq   = kT (.1) dsT (.0)         [D,BK] x [BK,BQ] -> [D,BQ]   (canonical)
+#   dv   = doT (.1) pT (.1)         [D,BQ] x [BK,BQ] -> [D,BK]
+#   dk   = qT (.1) dsT (.1)         [D,BQ] x [BK,BQ] -> [D,BK]
+
+
+def _make_valid_t(len_ref, b, iq, ik, shape, *, causal, block_q, block_k):
+    """[BK, BQ] bool validity for block (iq, ik), transposed layout: kv
+    positions run over sublanes, q positions over lanes."""
+    kv_pos = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    valid = kv_pos < len_ref[b]
+    if causal:
+        q_pos = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        valid = valid & (kv_pos <= q_pos)
+    return valid
+
+
+def _fwd_compute_t(validT, h, q_ref, k_ref, v_ref,
+                   acc_ref, m_ref, l_ref, *, scale):
+    dd = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+    qT = q_ref[0, h].astype(dd)  # [D, BQ]
+    kT = k_ref[0, h].astype(dd)  # [D, BK]
+    vT = v_ref[0, h].astype(dd)  # [D, BK]
+    sT = jax.lax.dot_general(
+        kT, qT, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # [BK, BQ]
+    sT = jnp.where(validT, sT, NEG_INF)
+
+    m_old = m_ref[h]                            # [1, BQ]
+    m_blk = jnp.max(sT, axis=0, keepdims=True)  # [1, BQ]
+    m_new = jnp.maximum(m_old, m_blk)
+    pT = jnp.exp(sT - m_new)                    # [BK, BQ]
+    alpha = jnp.exp(m_old - m_new)              # [1, BQ]
+
+    l_ref[h] = l_ref[h] * alpha + jnp.sum(pT, axis=0, keepdims=True)
+    m_ref[h] = m_new
+    acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
+        vT, pT.astype(dd), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)     # [D, BQ]
+
+
+def _fwd_store_t(o_ref, lse_ref, acc_ref, m_ref, l_ref, *, heads):
+    for h in range(heads):
+        l = l_ref[h]  # [1, BQ]
+        safe_l = jnp.where(l > 0, l, 1.0)
+        o_ref[0, h] = (acc_ref[h] / safe_l).astype(o_ref.dtype)
+        lse_ref[0, h] = m_ref[h] + jnp.log(safe_l)
+
+
+def _fwd_kernel_t(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                  acc_ref, m_ref, l_ref, *, scale, causal, block_q, block_k,
+                  heads):
+    b = pl.program_id(0)
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ik == 0)
+    def _():
+        _fwd_reset(acc_ref, m_ref, l_ref)
+
+    run = True
+    if causal:
+        run = ik * block_k <= iq * block_q + block_q - 1
+
+    @pl.when(run)
+    def _():
+        valid = _make_valid_t(len_ref, b, iq, ik, (block_k, block_q),
+                              causal=causal, block_q=block_q, block_k=block_k)
+        for h in range(heads):
+            _fwd_compute_t(valid, h, q_ref, k_ref, v_ref,
+                           acc_ref, m_ref, l_ref, scale=scale)
+
+    @pl.when(ik == nk - 1)
+    def _():
+        _fwd_store_t(o_ref, lse_ref, acc_ref, m_ref, l_ref, heads=heads)
+
+
+def _fwd_kernel_tri_t(len_ref, tri_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                      acc_ref, m_ref, l_ref, *, scale, block_q, block_k,
+                      heads):
+    b = pl.program_id(0)
+    t = pl.program_id(2)
+    iq = tri_ref[0, t]
+    ik = tri_ref[1, t]
+
+    @pl.when(ik == 0)
+    def _():
+        _fwd_reset(acc_ref, m_ref, l_ref)
+
+    valid = _make_valid_t(len_ref, b, iq, ik, (block_k, block_q),
+                          causal=True, block_q=block_q, block_k=block_k)
+    for h in range(heads):
+        _fwd_compute_t(valid, h, q_ref, k_ref, v_ref,
+                       acc_ref, m_ref, l_ref, scale=scale)
+
+    @pl.when(ik == iq)
+    def _():
+        _fwd_store_t(o_ref, lse_ref, acc_ref, m_ref, l_ref, heads=heads)
+
+
+def _fwd_t(q, k, v, kv_len, *, causal, block_q, block_k, d_orig,
+           head_group=DEFAULT_TRI_HEAD_GROUP, interpret=None):
+    """Transposed layout. q/k/v: [B, H, D, N]; kv_len: [B] int32.
+    Returns (o [B,H,D,N], lse [B,H,N] fp32 — compact, no lane padding)."""
+    B, H, D, N = q.shape
+    M = k.shape[3]
+    nq = N // block_q
+    nk = M // block_k
+    scale = 1.0 / np.sqrt(d_orig)
+    tri = causal and block_q == block_k and nq == nk
+    G = _pick_head_group(
+        H, head_group if tri else min(head_group, DEFAULT_HEAD_GROUP))
+
+    out_shape = [
+        jax.ShapeDtypeStruct((B, H, D, N), q.dtype),
+        jax.ShapeDtypeStruct((B, H, 1, N), jnp.float32),
+    ]
+    scratch = [
+        pltpu.VMEM((G, D, block_q), jnp.float32),
+        pltpu.VMEM((G, 1, block_q), jnp.float32),
+        pltpu.VMEM((G, 1, block_q), jnp.float32),
+    ]
+
+    if tri:
+        tmap = jnp.asarray(_tri_pairs_q_outer(nq))
+        q_ix = lambda b, g, t, lens, tri: (b, g, 0, tri[0, t])  # noqa: E731
+        kv_ix = lambda b, g, t, lens, tri: (b, g, 0, tri[1, t])  # noqa: E731
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, H // G, tmap.shape[1]),
+            in_specs=[
+                pl.BlockSpec((1, G, D, block_q), q_ix),
+                pl.BlockSpec((1, G, D, block_k), kv_ix),
+                pl.BlockSpec((1, G, D, block_k), kv_ix),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, G, D, block_q), q_ix),
+                pl.BlockSpec((1, G, 1, block_q), q_ix),
+            ],
+            scratch_shapes=scratch,
+        )
+        kernel = functools.partial(
+            _fwd_kernel_tri_t, scale=scale, block_q=block_q, block_k=block_k,
+            heads=G)
+        o, lse = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=40 * 1024 * 1024),
+            interpret=_interpret() if interpret is None else interpret)(kv_len, tmap, q, k, v)
+    else:
+        if causal:
+            kv_ix = lambda b, g, iq, ik, *_: (  # noqa: E731
+                b, g, 0, jnp.minimum(ik, ((iq + 1) * block_q - 1) // block_k))
+        else:
+            kv_ix = lambda b, g, iq, ik, *_: (b, g, 0, ik)  # noqa: E731
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, H // G, nq, nk),
+            in_specs=[
+                pl.BlockSpec((1, G, D, block_q),
+                             lambda b, g, iq, ik, *_: (b, g, 0, iq)),
+                pl.BlockSpec((1, G, D, block_k), kv_ix),
+                pl.BlockSpec((1, G, D, block_k), kv_ix),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, G, D, block_q),
+                             lambda b, g, iq, ik, *_: (b, g, 0, iq)),
+                pl.BlockSpec((1, G, 1, block_q),
+                             lambda b, g, iq, ik, *_: (b, g, 0, iq)),
+            ],
+            scratch_shapes=scratch,
+        )
+        kernel = functools.partial(
+            _fwd_kernel_t, scale=scale, causal=causal,
+            block_q=block_q, block_k=block_k, heads=G)
+        o, lse = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape,
+            interpret=_interpret() if interpret is None else interpret)(kv_len, q, k, v)
+    # the [B,H,1,N] residual tiles compactly (8 sublanes x N lanes) — no
+    # lane-padding barrier needed, unlike the legacy [B,H,N,1] buffer
+    return o, lse[:, :, 0]
+
+
+def _dq_compute_t(validT, h, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                  delta_ref, dq_acc, *, scale):
+    dd = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+    qT = q_ref[0, h].astype(dd)
+    kT = k_ref[0, h].astype(dd)
+    vT = v_ref[0, h].astype(dd)
+    doT = do_ref[0, h].astype(dd)
+    lse = lse_ref[0, h]      # [1, BQ]
+    delta = delta_ref[0, h]  # [1, BQ]
+
+    sT = jax.lax.dot_general(
+        kT, qT, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale   # [BK, BQ]
+    pT = jnp.where(validT, jnp.exp(sT - lse), 0.0)
+    dpT = jax.lax.dot_general(
+        vT, doT, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # [BK, BQ]
+    dsT = pT * (dpT - delta)
+    dq_acc[h] = dq_acc[h] + scale * jax.lax.dot_general(
+        kT, dsT.astype(dd), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # [D, BQ]
+
+
+def _bwd_dq_kernel_t(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                     delta_ref, dq_ref, dq_acc, *, scale, causal, block_q,
+                     block_k, heads):
+    b = pl.program_id(0)
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ik == 0)
+    def _():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    run = True
+    if causal:
+        run = ik * block_k <= iq * block_q + block_q - 1
+
+    @pl.when(run)
+    def _():
+        valid = _make_valid_t(len_ref, b, iq, ik, (block_k, block_q),
+                              causal=causal, block_q=block_q, block_k=block_k)
+        for h in range(heads):
+            _dq_compute_t(valid, h, q_ref, k_ref, v_ref, do_ref,
+                          lse_ref, delta_ref, dq_acc, scale=scale)
+
+    @pl.when(ik == nk - 1)
+    def _():
+        for h in range(heads):
+            dq_ref[0, h] = dq_acc[h].astype(dq_ref.dtype)
+
+
+def _bwd_dq_kernel_tri_t(len_ref, tri_ref, q_ref, k_ref, v_ref, do_ref,
+                         lse_ref, delta_ref, dq_ref, dq_acc,
+                         *, scale, block_q, block_k, heads):
+    b = pl.program_id(0)
+    t = pl.program_id(2)
+    iq = tri_ref[0, t]
+    ik = tri_ref[1, t]
+
+    @pl.when(ik == 0)
+    def _():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    valid = _make_valid_t(len_ref, b, iq, ik, (block_k, block_q),
+                          causal=True, block_q=block_q, block_k=block_k)
+    for h in range(heads):
+        _dq_compute_t(valid, h, q_ref, k_ref, v_ref, do_ref,
+                      lse_ref, delta_ref, dq_acc, scale=scale)
+
+    @pl.when(ik == iq)
+    def _():
+        for h in range(heads):
+            dq_ref[0, h] = dq_acc[h].astype(dq_ref.dtype)
+
+
+def _dkv_compute_t(validT, h, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                   delta_ref, dk_acc, dv_acc, *, scale):
+    dd = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+    qT = q_ref[0, h].astype(dd)
+    kT = k_ref[0, h].astype(dd)
+    vT = v_ref[0, h].astype(dd)
+    doT = do_ref[0, h].astype(dd)
+    lse = lse_ref[0, h]      # [1, BQ]
+    delta = delta_ref[0, h]  # [1, BQ]
+
+    sT = jax.lax.dot_general(
+        kT, qT, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale   # [BK, BQ]
+    pT = jnp.where(validT, jnp.exp(sT - lse), 0.0)
+
+    # dv^T = dO^T P  (accumulates directly in the stored [D, BK] layout)
+    dv_acc[h] = dv_acc[h] + jax.lax.dot_general(
+        doT, pT.astype(dd), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dpT = jax.lax.dot_general(
+        vT, doT, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dsT = pT * (dpT - delta)
+    # dk^T = Q^T dS * scale
+    dk_acc[h] = dk_acc[h] + scale * jax.lax.dot_general(
+        qT, dsT.astype(dd), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _bwd_dkv_kernel_t(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                      delta_ref, dk_ref, dv_ref, dk_acc, dv_acc,
+                      *, scale, causal, block_q, block_k, heads):
+    b = pl.program_id(0)
+    ik = pl.program_id(2)   # kv block outer
+    iq = pl.program_id(3)   # q block inner
+    nq = pl.num_programs(3)
+
+    @pl.when(iq == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    run = True
+    if causal:
+        run = ik * block_k <= iq * block_q + block_q - 1
+
+    @pl.when(run)
+    def _():
+        valid = _make_valid_t(len_ref, b, iq, ik, (block_k, block_q),
+                              causal=causal, block_q=block_q, block_k=block_k)
+        for h in range(heads):
+            _dkv_compute_t(valid, h, q_ref, k_ref, v_ref, do_ref,
+                           lse_ref, delta_ref, dk_acc, dv_acc, scale=scale)
+
+    @pl.when(iq == nq - 1)
+    def _():
+        for h in range(heads):
+            dk_ref[0, h] = dk_acc[h].astype(dk_ref.dtype)
+            dv_ref[0, h] = dv_acc[h].astype(dv_ref.dtype)
+
+
+def _bwd_dkv_kernel_tri_t(len_ref, tri_ref, q_ref, k_ref, v_ref, do_ref,
+                          lse_ref, delta_ref, dk_ref, dv_ref, dk_acc, dv_acc,
+                          *, scale, block_q, block_k, nq, heads):
+    b = pl.program_id(0)
+    t = pl.program_id(2)
+    iq = tri_ref[0, t]
+    ik = tri_ref[1, t]
+
+    @pl.when(iq == ik)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    valid = _make_valid_t(len_ref, b, iq, ik, (block_k, block_q),
+                          causal=True, block_q=block_q, block_k=block_k)
+    for h in range(heads):
+        _dkv_compute_t(valid, h, q_ref, k_ref, v_ref, do_ref,
+                       lse_ref, delta_ref, dk_acc, dv_acc, scale=scale)
+
+    @pl.when(iq == nq - 1)
+    def _():
+        for h in range(heads):
+            dk_ref[0, h] = dk_acc[h].astype(dk_ref.dtype)
+            dv_ref[0, h] = dv_acc[h].astype(dv_ref.dtype)
+
+
+def _bwd_t(q, k, v, do, o, lse, kv_len, *, causal, block_q, block_k, d_orig,
+           dlse=None, head_group=DEFAULT_TRI_HEAD_GROUP, interpret=None):
+    """Transposed-layout backward. q/k/v/do/o: [B, H, D, N]; lse [B, H, N]."""
+    B, H, D, N = q.shape
+    M = k.shape[3]
+    nq = N // block_q
+    nk = M // block_k
+    scale = 1.0 / np.sqrt(d_orig)
+    tri = causal and block_q == block_k and nq == nk
+    G = _pick_head_group(
+        H, head_group if tri else min(head_group, DEFAULT_HEAD_GROUP))
+
+    # delta/lse as [B, H, 1, N]: compact lane-rows (the legacy layout's
+    # [B, H, N, 1] columns tile to [N, 128] in HBM — 128x the traffic)
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=2, keepdims=True)
+    if dlse is not None:
+        delta = delta - dlse.astype(jnp.float32)[:, :, None, :]
+    lse = lse[:, :, None, :]
+
+    dq_shape = [jax.ShapeDtypeStruct((B, H, D, N), q.dtype)]
+    dkv_shape = [
+        jax.ShapeDtypeStruct((B, H, D, M), k.dtype),
+        jax.ShapeDtypeStruct((B, H, D, M), v.dtype),
+    ]
+
+    if tri:
+        tq = jnp.asarray(_tri_pairs_q_outer(nq))
+        tkv = jnp.asarray(_tri_pairs_kv_outer(nq))
+        q_ix = lambda b, g, t, lens, tri: (b, g, 0, tri[0, t])  # noqa: E731
+        kv_ix = lambda b, g, t, lens, tri: (b, g, 0, tri[1, t])  # noqa: E731
+        tri_in = [
+            pl.BlockSpec((1, G, D, block_q), q_ix),
+            pl.BlockSpec((1, G, D, block_k), kv_ix),
+            pl.BlockSpec((1, G, D, block_k), kv_ix),
+            pl.BlockSpec((1, G, D, block_q), q_ix),
+            pl.BlockSpec((1, G, 1, block_q), q_ix),
+            pl.BlockSpec((1, G, 1, block_q), q_ix),
+        ]
+        dq = pl.pallas_call(
+            functools.partial(_bwd_dq_kernel_tri_t, scale=scale,
+                              block_q=block_q, block_k=block_k, heads=G),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(B, H // G, tq.shape[1]),
+                in_specs=tri_in,
+                out_specs=[pl.BlockSpec((1, G, D, block_q), q_ix)],
+                scratch_shapes=[pltpu.VMEM((G, D, block_q), jnp.float32)],
+            ),
+            out_shape=dq_shape,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+            interpret=_interpret() if interpret is None else interpret,
+        )(kv_len, tq, q, k, v, do, lse, delta)[0]
+
+        dk, dv = pl.pallas_call(
+            functools.partial(_bwd_dkv_kernel_tri_t, scale=scale,
+                              block_q=block_q, block_k=block_k, nq=nq,
+                              heads=G),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(B, H // G, tkv.shape[1]),
+                in_specs=tri_in,
+                out_specs=[
+                    pl.BlockSpec((1, G, D, block_k), kv_ix),
+                    pl.BlockSpec((1, G, D, block_k), kv_ix),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((G, D, block_k), jnp.float32),
+                    pltpu.VMEM((G, D, block_k), jnp.float32),
+                ],
+            ),
+            out_shape=dkv_shape,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+            interpret=_interpret() if interpret is None else interpret,
+        )(kv_len, tkv, q, k, v, do, lse, delta)
+        return dq, dk, dv
+
+    if causal:
+        r_kv_ix = lambda b, g, i, j, *_: (  # noqa: E731
+            b, g, 0, jnp.minimum(j, ((i + 1) * block_q - 1) // block_k))
+        r_q_ix_dkv = lambda b, g, j, i, *_: (  # noqa: E731
+            b, g, 0, jnp.maximum(i, (j * block_k) // block_q))
+    else:
+        r_kv_ix = lambda b, g, i, j, *_: (b, g, 0, j)  # noqa: E731
+        r_q_ix_dkv = lambda b, g, j, i, *_: (b, g, 0, i)  # noqa: E731
+
+    common_in = [
+        pl.BlockSpec((1, G, D, block_q), lambda b, g, i, j, *_: (b, g, 0, i)),
+        pl.BlockSpec((1, G, D, block_k), r_kv_ix),
+        pl.BlockSpec((1, G, D, block_k), r_kv_ix),
+        pl.BlockSpec((1, G, D, block_q), lambda b, g, i, j, *_: (b, g, 0, i)),
+        pl.BlockSpec((1, G, 1, block_q), lambda b, g, i, j, *_: (b, g, 0, i)),
+        pl.BlockSpec((1, G, 1, block_q), lambda b, g, i, j, *_: (b, g, 0, i)),
+    ]
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel_t, scale=scale, causal=causal,
+                          block_q=block_q, block_k=block_k, heads=G),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, H // G, nq, nk),
+            in_specs=common_in,
+            out_specs=[pl.BlockSpec((1, G, D, block_q),
+                                    lambda b, g, i, j, *_: (b, g, 0, i))],
+            scratch_shapes=[pltpu.VMEM((G, D, block_q), jnp.float32)],
+        ),
+        out_shape=dq_shape,
+        interpret=_interpret() if interpret is None else interpret,
+    )(kv_len, q, k, v, do, lse, delta)[0]
+
+    dkv_in = [
+        pl.BlockSpec((1, G, D, block_q), r_q_ix_dkv),
+        pl.BlockSpec((1, G, D, block_k), lambda b, g, j, i, *_: (b, g, 0, j)),
+        pl.BlockSpec((1, G, D, block_k), lambda b, g, j, i, *_: (b, g, 0, j)),
+        pl.BlockSpec((1, G, D, block_q), r_q_ix_dkv),
+        pl.BlockSpec((1, G, 1, block_q), r_q_ix_dkv),
+        pl.BlockSpec((1, G, 1, block_q), r_q_ix_dkv),
+    ]
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel_t, scale=scale, causal=causal,
+                          block_q=block_q, block_k=block_k, heads=G),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, H // G, nk, nq),
+            in_specs=dkv_in,
+            out_specs=[
+                pl.BlockSpec((1, G, D, block_k),
+                             lambda b, g, j, i, *_: (b, g, 0, j)),
+                pl.BlockSpec((1, G, D, block_k),
+                             lambda b, g, j, i, *_: (b, g, 0, j)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((G, D, block_k), jnp.float32),
+                pltpu.VMEM((G, D, block_k), jnp.float32),
+            ],
+        ),
+        out_shape=dkv_shape,
+        interpret=_interpret() if interpret is None else interpret,
+    )(kv_len, q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
 # ------------------------------------------------------- differentiable op --
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
 def _flash_core(q, k, v, kv_len, causal, block_q, block_k, d_orig,
-                bwd_block_q, bwd_block_k, interpret):
-    o, _ = _fwd(q, k, v, kv_len, causal=causal, block_q=block_q,
-                block_k=block_k, d_orig=d_orig, interpret=interpret)
+                bwd_block_q, bwd_block_k, interpret, transposed):
+    fwd = _fwd_t if transposed else _fwd
+    o, _ = fwd(q, k, v, kv_len, causal=causal, block_q=block_q,
+               block_k=block_k, d_orig=d_orig, interpret=interpret)
     return o
 
 
 def _flash_core_fwd(q, k, v, kv_len, causal, block_q, block_k, d_orig,
-                    bwd_block_q, bwd_block_k, interpret):
-    o, lse = _fwd(q, k, v, kv_len, causal=causal, block_q=block_q,
-                  block_k=block_k, d_orig=d_orig, interpret=interpret)
+                    bwd_block_q, bwd_block_k, interpret, transposed):
+    fwd = _fwd_t if transposed else _fwd
+    o, lse = fwd(q, k, v, kv_len, causal=causal, block_q=block_q,
+                 block_k=block_k, d_orig=d_orig, interpret=interpret)
     return o, (q, k, v, o, lse, kv_len)
 
 
 def _flash_core_bwd(causal, block_q, block_k, d_orig, bwd_block_q,
-                    bwd_block_k, interpret, res, g):
+                    bwd_block_k, interpret, transposed, res, g):
     # the backward holds 4 extra [BQ, BK] f32 intermediates (s/p/dp/ds) in
     # VMEM, so it keeps its own (smaller) block sizes; the padded N from the
     # forward stays divisible as long as both block sets are powers of two
     q, k, v, o, lse, kv_len = res
-    dq, dk, dv = _bwd(q, k, v, g, o, lse, kv_len, causal=causal,
-                      block_q=bwd_block_q, block_k=bwd_block_k, d_orig=d_orig,
-                      interpret=interpret)
+    bwd = _bwd_t if transposed else _bwd
+    dq, dk, dv = bwd(q, k, v, g, o, lse, kv_len, causal=causal,
+                     block_q=bwd_block_q, block_k=bwd_block_k, d_orig=d_orig,
+                     interpret=interpret)
     return dq, dk, dv, np.zeros(kv_len.shape, jax.dtypes.float0)
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
 def _flash_core_lse(q, k, v, kv_len, causal, block_q, block_k, d_orig,
-                    bwd_block_q, bwd_block_k, interpret):
-    return _fwd(q, k, v, kv_len, causal=causal, block_q=block_q,
-                block_k=block_k, d_orig=d_orig, interpret=interpret)
+                    bwd_block_q, bwd_block_k, interpret, transposed):
+    fwd = _fwd_t if transposed else _fwd
+    return fwd(q, k, v, kv_len, causal=causal, block_q=block_q,
+               block_k=block_k, d_orig=d_orig, interpret=interpret)
 
 
 def _flash_core_lse_fwd(q, k, v, kv_len, causal, block_q, block_k, d_orig,
-                        bwd_block_q, bwd_block_k, interpret):
-    o, lse = _fwd(q, k, v, kv_len, causal=causal, block_q=block_q,
-                  block_k=block_k, d_orig=d_orig, interpret=interpret)
+                        bwd_block_q, bwd_block_k, interpret, transposed):
+    fwd = _fwd_t if transposed else _fwd
+    o, lse = fwd(q, k, v, kv_len, causal=causal, block_q=block_q,
+                 block_k=block_k, d_orig=d_orig, interpret=interpret)
     return (o, lse), (q, k, v, o, lse, kv_len)
 
 
 def _flash_core_lse_bwd(causal, block_q, block_k, d_orig, bwd_block_q,
-                        bwd_block_k, interpret, res, g):
+                        bwd_block_k, interpret, transposed, res, g):
     q, k, v, o, lse, kv_len = res
     do, dlse = g
-    dq, dk, dv = _bwd(q, k, v, do, o, lse, kv_len, causal=causal,
-                      block_q=bwd_block_q, block_k=bwd_block_k, d_orig=d_orig,
-                      dlse=dlse, interpret=interpret)
+    bwd = _bwd_t if transposed else _bwd
+    dq, dk, dv = bwd(q, k, v, do, o, lse, kv_len, causal=causal,
+                     block_q=bwd_block_q, block_k=bwd_block_k, d_orig=d_orig,
+                     dlse=dlse, interpret=interpret)
     return dq, dk, dv, np.zeros(kv_len.shape, jax.dtypes.float0)
 
 
@@ -702,8 +1219,20 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _use_transposed(dtype, D: int, layout: str) -> bool:
+    """The transposed layout needs D to tile sublanes exactly (16 for bf16,
+    8 for f32); 'auto' picks it whenever it applies — it streams zero pad."""
+    if layout == "nd":
+        return False
+    tile = 16 if dtype == jnp.bfloat16 else 8
+    ok = D % tile == 0
+    if layout == "dn" and not ok:
+        raise ValueError(f"layout 'dn' needs head_dim % {tile} == 0, got {D}")
+    return ok
+
+
 def _flash(q, k, v, causal, q_len, kv_len, block_q, block_k,
-           bwd_block_q, bwd_block_k, with_lse, interpret=None):
+           bwd_block_q, bwd_block_k, with_lse, interpret=None, layout="auto"):
     B, N, H, D = q.shape
     M = k.shape[1]
 
@@ -713,15 +1242,22 @@ def _flash(q, k, v, causal, q_len, kv_len, block_q, block_k,
     Mp = _round_up(M, max(block_k, bwd_block_k))
     bwd_block_q = min(bwd_block_q, Np)
     bwd_block_k = min(bwd_block_k, Mp)
-    Dp = _round_up(D, 128)
+    transposed = _use_transposed(q.dtype, D, layout)
 
     if kv_len is None:
         kv_len = jnp.full((B,), M, jnp.int32)
     kv_len = kv_len.astype(jnp.int32)
 
-    def prep(x, L, Lp):
-        x = jnp.transpose(x, (0, 2, 1, 3))  # [B, H, L, D]
-        return jnp.pad(x, ((0, 0), (0, 0), (0, Lp - L), (0, Dp - D)))
+    if transposed:
+        def prep(x, L, Lp):
+            x = jnp.transpose(x, (0, 2, 3, 1))  # [B, H, D, L]
+            return jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, Lp - L)))
+    else:
+        Dp = _round_up(D, 128)
+
+        def prep(x, L, Lp):
+            x = jnp.transpose(x, (0, 2, 1, 3))  # [B, H, L, D]
+            return jnp.pad(x, ((0, 0), (0, 0), (0, Lp - L), (0, Dp - D)))
 
     qp = prep(q, N, Np)
     kp = prep(k, M, Mp)
@@ -730,11 +1266,14 @@ def _flash(q, k, v, causal, q_len, kv_len, block_q, block_k,
     if with_lse:
         o, lse = _flash_core_lse(qp, kp, vp, kv_len, causal, block_q,
                                  block_k, D, bwd_block_q, bwd_block_k,
-                                 interpret)
+                                 interpret, transposed)
     else:
         o = _flash_core(qp, kp, vp, kv_len, causal, block_q, block_k, D,
-                        bwd_block_q, bwd_block_k, interpret)
-    o = jnp.transpose(o[:, :, :N, :D], (0, 2, 1, 3))
+                        bwd_block_q, bwd_block_k, interpret, transposed)
+    if transposed:
+        o = jnp.transpose(o[:, :, :, :N], (0, 3, 1, 2))
+    else:
+        o = jnp.transpose(o[:, :, :N, :D], (0, 2, 1, 3))
     if q_len is not None:
         rows = jax.lax.broadcasted_iota(jnp.int32, (B, N), 1) < q_len[:, None]
         o = jnp.where(rows[:, :, None, None], o, 0)
@@ -756,15 +1295,18 @@ def flash_attention(
     bwd_block_q: int = DEFAULT_BWD_BLOCK,
     bwd_block_k: int = DEFAULT_BWD_BLOCK,
     interpret: Optional[bool] = None,
+    layout: str = "auto",
 ) -> jax.Array:
     """q: [B, N, H, D]; k/v: [B, M, H, D]; prefix length masks [B].
     Returns [B, N, H, D]; rows beyond q_len are zeroed. `interpret`
     overrides the backend heuristic (needed when the call targets devices
     of a different platform than the process default, e.g. a virtual CPU
-    mesh in a TPU-initialized process)."""
+    mesh in a TPU-initialized process). `layout`: 'auto' uses the
+    transposed D-in-sublanes kernels whenever head_dim tiles sublanes
+    (module docstring); 'dn'/'nd' force transposed/legacy."""
     return _flash(q, k, v, causal, q_len, kv_len, block_q, block_k,
                   bwd_block_q, bwd_block_k, with_lse=False,
-                  interpret=interpret)
+                  interpret=interpret, layout=layout)
 
 
 def flash_attention_lse(
@@ -779,6 +1321,7 @@ def flash_attention_lse(
     bwd_block_q: int = DEFAULT_BWD_BLOCK,
     bwd_block_k: int = DEFAULT_BWD_BLOCK,
     interpret: Optional[bool] = None,
+    layout: str = "auto",
 ) -> tuple[jax.Array, jax.Array]:
     """Like flash_attention but also returns the row log-sum-exp
     [B, N, H] fp32, enabling numerically-stable merging of partial
@@ -787,4 +1330,4 @@ def flash_attention_lse(
     both outputs."""
     return _flash(q, k, v, causal, None, kv_len, block_q, block_k,
                   bwd_block_q, bwd_block_k, with_lse=True,
-                  interpret=interpret)
+                  interpret=interpret, layout=layout)

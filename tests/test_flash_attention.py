@@ -11,6 +11,10 @@ from edgerunner_tpu.ops.flash_attention import flash_attention
 
 RNG = jax.random.PRNGKey(0)
 
+# every test runs in both layouts: 'dn' (transposed D-in-sublanes, the
+# default whenever head_dim tiles sublanes) and 'nd' (legacy lane-padded)
+pytestmark = pytest.mark.parametrize("layout", ["dn", "nd"])
+
 
 def _rand(B, N, H, D, key=0):
     ks = jax.random.split(jax.random.PRNGKey(key), 3)
@@ -21,39 +25,39 @@ def _rand(B, N, H, D, key=0):
 
 
 @pytest.mark.parametrize("causal", [False, True])
-def test_forward_matches_reference(causal):
+def test_forward_matches_reference(causal, layout):
     q, k, v = _rand(2, 256, 2, 64)
-    out = flash_attention(q, k, v, causal=causal, block_q=128, block_k=128)
+    out = flash_attention(q, k, v, layout=layout, causal=causal, block_q=128, block_k=128)
     ref = attention_reference(q, k, v, causal=causal)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-5)
 
 
-def test_forward_with_kv_len():
+def test_forward_with_kv_len(layout):
     q, k, v = _rand(2, 256, 2, 64)
     kv_len = jnp.array([100, 256], jnp.int32)
-    out = flash_attention(q, k, v, causal=True, q_len=kv_len, kv_len=kv_len,
+    out = flash_attention(q, k, v, layout=layout, causal=True, q_len=kv_len, kv_len=kv_len,
                           block_q=128, block_k=128)
     ref = attention_reference(q, k, v, causal=True, q_len=kv_len, kv_len=kv_len)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-5)
 
 
-def test_forward_unaligned_seq_and_headdim():
+def test_forward_unaligned_seq_and_headdim(layout):
     # N=200 (pads to block), D=96 (pads to 128) — the ArAE head_dim case
     q, k, v = _rand(1, 200, 2, 96)
-    out = flash_attention(q, k, v, causal=True, block_q=128, block_k=128)
+    out = flash_attention(q, k, v, layout=layout, causal=True, block_q=128, block_k=128)
     ref = attention_reference(q, k, v, causal=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-5)
 
 
 @pytest.mark.parametrize("causal", [False, True])
-def test_gradients_match_reference(causal):
+def test_gradients_match_reference(causal, layout):
     q, k, v = _rand(1, 256, 2, 64, key=3)
 
     def loss_flash(q, k, v):
-        return jnp.sum(flash_attention(q, k, v, causal=causal,
+        return jnp.sum(flash_attention(q, k, v, layout=layout, causal=causal,
                                        block_q=128, block_k=128) ** 2)
 
     def loss_ref(q, k, v):
@@ -66,12 +70,12 @@ def test_gradients_match_reference(causal):
                                    rtol=5e-4, atol=5e-4, err_msg=f"d{name}")
 
 
-def test_gradients_with_kv_len():
+def test_gradients_with_kv_len(layout):
     q, k, v = _rand(2, 128, 2, 64, key=4)
     kv_len = jnp.array([70, 128], jnp.int32)
 
     def loss_flash(q, k, v):
-        return jnp.sum(flash_attention(q, k, v, causal=True, q_len=kv_len,
+        return jnp.sum(flash_attention(q, k, v, layout=layout, causal=True, q_len=kv_len,
                                        kv_len=kv_len, block_q=128, block_k=128) ** 2)
 
     def loss_ref(q, k, v):
@@ -85,7 +89,7 @@ def test_gradients_with_kv_len():
                                    rtol=5e-4, atol=5e-4, err_msg=f"d{name}")
 
 
-def test_gradients_causal_four_blocks():
+def test_gradients_causal_four_blocks(layout):
     # nq=nk=4 exercises the linearized triangular grid (T=10) well past the
     # trivial 1-2 block cases: per-pair decode, accumulator reset/store at
     # tri boundaries, and the kv-outer dkv ordering
@@ -93,7 +97,7 @@ def test_gradients_causal_four_blocks():
     kv_len = jnp.array([400], jnp.int32)
 
     def loss_flash(q, k, v):
-        return jnp.sum(flash_attention(q, k, v, causal=True, q_len=kv_len,
+        return jnp.sum(flash_attention(q, k, v, layout=layout, causal=True, q_len=kv_len,
                                        kv_len=kv_len, block_q=128, block_k=128) ** 2)
 
     def loss_ref(q, k, v):
@@ -107,17 +111,17 @@ def test_gradients_causal_four_blocks():
                                    rtol=5e-4, atol=5e-4, err_msg=f"d{name}")
 
 
-def test_bfloat16_inputs():
+def test_bfloat16_inputs(layout):
     q, k, v = _rand(1, 128, 2, 64, key=5)
     qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
-    out = flash_attention(qb, kb, vb, causal=True, block_q=128, block_k=128)
+    out = flash_attention(qb, kb, vb, layout=layout, causal=True, block_q=128, block_k=128)
     assert out.dtype == jnp.bfloat16
     ref = attention_reference(q, k, v, causal=True)
     np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
                                rtol=0.05, atol=0.05)
 
 
-def test_head_groups_forward_and_grad():
+def test_head_groups_forward_and_grad(layout):
     # H=8 with the default head group of 4 exercises the grouped grid
     # (grid dim 1 = H/G = 2) in both tri and rect paths; H=2/1 above cover
     # the divisor fallback
@@ -125,14 +129,14 @@ def test_head_groups_forward_and_grad():
     kv_len = jnp.array([200], jnp.int32)
 
     for causal in (False, True):
-        out = flash_attention(q, k, v, causal=causal, kv_len=kv_len,
+        out = flash_attention(q, k, v, layout=layout, causal=causal, kv_len=kv_len,
                               block_q=128, block_k=128)
         ref = attention_reference(q, k, v, causal=causal, kv_len=kv_len)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-4, atol=2e-5)
 
     def loss_flash(q, k, v):
-        return jnp.sum(flash_attention(q, k, v, causal=True, kv_len=kv_len,
+        return jnp.sum(flash_attention(q, k, v, layout=layout, causal=True, kv_len=kv_len,
                                        block_q=128, block_k=128) ** 2)
 
     def loss_ref(q, k, v):
