@@ -92,6 +92,11 @@ DEFAULT_HEAD_GROUP = 4
 # cross-attention, where the G=8 operand blocks are pure waste (H=16
 # there too, but the grids are small) and the default budget is kept.
 DEFAULT_TRI_HEAD_GROUP = 8
+# The transposed layout's per-head VMEM footprint is 25% smaller (no lane
+# pad) and its stats rows are ~free, so its tri paths take all 16 flagship
+# heads in ONE program: measured 0.774 -> 0.755 s/it at the README probe
+# shape over G=8 (hardware, 2026-08-19).
+DEFAULT_TRI_HEAD_GROUP_T = 16
 
 
 def _pick_head_group(H: int, requested: int = DEFAULT_HEAD_GROUP) -> int:
@@ -243,7 +248,7 @@ def _fwd_kernel_tri(len_ref, tri_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
 
 def _fwd(q, k, v, kv_len, *, causal, block_q, block_k, d_orig,
-         head_group=DEFAULT_TRI_HEAD_GROUP, interpret=None):
+         head_group=None, interpret=None):
     """q/k/v: [B, H, N, D] (padded); kv_len: [B] int32.
     Returns (o [B,H,N,D], lse [B,H,N])."""
     B, H, N, D = q.shape
@@ -252,6 +257,8 @@ def _fwd(q, k, v, kv_len, *, causal, block_q, block_k, d_orig,
     nk = M // block_k
     scale = 1.0 / np.sqrt(d_orig)
     tri = causal and block_q == block_k and nq == nk
+    if head_group is None:
+        head_group = DEFAULT_TRI_HEAD_GROUP
     G = _pick_head_group(
         H, head_group if tri else min(head_group, DEFAULT_HEAD_GROUP))
 
@@ -501,13 +508,15 @@ def _bwd_dkv_kernel_tri(len_ref, tri_ref, q_ref, k_ref, v_ref, do_ref,
 
 
 def _bwd(q, k, v, do, o, lse, kv_len, *, causal, block_q, block_k, d_orig,
-         dlse=None, head_group=DEFAULT_TRI_HEAD_GROUP, interpret=None):
+         dlse=None, head_group=None, interpret=None):
     B, H, N, D = q.shape
     M = k.shape[2]
     nq = N // block_q
     nk = M // block_k
     scale = 1.0 / np.sqrt(d_orig)
     tri = causal and block_q == block_k and nq == nk
+    if head_group is None:
+        head_group = DEFAULT_TRI_HEAD_GROUP
     # like the forward, the triangular path takes the bigger head group
     # (the raised per-call VMEM cap covers its larger footprint); the
     # rectangular path serves the point encoder's 8k cross-attention where
@@ -761,7 +770,7 @@ def _fwd_kernel_tri_t(len_ref, tri_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
 
 def _fwd_t(q, k, v, kv_len, *, causal, block_q, block_k, d_orig,
-           head_group=DEFAULT_TRI_HEAD_GROUP, interpret=None):
+           head_group=None, interpret=None):
     """Transposed layout. q/k/v: [B, H, D, N]; kv_len: [B] int32.
     Returns (o [B,H,D,N], lse [B,H,N] fp32 — compact, no lane padding)."""
     B, H, D, N = q.shape
@@ -770,6 +779,8 @@ def _fwd_t(q, k, v, kv_len, *, causal, block_q, block_k, d_orig,
     nk = M // block_k
     scale = 1.0 / np.sqrt(d_orig)
     tri = causal and block_q == block_k and nq == nk
+    if head_group is None:
+        head_group = DEFAULT_TRI_HEAD_GROUP_T
     G = _pick_head_group(
         H, head_group if tri else min(head_group, DEFAULT_HEAD_GROUP))
 
@@ -1008,7 +1019,7 @@ def _bwd_dkv_kernel_tri_t(len_ref, tri_ref, q_ref, k_ref, v_ref, do_ref,
 
 
 def _bwd_t(q, k, v, do, o, lse, kv_len, *, causal, block_q, block_k, d_orig,
-           dlse=None, head_group=DEFAULT_TRI_HEAD_GROUP, interpret=None):
+           dlse=None, head_group=None, interpret=None):
     """Transposed-layout backward. q/k/v/do/o: [B, H, D, N]; lse [B, H, N]."""
     B, H, D, N = q.shape
     M = k.shape[3]
@@ -1016,6 +1027,8 @@ def _bwd_t(q, k, v, do, o, lse, kv_len, *, causal, block_q, block_k, d_orig,
     nk = M // block_k
     scale = 1.0 / np.sqrt(d_orig)
     tri = causal and block_q == block_k and nq == nk
+    if head_group is None:
+        head_group = DEFAULT_TRI_HEAD_GROUP_T
     G = _pick_head_group(
         H, head_group if tri else min(head_group, DEFAULT_HEAD_GROUP))
 
