@@ -473,16 +473,21 @@ def main():
         pass
 
     # final line: identical headline, probe-augmented detail — lands in the
-    # output tail on a clean finish; also snapshotted to evidence/ locally
+    # output tail on a clean finish; also snapshotted to evidence/ locally.
+    # Only REAL hardware runs update the evidence snapshot: --tiny / CPU runs
+    # (e.g. tests/test_bench_contract.py) must not clobber the committed
+    # on-chip record with a smoke-test number.
     final = _headline(detail)
-    try:
-        import os
+    if not args.tiny and detail.get("backend") == "tpu":
+        try:
+            import os
 
-        here = os.path.dirname(os.path.abspath(__file__))
-        with open(os.path.join(here, "evidence", "bench_last.json"), "w") as f:
-            json.dump(final, f, indent=1)
-    except Exception:  # noqa: BLE001
-        pass
+            here = os.path.dirname(os.path.abspath(__file__))
+            with open(os.path.join(here, "evidence",
+                                   "bench_last.json"), "w") as f:
+                json.dump(final, f, indent=1)
+        except Exception:  # noqa: BLE001
+            pass
     print(json.dumps(final), flush=True)
 
 
