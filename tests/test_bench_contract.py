@@ -96,6 +96,8 @@ def test_tiny_full_run_final_line_merges_probes():
 
 @pytest.mark.timeout(120)
 def test_zero_probe_budget_skips_probes_fast():
+    evidence = os.path.join(REPO, "evidence", "bench_last.json")
+    before = open(evidence, "rb").read() if os.path.exists(evidence) else None
     proc = subprocess.run(
         [sys.executable, BENCH, "--tiny", "--probe_budget", "0"],
         capture_output=True, text=True, timeout=110,
@@ -105,3 +107,8 @@ def test_zero_probe_budget_skips_probes_fast():
              if ln.startswith("{") and '"metric"' in ln]
     last = json.loads(lines[-1])
     assert last["detail"]["train"] == {"skipped": "probe budget exhausted"}
+    # a --tiny / CPU run must NOT clobber the committed on-chip evidence
+    # snapshot (it did once: the round-4 tree carried a smoke-test number
+    # in evidence/bench_last.json until the guard landed)
+    after = open(evidence, "rb").read() if os.path.exists(evidence) else None
+    assert after == before
