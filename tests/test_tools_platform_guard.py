@@ -1,0 +1,38 @@
+"""Every tools/ entry point that can initialize a jax backend must honor
+JAX_PLATFORMS before doing so (VERDICT r4 weak #2 / next #2).
+
+The axon TPU plugin overrides the JAX_PLATFORMS env var at import time, so
+a tool subprocess launched with JAX_PLATFORMS=cpu silently initializes the
+single-user TPU tunnel instead — and blocks forever when anything else
+(the test suite, a training run) already holds it. The fix is calling
+`edgerunner_tpu.utils.respect_jax_platforms_env()` (directly or via
+`enable_compilation_cache()`) before any jax work. This static audit keeps
+that invariant for every current and future tool.
+"""
+
+import glob
+import os
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# jax backend init is triggered by direct jax use or by orbax checkpoint
+# save/restore (edgerunner_tpu.train.checkpoint)
+_JAX_MARKERS = ("import jax", "train.checkpoint", "edgerunner_tpu.models",
+                "edgerunner_tpu.generate")
+_GUARDS = ("respect_jax_platforms_env", "enable_compilation_cache")
+
+
+def test_every_jax_touching_tool_guards_platform():
+    tools = sorted(glob.glob(os.path.join(ROOT, "tools", "*.py")))
+    assert tools, "tools/ directory not found"
+    unguarded = []
+    for path in tools:
+        with open(path) as f:
+            src = f.read()
+        if any(m in src for m in _JAX_MARKERS):
+            if not any(g in src for g in _GUARDS):
+                unguarded.append(os.path.basename(path))
+    assert not unguarded, (
+        f"tools touching jax without a JAX_PLATFORMS guard: {unguarded}; "
+        "call edgerunner_tpu.utils.respect_jax_platforms_env() before any "
+        "jax/orbax work (see this test's docstring)")

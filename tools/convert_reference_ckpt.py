@@ -21,6 +21,12 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from edgerunner_tpu.utils import respect_jax_platforms_env  # noqa: E402
+
+# honor JAX_PLATFORMS before jax backend init (the axon plugin overrides the
+# env var; a CPU-pinned tool run must not grab the single-user TPU tunnel)
+respect_jax_platforms_env()
+
 
 def load_torch_state_dict(path: str) -> dict:
     if path.endswith(".safetensors"):

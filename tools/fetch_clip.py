@@ -34,6 +34,14 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from edgerunner_tpu.utils import respect_jax_platforms_env  # noqa: E402
+
+# BEFORE any jax backend init: the axon TPU plugin overrides JAX_PLATFORMS,
+# and the single-user TPU tunnel must never be grabbed by a tool subprocess
+# that the caller pinned to CPU (tests run this drill under JAX_PLATFORMS=cpu
+# and block forever if we take the tunnel while the suite holds it).
+respect_jax_platforms_env()
+
 DEFAULT_MODEL = "laion/CLIP-ViT-H-14-laion2B-s32B-b79K"
 
 

@@ -19,6 +19,12 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from edgerunner_tpu.utils import respect_jax_platforms_env  # noqa: E402
+
+# honor JAX_PLATFORMS before jax backend init (the axon plugin overrides the
+# env var; a CPU-pinned tool run must not grab the single-user TPU tunnel)
+respect_jax_platforms_env()
+
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
