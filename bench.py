@@ -20,14 +20,18 @@ diminishing returns and b16's cache would not fit 16GB HBM). This is
 the configuration whose greedy token streams are identical to the model's
 reference semantics by construction, matching the BASELINE.md north star
 ("identical token streams"). The quantized fast path (int4 KV + int8
-weights + QuaRot rotation, batch 40, ~1.9x the headline) is reported as
-detail.quant_fast, NOT as the headline: per the round-3 verdict its greedy
-streams still diverge from exact — mean token match 95.1% (r3 ckpt,
-evidence/kv4_w_quality.json) / 75.5% (r4 ckpt, kv4_w_quality_r4.json),
-improved to 85.9% by --kv_rotate (kv4rot_w_quality.json) but short of the
->=99% bar, so the exact number is the one the driver records (VERDICT r3
-Next #2: "set the bench value to exact_bf16 and demote the quantized
-number to detail"). Per-mode quality evidence: int8 KV 97.5%
+weights, batch 40, ~1.9x the headline) is reported as detail.quant_fast,
+NOT as the headline: per the round-3 verdict its greedy streams still
+diverge from exact — mean token match 95.1% (r3 ckpt,
+evidence/kv4_w_quality.json) / 75.5% (r4 ckpt, kv4_w_quality_r4.json) —
+so the exact number is the one the driver records (VERDICT r3 Next #2:
+"set the bench value to exact_bf16 and demote the quantized number to
+detail"). QuaRot-style rotation (--kv_rotate) was measured and REMOVED
+from the probe in round 5: it bought +10pp match (75.5% -> 85.9%,
+kv4rot_w_quality.json) but cost ~28% throughput (24.9 -> 18.0 meshes/min)
+and still yielded 0/8 identical streams — the worst of both axes vs the
+unrotated config; rotation stays opt-in for checkpoints where it helps
+(VERDICT r4 Next #3). Per-mode quality evidence: int8 KV 97.5%
 (kv_quant_quality.json), int4 KV 96.4% (kv4_quality.json), int8 weights
 94.7% (w_only_quality.json); decoded face counts match within 0.7% in
 every mode. tests/test_kv_quant*.py and tests/test_w_quant.py assert
@@ -91,16 +95,22 @@ def _tiny(opt):
 
 
 def _peak_hbm_gb():
+    """Peak device memory, or a documented reason string when the runtime
+    cannot report it (VERDICT r4 next #7: never null on hardware runs)."""
     import jax
 
+    dev = jax.devices()[0]
     try:
-        stats = jax.devices()[0].memory_stats() or {}
-        peak = stats.get("peak_bytes_in_use")
+        stats = dev.memory_stats() or {}
+    except Exception as e:  # noqa: BLE001
+        return f"unavailable: memory_stats raised {type(e).__name__}"
+    for key in ("peak_bytes_in_use", "bytes_in_use"):
+        peak = stats.get(key)
         if peak:
-            return round(peak / 1024**3, 2)
-    except Exception:
-        pass
-    return None
+            gb = round(peak / 1024**3, 2)
+            return gb if key == "peak_bytes_in_use" else f"{gb} (current, no peak counter)"
+    return (f"unavailable: {dev.platform}:{dev.device_kind} device exposes "
+            f"no peak_bytes_in_use (keys: {sorted(stats) or 'none'})")
 
 
 def train_probe(tiny: bool = False, steps: int = 3, long_ctx: bool = False):
@@ -270,6 +280,13 @@ def main():
     ap.add_argument("--probe_budget", type=float, default=1500.0,
                     help="global wall-clock budget (s) for ALL probes "
                          "combined; probes that do not fit are skipped")
+    ap.add_argument("--warm_probes", action="store_true",
+                    help="cache-warming mode: run every probe with no "
+                         "budget pressure so the persistent XLA compile "
+                         "cache holds every probe configuration; run once "
+                         "in-round after any kernel change (VERDICT r4 "
+                         "next #1), then a normal `python bench.py` "
+                         "completes every probe within its cap")
     ap.add_argument("--_train_probe", action="store_true",
                     help=argparse.SUPPRESS)  # subprocess entry
     ap.add_argument("--_long_ctx", action="store_true", help=argparse.SUPPRESS)
@@ -383,7 +400,8 @@ def main():
     # probe chain can no longer lose the round's number (VERDICT r3 weak #1)
     print(json.dumps(_headline(detail)), flush=True)
 
-    probe_deadline = time.time() + args.probe_budget
+    probe_deadline = time.time() + (
+        10 * 3600 if args.warm_probes else args.probe_budget)
 
     def _sub_probe(extra_flags, key, timeout=600):
         """Run a probe in a separate process: isolates its HBM from the
@@ -414,27 +432,44 @@ def main():
         except Exception as e:  # noqa: BLE001
             detail[key] = {"error": str(e)[:300]}
 
+    # Probe plan (VERDICT r4 next #1: round 4's record had timeout errors
+    # where the long-context numbers belonged, because the long probes ran
+    # LAST and inherited whatever budget scraps remained). Two fixes:
+    #   * the long-context probes run FIRST after the cheap train probe, so
+    #     they can never be starved by the dit/quant probes;
+    #   * each probe carries its own wall cap, sized for a warm XLA cache
+    #     (run `python bench.py --warm_probes` once after any kernel change
+    #     to re-populate the persistent cache at these exact configs).
+    # The quantized probes no longer pass --kv_rotate: rotation costs ~28%
+    # throughput and still left 0/8 identical streams (85.9% match,
+    # evidence/kv4rot_w_quality.json) — short of the >=99% bar either way,
+    # so the probe records the fast honest configuration and rotation
+    # stays opt-in (VERDICT r4 next #3).
+    plan = []
     if not args.skip_train:
-        _sub_probe(["--_train_probe"], "train")
+        plan.append(("train", ["--_train_probe"], 420))
     if not (args.skip_train or args.skip_probes):
-        # DiT train step at flagship dims (reference readme.md:56)
-        _sub_probe(["--_dit_probe"], "train_dit")
-        # the quantized fast path (int4 KV + QuaRot rotation + int8 weights,
-        # batch 40), demoted from headline to detail because its greedy
-        # streams are not token-exact (module docstring; VERDICT r3 Next #2)
-        _sub_probe(["--kv_quant", "--w_quant", "--kv_rotate", "--batch",
-                    "40", "--repeats", "2", "--skip_train", "--skip_probes"],
-                   "quant_fast")
-        # 4000-face decode (BASELINE config 4; VERDICT r2 item 1b) — runs
-        # quantized: the bf16 cache at 16k tokens is ~2.4GB/row, so the
-        # exact config cannot batch at this length on one 16GB chip
-        _sub_probe(["--kv_quant", "--w_quant", "--kv_rotate", "--batch",
-                    "12", "--faces", "4000", "--repeats", "1",
-                    "--skip_train", "--skip_probes"], "decode_long")
-        # the flagship long-context envelope: one train step at the full
-        # 43,009 positions (VERDICT r2 item 1a) — the most expensive probe
-        # runs LAST so it can only ever cost its own slot
-        _sub_probe(["--_train_probe", "--_long_ctx"], "train_long")
+        plan += [
+            # flagship long-context envelope: one train step at the full
+            # 43,009 positions (BASELINE; reference options.py:170-171)
+            ("train_long", ["--_train_probe", "--_long_ctx"], 480),
+            # 4000-face decode (BASELINE config 4) — runs quantized: the
+            # bf16 cache at 16k tokens is ~2.4GB/row, so the exact config
+            # cannot batch at this length on one 16GB chip
+            ("decode_long", ["--kv_quant", "--w_quant", "--batch", "12",
+                             "--faces", "4000", "--repeats", "1",
+                             "--skip_train", "--skip_probes"], 900),
+            # DiT train step at flagship dims (reference readme.md:56)
+            ("train_dit", ["--_dit_probe"], 420),
+            # the quantized fast path (int4 KV + int8 weights, batch 40),
+            # demoted from headline to detail because its greedy streams
+            # are not token-exact (module docstring; VERDICT r3 Next #2)
+            ("quant_fast", ["--kv_quant", "--w_quant", "--batch", "40",
+                            "--repeats", "2", "--skip_train",
+                            "--skip_probes"], 420),
+        ]
+    for key, flags, cap in plan:
+        _sub_probe(flags, key, timeout=10800 if args.warm_probes else cap)
 
     # speculative decoding: acceptance needs *trained* MTP heads, which a
     # random-init bench run cannot have — so report the committed HELD-OUT

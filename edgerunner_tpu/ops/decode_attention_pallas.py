@@ -20,7 +20,18 @@ both:
 Math per kv block (head h, packed dim j = 96*h + d):
     S = K_blk @ Qdiag           Qdiag[j, h] = q[j] * E[j, h],  E = block onehot
     online softmax over blocks on [BK, H]
-    acc += (P @ E^T) * V_blk    (per-head prob broadcast back to packed dim)
+    acc[h, :] (alpha-rescaled) += P^T @ V_blk   ([H, hd] MXU dot; the final
+    output extracts the block-diagonal acc[j // 96, j])
+
+Round-5 VPU fix (the old ledger's "~70% DMA utilization, remainder VPU only
+partially overlapped", evidence/decode_profile.md): the per-block hot work
+is now all-MXU. K/V blocks feed the dots in their NATIVE cache dtype (no
+[BK, hd] f32 convert passes), and the PV accumulation is a [H, hd] = P^T V
+matmul + outer-product alpha rescale instead of a [BK, hd] element-wise
+multiply-reduce. Entries acc[h, j] with j outside head h's lanes are
+garbage that the final block-diagonal extract never reads. Probabilities
+are cast to the cache dtype for the PV dot (f32 accumulation) — the same
+operand policy as the training flash kernels and CUDA flash-attn.
 """
 
 from __future__ import annotations
@@ -44,12 +55,14 @@ def _kernel(index_ref, q_ref, ko_hbm, vo_hbm,
     index = index_ref[jnp.minimum(b, index_ref.shape[0] - 1)]
     hd = num_heads * head_dim
 
-    # block-diagonal q expansion and head-broadcast matrices
+    # block-diagonal q expansion, in the CACHE dtype so the S dot takes the
+    # streamed K block without a per-block f32 convert pass
     j_ids = jax.lax.broadcasted_iota(jnp.int32, (hd, num_heads), 0)
     h_ids = jax.lax.broadcasted_iota(jnp.int32, (hd, num_heads), 1)
     E = (j_ids // head_dim == h_ids).astype(jnp.float32)       # [hd, H]
     q = q_ref[0, 0, :].astype(jnp.float32)                     # [hd]
-    qdiag = q[:, None] * E * scale                             # [hd, H]
+    qdiag = (q[:, None] * E * scale).astype(kbuf.dtype)        # [hd, H]
+    ones_hd = jnp.ones((1, hd), jnp.float32)
 
     nblocks = (index + 1 + block - 1) // block
 
@@ -69,7 +82,7 @@ def _kernel(index_ref, q_ref, ko_hbm, vo_hbm,
     get_dma_v(0, 0).start()
 
     def body(i, carry):
-        m, l, acc = carry  # [1, H], [1, H], [1, hd] fp32
+        m, l, acc = carry  # [1, H], [1, H], [H, hd] fp32
         slot = jax.lax.rem(i, 2)
         nxt = jax.lax.rem(i + 1, 2)
 
@@ -81,8 +94,8 @@ def _kernel(index_ref, q_ref, ko_hbm, vo_hbm,
         get_dma(slot, i).wait()
         get_dma_v(slot, i).wait()
 
-        kb = kbuf[slot].astype(jnp.float32)   # [BK, hd]
-        vb = vbuf[slot].astype(jnp.float32)   # [BK, hd]
+        kb = kbuf[slot]   # [BK, hd] native cache dtype
+        vb = vbuf[slot]   # [BK, hd]
 
         s = jax.lax.dot_general(kb, qdiag, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # [BK, H]
@@ -95,23 +108,32 @@ def _kernel(index_ref, q_ref, ko_hbm, vo_hbm,
         alpha = jnp.exp(m - m_new)                         # [1, H]
         l = l * alpha + jnp.sum(p, axis=0, keepdims=True)
 
-        # broadcast per-head probabilities back to the packed dim
-        p_exp = jax.lax.dot_general(p, E, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)  # [BK, hd]
-        alpha_exp = jax.lax.dot_general(alpha, E, (((1,), (1,)), ((), ())),
-                                        preferred_element_type=jnp.float32)  # [1, hd]
-        acc = acc * alpha_exp + jnp.sum(p_exp * vb, axis=0, keepdims=True)
+        # PV on the MXU: row h of P^T V is head h's weighted V sum over the
+        # packed dim; only the j // head_dim == h lanes are meaningful and
+        # the final extract reads exactly those
+        ptv = jax.lax.dot_general(p.astype(vb.dtype), vb,
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)  # [H, hd]
+        # outer product alpha^T @ 1: rescale matrix alpha_mat[h, :] = alpha[h]
+        alpha_mat = jax.lax.dot_general(alpha, ones_hd, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+        acc = acc * alpha_mat + ptv
         return m_new, l, acc
 
     m0 = jnp.full((1, num_heads), NEG_INF, jnp.float32)
     l0 = jnp.zeros((1, num_heads), jnp.float32)
-    acc0 = jnp.zeros((1, hd), jnp.float32)
+    acc0 = jnp.zeros((num_heads, hd), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, nblocks, body, (m0, l0, acc0))
 
-    l_exp = jax.lax.dot_general(jnp.where(l > 0, l, 1.0), E,
-                                (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)  # [1, hd]
-    out_ref[0, 0, :] = (acc / l_exp)[0].astype(out_ref.dtype)
+    l_mat = jax.lax.dot_general(jnp.where(l > 0, l, 1.0), ones_hd,
+                                (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # [H, hd]
+    # block-diagonal extract: out[j] = acc[j // head_dim, j] / l[j // head_dim]
+    sel_h = jax.lax.broadcasted_iota(jnp.int32, (num_heads, hd), 0)
+    sel_j = jax.lax.broadcasted_iota(jnp.int32, (num_heads, hd), 1)
+    sel = (sel_j // head_dim == sel_h).astype(jnp.float32)     # [H, hd]
+    out = jnp.sum(sel * (acc / l_mat), axis=0, keepdims=True)  # [1, hd]
+    out_ref[0, 0, :] = out[0].astype(out_ref.dtype)
 
 
 def fused_decode_attention(q, k_cache, v_cache, index,
@@ -176,6 +198,7 @@ def _kernel_q8(index_ref, q_ref, kv_hbm, sc_hbm,
     E = (j_ids // head_dim == h_ids).astype(jnp.float32)
     q = q_ref[0, 0, :].astype(jnp.float32)
     qdiag = q[:, None] * E * scale
+    ones_hd = jnp.ones((1, hd), jnp.float32)
 
     nblocks = (index + 1 + block - 1) // block
 
@@ -193,7 +216,7 @@ def _kernel_q8(index_ref, q_ref, kv_hbm, sc_hbm,
     dma_sc(0, 0).start()
 
     def body(i, carry):
-        m, l, acc = carry
+        m, l, acc = carry  # [1, H], [1, H], [H, hd] (see _kernel)
         slot = jax.lax.rem(i, 2)
         nxt = jax.lax.rem(i + 1, 2)
 
@@ -224,22 +247,27 @@ def _kernel_q8(index_ref, q_ref, kv_hbm, sc_hbm,
         l = l * alpha + jnp.sum(p, axis=0, keepdims=True)
 
         p = p * vs                              # fold V row scales into probs
-        p_exp = jax.lax.dot_general(p, E, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-        alpha_exp = jax.lax.dot_general(alpha, E, (((1,), (1,)), ((), ())),
+        # PV on the MXU (see _kernel): [H, hd] P^T V + outer-product rescale
+        ptv = jax.lax.dot_general(p, vb, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        alpha_mat = jax.lax.dot_general(alpha, ones_hd, (((0,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)
-        acc = acc * alpha_exp + jnp.sum(p_exp * vb, axis=0, keepdims=True)
+        acc = acc * alpha_mat + ptv
         return m_new, l, acc
 
     m0 = jnp.full((1, num_heads), NEG_INF, jnp.float32)
     l0 = jnp.zeros((1, num_heads), jnp.float32)
-    acc0 = jnp.zeros((1, hd), jnp.float32)
+    acc0 = jnp.zeros((num_heads, hd), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, nblocks, body, (m0, l0, acc0))
 
-    l_exp = jax.lax.dot_general(jnp.where(l > 0, l, 1.0), E,
-                                (((1,), (1,)), ((), ())),
+    l_mat = jax.lax.dot_general(jnp.where(l > 0, l, 1.0), ones_hd,
+                                (((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-    out_ref[0, 0, :] = (acc / l_exp)[0].astype(out_ref.dtype)
+    sel_h = jax.lax.broadcasted_iota(jnp.int32, (num_heads, hd), 0)
+    sel_j = jax.lax.broadcasted_iota(jnp.int32, (num_heads, hd), 1)
+    sel = (sel_j // head_dim == sel_h).astype(jnp.float32)
+    out = jnp.sum(sel * (acc / l_mat), axis=0, keepdims=True)
+    out_ref[0, 0, :] = out[0].astype(out_ref.dtype)
 
 
 # ------------------------------------------------------- int4 KV variant --
@@ -275,6 +303,7 @@ def _kernel_q4(index_ref, q_ref, kv_hbm, sc_hbm,
     E = (j_ids // head_dim == h_ids).astype(jnp.float32)
     q = q_ref[0, 0, :].astype(jnp.float32)
     qdiag = q[:, None] * E * scale
+    ones_hd = jnp.ones((1, hd), jnp.float32)
 
     nblocks = (index + 1 + block - 1) // block
 
@@ -298,7 +327,7 @@ def _kernel_q4(index_ref, q_ref, kv_hbm, sc_hbm,
         return jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
 
     def body(i, carry):
-        m, l, acc = carry
+        m, l, acc = carry  # [1, H], [1, H], [H, hd] (see _kernel)
         slot = jax.lax.rem(i, 2)
         nxt = jax.lax.rem(i + 1, 2)
 
@@ -344,22 +373,27 @@ def _kernel_q4(index_ref, q_ref, kv_hbm, sc_hbm,
 
         if not group:
             p = p * vs
-        p_exp = jax.lax.dot_general(p, E, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-        alpha_exp = jax.lax.dot_general(alpha, E, (((1,), (1,)), ((), ())),
+        # PV on the MXU (see _kernel): [H, hd] P^T V + outer-product rescale
+        ptv = jax.lax.dot_general(p, vb, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        alpha_mat = jax.lax.dot_general(alpha, ones_hd, (((0,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)
-        acc = acc * alpha_exp + jnp.sum(p_exp * vb, axis=0, keepdims=True)
+        acc = acc * alpha_mat + ptv
         return m_new, l, acc
 
     m0 = jnp.full((1, num_heads), NEG_INF, jnp.float32)
     l0 = jnp.zeros((1, num_heads), jnp.float32)
-    acc0 = jnp.zeros((1, hd), jnp.float32)
+    acc0 = jnp.zeros((num_heads, hd), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, nblocks, body, (m0, l0, acc0))
 
-    l_exp = jax.lax.dot_general(jnp.where(l > 0, l, 1.0), E,
-                                (((1,), (1,)), ((), ())),
+    l_mat = jax.lax.dot_general(jnp.where(l > 0, l, 1.0), ones_hd,
+                                (((0,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-    out_ref[0, 0, :] = (acc / l_exp)[0].astype(out_ref.dtype)
+    sel_h = jax.lax.broadcasted_iota(jnp.int32, (num_heads, hd), 0)
+    sel_j = jax.lax.broadcasted_iota(jnp.int32, (num_heads, hd), 1)
+    sel = (sel_j // head_dim == sel_h).astype(jnp.float32)
+    out = jnp.sum(sel * (acc / l_mat), axis=0, keepdims=True)
+    out_ref[0, 0, :] = out[0].astype(out_ref.dtype)
 
 
 def fused_decode_attention_q4(q, kv_vals, scales, index,
@@ -468,11 +502,12 @@ def _kernel_multi(index_ref, q_ref, ko_hbm, vo_hbm,
     j_ids = jax.lax.broadcasted_iota(jnp.int32, (hd, num_heads), 0)
     h_ids = jax.lax.broadcasted_iota(jnp.int32, (hd, num_heads), 1)
     E = (j_ids // head_dim == h_ids).astype(jnp.float32)          # [hd, H]
-    # qdiag over T*H columns: col (t*H + h) = q[t] * E[:, h] * scale
-    # (per-t column construction mirrors the proven single-token kernel)
+    # qdiag over T*H columns: col (t*H + h) = q[t] * E[:, h] * scale,
+    # cast to the cache dtype so the S dot takes the K block natively
     qdiag = jnp.concatenate(
         [q_ref[0, t, :].astype(jnp.float32)[:, None] * E * scale
-         for t in range(T)], axis=1)                              # [hd, TH]
+         for t in range(T)], axis=1).astype(kbuf.dtype)           # [hd, TH]
+    ones_hd = jnp.ones((1, hd), jnp.float32)
 
     nblocks = (index + T + block - 1) // block
 
@@ -490,7 +525,10 @@ def _kernel_multi(index_ref, q_ref, ko_hbm, vo_hbm,
     get_dma_v(0, 0).start()
 
     def body(i, carry):
-        m, l, acc = carry  # [1, TH], [1, TH], [T, hd]
+        # acc rows t*H + h hold query t / head h (only head h's lanes are
+        # meaningful; the final extract reads exactly those — same all-MXU
+        # scheme as _kernel, see module docstring)
+        m, l, acc = carry  # [1, TH], [1, TH], [TH, hd]
         slot = jax.lax.rem(i, 2)
         nxt = jax.lax.rem(i + 1, 2)
 
@@ -502,8 +540,8 @@ def _kernel_multi(index_ref, q_ref, ko_hbm, vo_hbm,
         get_dma(slot, i).wait()
         get_dma_v(slot, i).wait()
 
-        kb = kbuf[slot].astype(jnp.float32)
-        vb = vbuf[slot].astype(jnp.float32)
+        kb = kbuf[slot]   # [BK, hd] native cache dtype
+        vb = vbuf[slot]
 
         s = jax.lax.dot_general(kb, qdiag, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # [BK, TH]
@@ -517,31 +555,28 @@ def _kernel_multi(index_ref, q_ref, ko_hbm, vo_hbm,
         alpha = jnp.exp(m - m_new)               # [1, TH]
         l = l * alpha + jnp.sum(p, axis=0, keepdims=True)
 
-        accs = []
-        for t in range(T):  # static unroll, T is small
-            p_t = p[:, t * num_heads:(t + 1) * num_heads]        # [BK, H]
-            a_t = alpha[:, t * num_heads:(t + 1) * num_heads]    # [1, H]
-            p_exp = jax.lax.dot_general(p_t, E, (((1,), (1,)), ((), ())),
+        ptv = jax.lax.dot_general(p.astype(vb.dtype), vb,
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)  # [TH, hd]
+        alpha_mat = jax.lax.dot_general(alpha, ones_hd, (((0,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)
-            a_exp = jax.lax.dot_general(a_t, E, (((1,), (1,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-            accs.append(acc[t:t + 1] * a_exp
-                        + jnp.sum(p_exp * vb, axis=0, keepdims=True))
-        acc = jnp.concatenate(accs, axis=0)
+        acc = acc * alpha_mat + ptv
         return m_new, l, acc
 
     m0 = jnp.full((1, TH), NEG_INF, jnp.float32)
     l0 = jnp.zeros((1, TH), jnp.float32)
-    acc0 = jnp.zeros((T, hd), jnp.float32)
+    acc0 = jnp.zeros((TH, hd), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, nblocks, body, (m0, l0, acc0))
 
-    outs = []
-    for t in range(T):
-        l_t = l[:, t * num_heads:(t + 1) * num_heads]
-        l_exp = jax.lax.dot_general(jnp.where(l_t > 0, l_t, 1.0), E,
-                                    (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-        outs.append(acc[t:t + 1] / l_exp)
+    l_mat = jax.lax.dot_general(jnp.where(l > 0, l, 1.0), ones_hd,
+                                (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # [TH, hd]
+    sel_h = jax.lax.broadcasted_iota(jnp.int32, (num_heads, hd), 0)
+    sel_j = jax.lax.broadcasted_iota(jnp.int32, (num_heads, hd), 1)
+    sel = (sel_j // head_dim == sel_h).astype(jnp.float32)         # [H, hd]
+    norm = acc / l_mat
+    outs = [jnp.sum(sel * norm[t * num_heads:(t + 1) * num_heads],
+                    axis=0, keepdims=True) for t in range(T)]
     out_ref[0] = jnp.concatenate(outs, axis=0).astype(out_ref.dtype)
 
 
@@ -602,6 +637,7 @@ def _kernel_q8_multi(index_ref, q_ref, kv_hbm, sc_hbm,
     qdiag = jnp.concatenate(
         [q_ref[0, t, :].astype(jnp.float32)[:, None] * E * scale
          for t in range(T)], axis=1)                              # [hd, TH]
+    ones_hd = jnp.ones((1, hd), jnp.float32)
 
     nblocks = (index + T + block - 1) // block
 
@@ -619,7 +655,7 @@ def _kernel_q8_multi(index_ref, q_ref, kv_hbm, sc_hbm,
     dma_sc(0, 0).start()
 
     def body(i, carry):
-        m, l, acc = carry
+        m, l, acc = carry  # [1, TH], [1, TH], [TH, hd] (see _kernel_multi)
         slot = jax.lax.rem(i, 2)
         nxt = jax.lax.rem(i + 1, 2)
 
@@ -651,31 +687,27 @@ def _kernel_q8_multi(index_ref, q_ref, kv_hbm, sc_hbm,
         l = l * alpha + jnp.sum(p, axis=0, keepdims=True)
 
         p = p * vs
-        accs = []
-        for t in range(T):
-            p_t = p[:, t * num_heads:(t + 1) * num_heads]
-            a_t = alpha[:, t * num_heads:(t + 1) * num_heads]
-            p_exp = jax.lax.dot_general(p_t, E, (((1,), (1,)), ((), ())),
+        ptv = jax.lax.dot_general(p, vb, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        alpha_mat = jax.lax.dot_general(alpha, ones_hd, (((0,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)
-            a_exp = jax.lax.dot_general(a_t, E, (((1,), (1,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-            accs.append(acc[t:t + 1] * a_exp
-                        + jnp.sum(p_exp * vb, axis=0, keepdims=True))
-        acc = jnp.concatenate(accs, axis=0)
+        acc = acc * alpha_mat + ptv
         return m_new, l, acc
 
     m0 = jnp.full((1, TH), NEG_INF, jnp.float32)
     l0 = jnp.zeros((1, TH), jnp.float32)
-    acc0 = jnp.zeros((T, hd), jnp.float32)
+    acc0 = jnp.zeros((TH, hd), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, nblocks, body, (m0, l0, acc0))
 
-    outs = []
-    for t in range(T):
-        l_t = l[:, t * num_heads:(t + 1) * num_heads]
-        l_exp = jax.lax.dot_general(jnp.where(l_t > 0, l_t, 1.0), E,
-                                    (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-        outs.append(acc[t:t + 1] / l_exp)
+    l_mat = jax.lax.dot_general(jnp.where(l > 0, l, 1.0), ones_hd,
+                                (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    sel_h = jax.lax.broadcasted_iota(jnp.int32, (num_heads, hd), 0)
+    sel_j = jax.lax.broadcasted_iota(jnp.int32, (num_heads, hd), 1)
+    sel = (sel_j // head_dim == sel_h).astype(jnp.float32)
+    norm = acc / l_mat
+    outs = [jnp.sum(sel * norm[t * num_heads:(t + 1) * num_heads],
+                    axis=0, keepdims=True) for t in range(T)]
     out_ref[0] = jnp.concatenate(outs, axis=0).astype(out_ref.dtype)
 
 
@@ -698,6 +730,7 @@ def _kernel_q4_multi(index_ref, q_ref, kv_hbm, sc_hbm,
     qdiag = jnp.concatenate(
         [q_ref[0, t, :].astype(jnp.float32)[:, None] * E * scale
          for t in range(T)], axis=1)                              # [hd, TH]
+    ones_hd = jnp.ones((1, hd), jnp.float32)
 
     nblocks = (index + T + block - 1) // block
 
@@ -721,7 +754,7 @@ def _kernel_q4_multi(index_ref, q_ref, kv_hbm, sc_hbm,
         return jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
 
     def body(i, carry):
-        m, l, acc = carry
+        m, l, acc = carry  # [1, TH], [1, TH], [TH, hd] (see _kernel_multi)
         slot = jax.lax.rem(i, 2)
         nxt = jax.lax.rem(i + 1, 2)
 
@@ -762,31 +795,27 @@ def _kernel_q4_multi(index_ref, q_ref, kv_hbm, sc_hbm,
 
         if not group:
             p = p * sc[:, 1:2].astype(jnp.float32)
-        accs = []
-        for t in range(T):
-            p_t = p[:, t * num_heads:(t + 1) * num_heads]
-            a_t = alpha[:, t * num_heads:(t + 1) * num_heads]
-            p_exp = jax.lax.dot_general(p_t, E, (((1,), (1,)), ((), ())),
+        ptv = jax.lax.dot_general(p, vb, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        alpha_mat = jax.lax.dot_general(alpha, ones_hd, (((0,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)
-            a_exp = jax.lax.dot_general(a_t, E, (((1,), (1,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-            accs.append(acc[t:t + 1] * a_exp
-                        + jnp.sum(p_exp * vb, axis=0, keepdims=True))
-        acc = jnp.concatenate(accs, axis=0)
+        acc = acc * alpha_mat + ptv
         return m_new, l, acc
 
     m0 = jnp.full((1, TH), NEG_INF, jnp.float32)
     l0 = jnp.zeros((1, TH), jnp.float32)
-    acc0 = jnp.zeros((T, hd), jnp.float32)
+    acc0 = jnp.zeros((TH, hd), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, nblocks, body, (m0, l0, acc0))
 
-    outs = []
-    for t in range(T):
-        l_t = l[:, t * num_heads:(t + 1) * num_heads]
-        l_exp = jax.lax.dot_general(jnp.where(l_t > 0, l_t, 1.0), E,
-                                    (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-        outs.append(acc[t:t + 1] / l_exp)
+    l_mat = jax.lax.dot_general(jnp.where(l > 0, l, 1.0), ones_hd,
+                                (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    sel_h = jax.lax.broadcasted_iota(jnp.int32, (num_heads, hd), 0)
+    sel_j = jax.lax.broadcasted_iota(jnp.int32, (num_heads, hd), 1)
+    sel = (sel_j // head_dim == sel_h).astype(jnp.float32)
+    norm = acc / l_mat
+    outs = [jnp.sum(sel * norm[t * num_heads:(t + 1) * num_heads],
+                    axis=0, keepdims=True) for t in range(T)]
     out_ref[0] = jnp.concatenate(outs, axis=0).astype(out_ref.dtype)
 
 

@@ -1,0 +1,105 @@
+"""Micro-benchmark the fused decode-attention kernels at flagship shape.
+
+Times fused_decode_attention (bf16 cache) per call at the headline decode
+configuration (B=12, L=6656, hidden=1536, H=16) across a sweep of live
+prefix lengths, and prints the per-block time vs the DMA floor. Used for
+the round-5 decode kernel ledger (evidence/decode_profile.md).
+
+Run (real TPU only — interpret mode would be meaningless):
+    python tools/bench_decode_kernel.py [--batch 12] [--block 512]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from edgerunner_tpu.utils import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=12)
+    ap.add_argument("--L", type=int, default=6656)
+    ap.add_argument("--hidden", type=int, default=1536)
+    ap.add_argument("--heads", type=int, default=16)
+    ap.add_argument("--block", type=int, default=512)
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--q8", action="store_true", help="bench the int8 kernel")
+    ap.add_argument("--q4", action="store_true", help="bench the int4 kernel")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from edgerunner_tpu.ops.decode_attention_pallas import (
+        fused_decode_attention,
+        fused_decode_attention_q4,
+        fused_decode_attention_q8,
+    )
+
+    assert jax.default_backend() == "tpu", "micro-bench needs the real chip"
+    B, L, hd, H = args.batch, args.L, args.hidden, args.heads
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(B, hd)), jnp.bfloat16)
+
+    if args.q4:
+        kv = jnp.asarray(rng.integers(-8, 8, (B, L, hd)), jnp.int8)
+        sc = jnp.asarray(rng.uniform(0.01, 0.1, (B, L, 128)), jnp.bfloat16)
+        kern = lambda q, i: fused_decode_attention_q4(  # noqa: E731
+            q, kv, sc, i, num_heads=H, block=args.block)
+        bytes_per_row = hd + 256  # packed nibbles + scale plane
+        name = "q4"
+    elif args.q8:
+        kv = jnp.asarray(rng.integers(-127, 127, (B, L, 2 * hd)), jnp.int8)
+        sc = jnp.asarray(rng.uniform(0.01, 0.1, (B, L, 128)), jnp.bfloat16)
+        kern = lambda q, i: fused_decode_attention_q8(  # noqa: E731
+            q, kv, sc, i, num_heads=H, block=args.block)
+        bytes_per_row = 2 * hd + 256
+        name = "q8"
+    else:
+        k = jnp.asarray(rng.normal(size=(B, L, hd)), jnp.bfloat16)
+        v = jnp.asarray(rng.normal(size=(B, L, hd)), jnp.bfloat16)
+        kern = lambda q, i: fused_decode_attention(  # noqa: E731
+            q, k, v, i, num_heads=H, block=args.block)
+        bytes_per_row = 2 * hd * 2  # K + V bf16
+        name = "bf16"
+
+    # chain iters kernel calls on-device (out feeds the next q, so calls
+    # serialize); host-side per-call timing is swamped by the tunnel RTT
+    @jax.jit
+    def chain(q, idx):
+        def body(_, acc):
+            return kern(acc, idx).astype(q.dtype) * 1e-3
+        return jax.lax.fori_loop(0, args.iters, body, q)
+
+    print(f"[kernel {name}] B={B} L={L} hd={hd} block={args.block} "
+          f"iters={args.iters}")
+    for index in (1024 - 1, 2048 - 1, 4096 - 1, L - 1):
+        idx = jnp.int32(index)
+        # sync by fetching a value: block_until_ready is unreliable through
+        # the axon tunnel (same workaround as bench.py)
+        _ = float(chain(q, idx).sum())
+        t0 = time.time()
+        out = chain(q, idx)
+        _ = float(out.sum())
+        dt = (time.time() - t0) / args.iters
+        nblocks = (index + 1 + args.block - 1) // args.block
+        block_bytes = args.block * bytes_per_row
+        floor_us = block_bytes / 819e9 * 1e6  # per block @ 819 GB/s
+        per_block_us = dt * 1e6 / (B * nblocks)
+        print(f"  live={index+1:5d}: {dt*1e3:7.3f} ms/call  "
+              f"{per_block_us:6.2f} us/block (DMA floor {floor_us:.2f})  "
+              f"eff={floor_us/per_block_us*100:5.1f}%")
+
+
+if __name__ == "__main__":
+    main()
