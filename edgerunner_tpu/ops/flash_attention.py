@@ -113,20 +113,28 @@ def _interpret() -> bool:
 
 
 @functools.lru_cache(maxsize=32)
-def _tri_pairs_q_outer(n: int) -> np.ndarray:
+def _tri_pairs_q_outer(nq: int, r: int = 1) -> np.ndarray:
     """[2, T] int32: t -> (iq, ik) over live causal pairs, q block outer.
-    T = n(n+1)/2 (equal block sizes: kv block ik is live iff ik <= iq)."""
-    iq = np.concatenate([np.full(i + 1, i, np.int32) for i in range(n)])
-    ik = np.concatenate([np.arange(i + 1, dtype=np.int32) for i in range(n)])
+
+    r = block_q // block_k (q blocks r-times wider than kv blocks): kv block
+    ik is live for q block iq iff ik*block_k <= (iq+1)*block_q - 1, i.e.
+    ik < (iq+1)*r. r=1 is the classic equal-block triangle, T = n(n+1)/2."""
+    iq = np.concatenate(
+        [np.full((i + 1) * r, i, np.int32) for i in range(nq)])
+    ik = np.concatenate(
+        [np.arange((i + 1) * r, dtype=np.int32) for i in range(nq)])
     return np.stack([iq, ik])
 
 
 @functools.lru_cache(maxsize=32)
-def _tri_pairs_kv_outer(n: int) -> np.ndarray:
+def _tri_pairs_kv_outer(nq: int, r: int = 1) -> np.ndarray:
     """[2, T] int32: t -> (iq, ik) over live causal pairs, kv block outer
-    (the dkv pass accumulates over q blocks iq = ik..n-1 per kv block)."""
-    iq = np.concatenate([np.arange(j, n, dtype=np.int32) for j in range(n)])
-    ik = np.concatenate([np.full(n - j, j, np.int32) for j in range(n)])
+    (the dkv pass accumulates over q blocks iq = ik // r .. nq-1 per kv
+    block; nk = nq * r kv blocks total)."""
+    iq = np.concatenate(
+        [np.arange(j // r, nq, dtype=np.int32) for j in range(nq * r)])
+    ik = np.concatenate(
+        [np.full(nq - j // r, j, np.int32) for j in range(nq * r)])
     return np.stack([iq, ik])
 
 
@@ -224,7 +232,7 @@ def _fwd_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
 def _fwd_kernel_tri(len_ref, tri_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                     acc_ref, m_ref, l_ref, *, scale, block_q, block_k,
-                    heads):
+                    heads, r=1):
     """Causal forward on the linearized triangular grid: program t handles
     live pair (iq, ik) = tri_ref[:, t]; every program does useful work."""
     b = pl.program_id(0)
@@ -242,7 +250,7 @@ def _fwd_kernel_tri(len_ref, tri_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         _fwd_compute(valid, h, q_ref, k_ref, v_ref,
                      acc_ref, m_ref, l_ref, scale=scale)
 
-    @pl.when(ik == iq)  # last live kv block of this q block (equal blocks)
+    @pl.when(ik == (iq + 1) * r - 1)  # last live kv block of this q block
     def _():
         _fwd_store(o_ref, lse_ref, acc_ref, m_ref, l_ref, heads=heads)
 
@@ -256,7 +264,9 @@ def _fwd(q, k, v, kv_len, *, causal, block_q, block_k, d_orig,
     nq = N // block_q
     nk = M // block_k
     scale = 1.0 / np.sqrt(d_orig)
-    tri = causal and block_q == block_k and nq == nk
+    r = block_q // max(block_k, 1)
+    tri = (causal and block_q % block_k == 0 and r >= 1
+           and nq * r == nk)  # q blocks r-times wider; N == M
     if head_group is None:
         head_group = DEFAULT_TRI_HEAD_GROUP
     G = _pick_head_group(
@@ -273,7 +283,7 @@ def _fwd(q, k, v, kv_len, *, causal, block_q, block_k, d_orig,
     ]
 
     if tri:
-        tmap = jnp.asarray(_tri_pairs_q_outer(nq))
+        tmap = jnp.asarray(_tri_pairs_q_outer(nq, r))
         q_ix = lambda b, g, t, lens, tri: (b, g, tri[0, t], 0)  # noqa: E731
         kv_ix = lambda b, g, t, lens, tri: (b, g, tri[1, t], 0)  # noqa: E731
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -292,7 +302,7 @@ def _fwd(q, k, v, kv_len, *, causal, block_q, block_k, d_orig,
         )
         kernel = functools.partial(
             _fwd_kernel_tri, scale=scale, block_q=block_q, block_k=block_k,
-            heads=G)
+            heads=G, r=r)
         # G=8 needs ~18MB of scoped VMEM (6MB f32 scratch + double-buffered
         # operand blocks); the compiler's DEFAULT scoped limit is 16MB but
         # the physical VMEM budget on v5e+ admits more — raise the cap only
@@ -399,7 +409,7 @@ def _bwd_dq_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 def _bwd_dq_kernel_tri(len_ref, tri_ref, q_ref, k_ref, v_ref, do_ref,
                        lse_ref, delta_ref, dq_ref, dq_acc,
-                       *, scale, block_q, block_k, heads):
+                       *, scale, block_q, block_k, heads, r=1):
     b = pl.program_id(0)
     t = pl.program_id(2)
     iq = tri_ref[0, t]
@@ -415,7 +425,7 @@ def _bwd_dq_kernel_tri(len_ref, tri_ref, q_ref, k_ref, v_ref, do_ref,
         _dq_compute(valid, h, q_ref, k_ref, v_ref, do_ref,
                     lse_ref, delta_ref, dq_acc, scale=scale)
 
-    @pl.when(ik == iq)
+    @pl.when(ik == (iq + 1) * r - 1)  # last live kv block of this q block
     def _():
         for h in range(heads):
             dq_ref[0, h] = dq_acc[h].astype(dq_ref.dtype)
@@ -483,13 +493,13 @@ def _bwd_dkv_kernel(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 def _bwd_dkv_kernel_tri(len_ref, tri_ref, q_ref, k_ref, v_ref, do_ref,
                         lse_ref, delta_ref, dk_ref, dv_ref, dk_acc, dv_acc,
-                        *, scale, block_q, block_k, nq, heads):
+                        *, scale, block_q, block_k, nq, heads, r=1):
     b = pl.program_id(0)
     t = pl.program_id(2)
     iq = tri_ref[0, t]
     ik = tri_ref[1, t]
 
-    @pl.when(iq == ik)  # first live q block for this kv block (equal blocks)
+    @pl.when(iq == ik // r)  # first live q block for this kv block
     def _():
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
@@ -514,7 +524,9 @@ def _bwd(q, k, v, do, o, lse, kv_len, *, causal, block_q, block_k, d_orig,
     nq = N // block_q
     nk = M // block_k
     scale = 1.0 / np.sqrt(d_orig)
-    tri = causal and block_q == block_k and nq == nk
+    r = block_q // max(block_k, 1)
+    tri = (causal and block_q % block_k == 0 and r >= 1
+           and nq * r == nk)  # q blocks r-times wider; N == M
     if head_group is None:
         head_group = DEFAULT_TRI_HEAD_GROUP
     # like the forward, the triangular path takes the bigger head group
@@ -542,8 +554,8 @@ def _bwd(q, k, v, do, o, lse, kv_len, *, causal, block_q, block_k, d_orig,
         # linearized triangular grids (see module docstring): dq keeps the
         # q block outer, dkv keeps the kv block outer so each pass's
         # accumulator lives across its inner dimension
-        tq = jnp.asarray(_tri_pairs_q_outer(nq))
-        tkv = jnp.asarray(_tri_pairs_kv_outer(nq))
+        tq = jnp.asarray(_tri_pairs_q_outer(nq, r))
+        tkv = jnp.asarray(_tri_pairs_kv_outer(nq, r))
         q_ix = lambda b, g, t, lens, tri: (b, g, tri[0, t], 0)  # noqa: E731
         kv_ix = lambda b, g, t, lens, tri: (b, g, tri[1, t], 0)  # noqa: E731
         tri_in = [
@@ -556,7 +568,8 @@ def _bwd(q, k, v, do, o, lse, kv_len, *, causal, block_q, block_k, d_orig,
         ]
         dq = pl.pallas_call(
             functools.partial(_bwd_dq_kernel_tri, scale=scale,
-                              block_q=block_q, block_k=block_k, heads=G),
+                              block_q=block_q, block_k=block_k, heads=G,
+                              r=r),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
                 grid=(B, H // G, tq.shape[1]),
@@ -573,7 +586,7 @@ def _bwd(q, k, v, do, o, lse, kv_len, *, causal, block_q, block_k, d_orig,
         dk, dv = pl.pallas_call(
             functools.partial(_bwd_dkv_kernel_tri, scale=scale,
                               block_q=block_q, block_k=block_k, nq=nq,
-                              heads=G),
+                              heads=G, r=r),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
                 grid=(B, H // G, tkv.shape[1]),
@@ -748,7 +761,7 @@ def _fwd_kernel_t(len_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
 def _fwd_kernel_tri_t(len_ref, tri_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                       acc_ref, m_ref, l_ref, *, scale, block_q, block_k,
-                      heads):
+                      heads, r=1):
     b = pl.program_id(0)
     t = pl.program_id(2)
     iq = tri_ref[0, t]
@@ -764,7 +777,7 @@ def _fwd_kernel_tri_t(len_ref, tri_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         _fwd_compute_t(valid, h, q_ref, k_ref, v_ref,
                        acc_ref, m_ref, l_ref, scale=scale)
 
-    @pl.when(ik == iq)
+    @pl.when(ik == (iq + 1) * r - 1)  # last live kv block of this q block
     def _():
         _fwd_store_t(o_ref, lse_ref, acc_ref, m_ref, l_ref, heads=heads)
 
@@ -778,7 +791,9 @@ def _fwd_t(q, k, v, kv_len, *, causal, block_q, block_k, d_orig,
     nq = N // block_q
     nk = M // block_k
     scale = 1.0 / np.sqrt(d_orig)
-    tri = causal and block_q == block_k and nq == nk
+    r = block_q // max(block_k, 1)
+    tri = (causal and block_q % block_k == 0 and r >= 1
+           and nq * r == nk)  # q blocks r-times wider; N == M
     if head_group is None:
         head_group = DEFAULT_TRI_HEAD_GROUP_T
     G = _pick_head_group(
@@ -795,7 +810,7 @@ def _fwd_t(q, k, v, kv_len, *, causal, block_q, block_k, d_orig,
     ]
 
     if tri:
-        tmap = jnp.asarray(_tri_pairs_q_outer(nq))
+        tmap = jnp.asarray(_tri_pairs_q_outer(nq, r))
         q_ix = lambda b, g, t, lens, tri: (b, g, 0, tri[0, t])  # noqa: E731
         kv_ix = lambda b, g, t, lens, tri: (b, g, 0, tri[1, t])  # noqa: E731
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -814,7 +829,7 @@ def _fwd_t(q, k, v, kv_len, *, causal, block_q, block_k, d_orig,
         )
         kernel = functools.partial(
             _fwd_kernel_tri_t, scale=scale, block_q=block_q, block_k=block_k,
-            heads=G)
+            heads=G, r=r)
         o, lse = pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape,
             compiler_params=pltpu.CompilerParams(
@@ -909,7 +924,7 @@ def _bwd_dq_kernel_t(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
 def _bwd_dq_kernel_tri_t(len_ref, tri_ref, q_ref, k_ref, v_ref, do_ref,
                          lse_ref, delta_ref, dq_ref, dq_acc,
-                         *, scale, block_q, block_k, heads):
+                         *, scale, block_q, block_k, heads, r=1):
     b = pl.program_id(0)
     t = pl.program_id(2)
     iq = tri_ref[0, t]
@@ -925,7 +940,7 @@ def _bwd_dq_kernel_tri_t(len_ref, tri_ref, q_ref, k_ref, v_ref, do_ref,
         _dq_compute_t(valid, h, q_ref, k_ref, v_ref, do_ref,
                       lse_ref, delta_ref, dq_acc, scale=scale)
 
-    @pl.when(ik == iq)
+    @pl.when(ik == (iq + 1) * r - 1)  # last live kv block of this q block
     def _():
         for h in range(heads):
             dq_ref[0, h] = dq_acc[h].astype(dq_ref.dtype)
@@ -994,13 +1009,13 @@ def _bwd_dkv_kernel_t(len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
 def _bwd_dkv_kernel_tri_t(len_ref, tri_ref, q_ref, k_ref, v_ref, do_ref,
                           lse_ref, delta_ref, dk_ref, dv_ref, dk_acc, dv_acc,
-                          *, scale, block_q, block_k, nq, heads):
+                          *, scale, block_q, block_k, nq, heads, r=1):
     b = pl.program_id(0)
     t = pl.program_id(2)
     iq = tri_ref[0, t]
     ik = tri_ref[1, t]
 
-    @pl.when(iq == ik)
+    @pl.when(iq == ik // r)  # first live q block for this kv block
     def _():
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
@@ -1026,7 +1041,9 @@ def _bwd_t(q, k, v, do, o, lse, kv_len, *, causal, block_q, block_k, d_orig,
     nq = N // block_q
     nk = M // block_k
     scale = 1.0 / np.sqrt(d_orig)
-    tri = causal and block_q == block_k and nq == nk
+    r = block_q // max(block_k, 1)
+    tri = (causal and block_q % block_k == 0 and r >= 1
+           and nq * r == nk)  # q blocks r-times wider; N == M
     if head_group is None:
         head_group = DEFAULT_TRI_HEAD_GROUP_T
     G = _pick_head_group(
@@ -1047,8 +1064,8 @@ def _bwd_t(q, k, v, do, o, lse, kv_len, *, causal, block_q, block_k, d_orig,
     ]
 
     if tri:
-        tq = jnp.asarray(_tri_pairs_q_outer(nq))
-        tkv = jnp.asarray(_tri_pairs_kv_outer(nq))
+        tq = jnp.asarray(_tri_pairs_q_outer(nq, r))
+        tkv = jnp.asarray(_tri_pairs_kv_outer(nq, r))
         q_ix = lambda b, g, t, lens, tri: (b, g, 0, tri[0, t])  # noqa: E731
         kv_ix = lambda b, g, t, lens, tri: (b, g, 0, tri[1, t])  # noqa: E731
         tri_in = [
@@ -1061,7 +1078,8 @@ def _bwd_t(q, k, v, do, o, lse, kv_len, *, causal, block_q, block_k, d_orig,
         ]
         dq = pl.pallas_call(
             functools.partial(_bwd_dq_kernel_tri_t, scale=scale,
-                              block_q=block_q, block_k=block_k, heads=G),
+                              block_q=block_q, block_k=block_k, heads=G,
+                              r=r),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
                 grid=(B, H // G, tq.shape[1]),
@@ -1078,7 +1096,7 @@ def _bwd_t(q, k, v, do, o, lse, kv_len, *, causal, block_q, block_k, d_orig,
         dk, dv = pl.pallas_call(
             functools.partial(_bwd_dkv_kernel_tri_t, scale=scale,
                               block_q=block_q, block_k=block_k, nq=nq,
-                              heads=G),
+                              heads=G, r=r),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=2,
                 grid=(B, H // G, tkv.shape[1]),
@@ -1232,6 +1250,14 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _tri_wide() -> str:
+    """Wide-tri experiment switch (see _flash); read per call so tests and
+    probe subprocesses can flip it via the environment."""
+    import os
+
+    return os.environ.get("EDGERUNNER_TRI_WIDE", "off")
+
+
 def _use_transposed(dtype, D: int, layout: str) -> bool:
     """The transposed layout needs D to tile sublanes exactly (16 for bf16,
     8 for f32); 'auto' picks it whenever it applies — it streams zero pad."""
@@ -1248,6 +1274,18 @@ def _flash(q, k, v, causal, q_len, kv_len, block_q, block_k,
            bwd_block_q, bwd_block_k, with_lse, interpret=None, layout="auto"):
     B, N, H, D = q.shape
     M = k.shape[1]
+
+    # WIDE TRI BLOCKS (round-5 experiment knob): q blocks r-times wider than
+    # kv blocks on the causal transposed triangular grids. At r=2 the pair
+    # count and the K/V re-read DMA drop ~38% at the README probe shape
+    # (91 -> 56 pairs over 512-row kv blocks), at the cost of padding the
+    # sequence to the wider q block. EDGERUNNER_TRI_WIDE=fwd|bwd|both|off.
+    if causal and N == M and _tri_wide() in ("fwd", "both") \
+            and _use_transposed(q.dtype, D, layout):
+        block_q = max(block_q, 2 * block_k)
+    if causal and N == M and _tri_wide() in ("bwd", "both") \
+            and _use_transposed(q.dtype, D, layout):
+        bwd_block_q = max(bwd_block_q, 2 * bwd_block_k)
 
     block_q = min(block_q, _round_up(N, 128))
     block_k = min(block_k, _round_up(M, 128))

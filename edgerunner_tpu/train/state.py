@@ -29,6 +29,37 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
+class FusedSpec(NamedTuple):
+    """Parameters of the fused clip+AdamW update (see make_train_step)."""
+
+    b1: float
+    b2: float
+    eps: float
+    weight_decay: float
+    clip: float
+    schedule: Callable
+    mu_dtype: Any
+
+
+class FusedAdamW(NamedTuple):
+    """Duck-types optax.GradientTransformation (init/update) and carries the
+    spec for the FUSED train-step path. The optax chain's init/update stay
+    the source of truth for state STRUCTURE (checkpoints are unchanged) and
+    for any caller that uses tx.update directly; make_train_step's fused
+    path recomputes the same math in one fused elementwise pass per leaf.
+
+    Why: the optax chain materializes three full param-sized trees per step
+    (clip-scaled grads, Adam updates, applied params) on top of the moment
+    reads/writes — profiled as a ~47 ms multiply/convert band at flagship
+    scale (evidence/train_profile.md round 4, VERDICT r4 next #8). The fused
+    path reads g/p/mu/nu once and writes p/mu/nu once, plus one global-norm
+    pass, which is the HBM floor for AdamW."""
+
+    init: Callable
+    update: Callable
+    fused_spec: FusedSpec
+
+
 def cosine_warmup_schedule(base_lr: float, total_steps: int,
                            warmup_ratio: float = 0.01,
                            min_ratio: float = 0.1,
@@ -105,15 +136,67 @@ def make_optimizer(opt, total_steps: int, frozen_keys: tuple = (),
             optax.masked(optax.set_to_zero(),
                          lambda p: _subtree_mask(p, frozen_keys, True)),
         )
+    fused_ok = (not getattr(opt, "lora_rank", 0) and not frozen_keys
+                and opt.gradient_accumulation_steps <= 1)
     tx = optax.chain(optax.clip_by_global_norm(opt.gradient_clip), adamw)
     if opt.gradient_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=opt.gradient_accumulation_steps)
+    if fused_ok:
+        tx = FusedAdamW(tx.init, tx.update, FusedSpec(
+            b1=0.9, b2=0.95, eps=1e-8, weight_decay=opt.weight_decay,
+            clip=opt.gradient_clip, schedule=schedule,
+            mu_dtype=jnp.bfloat16))
     return tx, schedule
 
 
 def create_train_state(params, tx, step: int = 0) -> TrainState:
     return TrainState(params=params, opt_state=tx.init(params),
                       step=jnp.asarray(step, jnp.int32))
+
+
+def _fused_apply(spec: FusedSpec, params, grads, opt_state):
+    """One-pass clip + AdamW + weight decay + apply (see FusedAdamW).
+
+    opt_state must have the exact structure make_optimizer builds:
+    (EmptyState, (ScaleByAdamState(count, mu, nu), EmptyState,
+    ScaleByScheduleState(count))). Returns (new_params, new_opt_state,
+    grad_norm) — numerically the same update the optax chain produces
+    (tests/test_train.py asserts equality), with the three intermediate
+    param-sized trees (scaled grads, updates, applied params) never
+    materialized."""
+    clip_state, (adam, add_wd_state, sched_state) = opt_state
+    gnorm = optax.global_norm(grads)
+    # optax.clip_by_global_norm semantics: scale only when gnorm > clip
+    gscale = jnp.where(gnorm > spec.clip, spec.clip / gnorm, 1.0)
+    count_inc = optax.safe_int32_increment(adam.count)
+    lr = spec.schedule(sched_state.count)
+    bc1 = 1.0 - spec.b1 ** count_inc.astype(jnp.float32)
+    bc2 = 1.0 - spec.b2 ** count_inc.astype(jnp.float32)
+
+    def upd(p, g, mu, nu):
+        g = g.astype(jnp.float32) * gscale
+        # operand order AND dtypes match optax.update_moment exactly: the
+        # decay*mu product is rounded in mu's stored dtype (a python-scalar
+        # multiply keeps bf16) before the f32 add, so the fused and chain
+        # paths agree bit-for-bit on the moment, not just approximately
+        mu2 = (1.0 - spec.b1) * g + spec.b1 * mu
+        nu2 = (1.0 - spec.b2) * (g * g) + spec.b2 * nu
+        mhat = mu2 / bc1
+        vhat = nu2 / bc2
+        u = mhat / (jnp.sqrt(vhat) + spec.eps) + spec.weight_decay * p
+        return (p - lr * u).astype(p.dtype), mu2.astype(spec.mu_dtype), nu2
+
+    out = jax.tree.map(upd, params, grads, adam.mu, adam.nu)
+    three = jax.tree_util.tree_transpose(
+        jax.tree_util.tree_structure(params),
+        jax.tree_util.tree_structure((0, 0, 0)), out)
+    new_params, new_mu, new_nu = three
+    new_state = (clip_state,
+                 (optax.ScaleByAdamState(count_inc, new_mu, new_nu),
+                  add_wd_state,
+                  optax.ScaleByScheduleState(
+                      optax.safe_int32_increment(sched_state.count))))
+    return new_params, new_state, gnorm
 
 
 def make_train_step(model, tx):
@@ -144,12 +227,18 @@ def make_train_step(model, tx):
             return out["loss"], out
 
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        spec = getattr(tx, "fused_spec", None)
+        if spec is not None:
+            params, opt_state, gnorm = _fused_apply(
+                spec, state.params, grads, state.opt_state)
+        else:
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            gnorm = optax.global_norm(grads)
         metrics = {
             "loss": loss,
             "loss_ce": out["loss_ce"],
-            "grad_norm": optax.global_norm(grads),
+            "grad_norm": gnorm,
         }
         if "loss_kl" in out:
             metrics["loss_kl"] = out["loss_kl"]

@@ -148,3 +148,52 @@ def test_head_groups_forward_and_grad(layout):
     for a, b, name in zip(gf, gr, "qkv"):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-4, err_msg=f"d{name}")
+
+
+def test_wide_tri_blocks_forward_and_grad(layout):
+    # block_q = 2 * block_k exercises the GENERALIZED triangular grid
+    # (r=2: q blocks twice as wide as kv blocks — pair table (iq+1)*r per
+    # q row, store at ik == (iq+1)*r-1, dkv reset at iq == ik//r). nq=2,
+    # nk=4 over a 512 sequence with a ragged kv_len.
+    q, k, v = _rand(1, 512, 2, 64, key=11)
+    kv_len = jnp.array([400], jnp.int32)
+
+    out = flash_attention(q, k, v, layout=layout, causal=True, q_len=kv_len,
+                          kv_len=kv_len, block_q=256, block_k=128,
+                          bwd_block_q=256, bwd_block_k=128)
+    ref = attention_reference(q, k, v, causal=True, q_len=kv_len,
+                              kv_len=kv_len)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(
+            q, k, v, layout=layout, causal=True, q_len=kv_len, kv_len=kv_len,
+            block_q=256, block_k=128, bwd_block_q=256, bwd_block_k=128) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_reference(q, k, v, causal=True, q_len=kv_len,
+                                           kv_len=kv_len) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4, err_msg=f"d{name}")
+
+
+def test_wide_tri_env_knob(layout, monkeypatch):
+    # EDGERUNNER_TRI_WIDE=both upgrades the default causal blocks to r=2 on
+    # the transposed layout; results must be unchanged vs the reference
+    if layout == "nd":
+        return  # knob only affects the transposed layout
+    monkeypatch.setenv("EDGERUNNER_TRI_WIDE", "both")
+    q, k, v = _rand(1, 640, 2, 64, key=12)
+    kv_len = jnp.array([600], jnp.int32)
+    out = flash_attention(q, k, v, layout=layout, causal=True, q_len=kv_len,
+                          kv_len=kv_len, block_q=128, block_k=128,
+                          bwd_block_q=128, bwd_block_k=128)
+    ref = attention_reference(q, k, v, causal=True, q_len=kv_len,
+                              kv_len=kv_len)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)

@@ -12,6 +12,7 @@ Run (real TPU only — interpret mode would be meaningless):
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import sys
 import time
@@ -23,6 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from edgerunner_tpu.utils import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()
+
+
+def _call(fn, H, block, q, i, a, b):
+    return fn(q, a, b, i, num_heads=H, block=block)
 
 
 def main():
@@ -52,33 +57,36 @@ def main():
     q = jnp.asarray(rng.normal(size=(B, hd)), jnp.bfloat16)
 
     if args.q4:
-        kv = jnp.asarray(rng.integers(-8, 8, (B, L, hd)), jnp.int8)
-        sc = jnp.asarray(rng.uniform(0.01, 0.1, (B, L, 128)), jnp.bfloat16)
-        kern = lambda q, i: fused_decode_attention_q4(  # noqa: E731
-            q, kv, sc, i, num_heads=H, block=args.block)
+        cache = (jnp.asarray(rng.integers(-8, 8, (B, L, hd)), jnp.int8),
+                 jnp.asarray(rng.uniform(0.01, 0.1, (B, L, 128)), jnp.bfloat16))
+        kern_args = functools.partial(
+            _call, fused_decode_attention_q4, H, args.block)
         bytes_per_row = hd + 256  # packed nibbles + scale plane
         name = "q4"
     elif args.q8:
-        kv = jnp.asarray(rng.integers(-127, 127, (B, L, 2 * hd)), jnp.int8)
-        sc = jnp.asarray(rng.uniform(0.01, 0.1, (B, L, 128)), jnp.bfloat16)
-        kern = lambda q, i: fused_decode_attention_q8(  # noqa: E731
-            q, kv, sc, i, num_heads=H, block=args.block)
+        cache = (jnp.asarray(rng.integers(-127, 127, (B, L, 2 * hd)), jnp.int8),
+                 jnp.asarray(rng.uniform(0.01, 0.1, (B, L, 128)), jnp.bfloat16))
+        kern_args = functools.partial(
+            _call, fused_decode_attention_q8, H, args.block)
         bytes_per_row = 2 * hd + 256
         name = "q8"
     else:
-        k = jnp.asarray(rng.normal(size=(B, L, hd)), jnp.bfloat16)
-        v = jnp.asarray(rng.normal(size=(B, L, hd)), jnp.bfloat16)
-        kern = lambda q, i: fused_decode_attention(  # noqa: E731
-            q, k, v, i, num_heads=H, block=args.block)
+        cache = (jnp.asarray(rng.normal(size=(B, L, hd)), jnp.bfloat16),
+                 jnp.asarray(rng.normal(size=(B, L, hd)), jnp.bfloat16))
+        kern_args = functools.partial(
+            _call, fused_decode_attention, H, args.block)
         bytes_per_row = 2 * hd * 2  # K + V bf16
         name = "bf16"
 
     # chain iters kernel calls on-device (out feeds the next q, so calls
-    # serialize); host-side per-call timing is swamped by the tunnel RTT
-    @jax.jit
-    def chain(q, idx):
+    # serialize); host-side per-call timing is swamped by the tunnel RTT.
+    # The caches MUST be jit arguments: captured as closure constants they
+    # embed ~500MB of literals in the program and the tunnel compile never
+    # finishes (learned the hard way, round 5).
+    @functools.partial(jax.jit, static_argnames=())
+    def chain(q, idx, *cache):
         def body(_, acc):
-            return kern(acc, idx).astype(q.dtype) * 1e-3
+            return kern_args(acc, idx, *cache).astype(q.dtype) * 1e-3
         return jax.lax.fori_loop(0, args.iters, body, q)
 
     print(f"[kernel {name}] B={B} L={L} hd={hd} block={args.block} "
@@ -87,9 +95,9 @@ def main():
         idx = jnp.int32(index)
         # sync by fetching a value: block_until_ready is unreliable through
         # the axon tunnel (same workaround as bench.py)
-        _ = float(chain(q, idx).sum())
+        _ = float(chain(q, idx, *cache).sum())
         t0 = time.time()
-        out = chain(q, idx)
+        out = chain(q, idx, *cache)
         _ = float(out.sum())
         dt = (time.time() - t0) / args.iters
         nblocks = (index + 1 + args.block - 1) // args.block
