@@ -85,6 +85,11 @@ class Options:
     # only, no per-epoch regeneration): memorization/overfit runs — e.g.
     # training draft heads to measurable acceptance on a fixed corpus
     synthetic_static: bool = False
+    # max icosphere subdivision for synthetic meshes: 2 (default, <=320
+    # faces) keeps the historical pinned (0,0,idx) test split byte-stable;
+    # 3 adds ~1280-face spheres so synthetic-trained checkpoints exercise
+    # the long-cache decode regime (spec-decode / quant benchmarks)
+    synthetic_subdiv: int = 2
     dataset: Literal["obj", "objxl"] = "obj"
     # local data root holding mesh files (replaces the reference's S3 buckets)
     data_root: str = "./data"

@@ -241,7 +241,11 @@ class SyntheticMeshDataset:
     def _make_mesh(self, rng: np.random.Generator):
         kind = int(rng.integers(0, 3))
         if kind == 0:
-            v, f = _icosphere(int(rng.integers(1, 3)))
+            # the default subdiv cap (2) draws integers(1, 3) — byte-stable
+            # with the historical pinned test split; subdiv 3 admits
+            # ~1280-face spheres for long-cache benchmarks
+            cap = getattr(self.opt, "synthetic_subdiv", 2)
+            v, f = _icosphere(int(rng.integers(1, cap + 1)))
             v = v + rng.normal(0, 0.05, v.shape)
         elif kind == 1:
             v, f = _box_mesh()

@@ -1,0 +1,96 @@
+"""Profile the flagship bench-headline decode on TPU and print an op-family
+time breakdown (re-run of round-2's decode profiling methodology at the
+CURRENT headline configuration — bf16 weights + bf16 KV cache, batch 12 —
+per evidence/decode_profile.md's note that its ledger is int8-era).
+
+Captures a jax.profiler trace around one full grammar-constrained decode at
+the bench.py headline shape, then parses the xplane protobuf with the shared
+parser in tools/profile_train.py.
+
+Usage:  python tools/profile_decode.py [--batch 12] [--faces 1000]
+            [--kv_quant --kv_bits 4 --w_quant] [--out DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from edgerunner_tpu.utils import respect_jax_platforms_env  # noqa: E402
+
+respect_jax_platforms_env()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=12)
+    ap.add_argument("--faces", type=int, default=1000)
+    ap.add_argument("--kv_quant", action="store_true")
+    ap.add_argument("--kv_bits", type=int, default=4, choices=(4, 8))
+    ap.add_argument("--w_quant", action="store_true")
+    ap.add_argument("--out", default="/tmp/decode_trace")
+    ap.add_argument("--parse_only", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from edgerunner_tpu.config import config_defaults
+    from edgerunner_tpu.generate import generate_tokens, round_up_bucket
+    from edgerunner_tpu.models.lmm import LMM
+    from edgerunner_tpu.train.checkpoint import init_lmm_params
+    from edgerunner_tpu.utils import cast_params, enable_compilation_cache
+
+    from profile_train import parse  # noqa: E402  (shared xplane parser)
+
+    if args.parse_only:
+        parse(args.out, steps=1)
+        return
+
+    enable_compilation_cache()
+    opt = dataclasses.replace(
+        config_defaults["ArAE"], generate_mode="greedy",
+        kv_quant=args.kv_quant, w_quant=args.w_quant, kv_bits=args.kv_bits)
+    init_opt = dataclasses.replace(opt, w_quant=False)
+    init_model = LMM(init_opt, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    params = cast_params(init_lmm_params(init_model, init_opt, rng),
+                         jnp.bfloat16)
+    model = init_model
+    if args.w_quant:
+        from edgerunner_tpu.ops.w_quant import quantize_lmm_params
+
+        model = LMM(opt, dtype=jnp.bfloat16)
+        params = quantize_lmm_params(params)
+
+    B = args.batch
+    conds = np.random.default_rng(0).normal(
+        size=(B, opt.point_num, 3)).astype(np.float32)
+    budget = round_up_bucket(min(args.faces * 4 + 32, opt.max_seq_length),
+                             opt.decode_bucket)
+
+    # warmup / compile outside the trace
+    out = generate_tokens(model, params, conds, num_faces=args.faces,
+                          rng=rng, max_new_tokens=budget, bench_no_eos=True)
+    jax.profiler.start_trace(args.out)
+    t0 = time.time()
+    out = generate_tokens(model, params, conds, num_faces=args.faces,
+                          rng=jax.random.fold_in(rng, 1),
+                          max_new_tokens=budget, bench_no_eos=True)
+    dt = time.time() - t0
+    jax.profiler.stop_trace()
+    steps = int(out.shape[1])
+    print(f"[capture] {dt:.2f} s for {steps} decode steps at b{B} "
+          f"({B * steps / dt:.1f} tok/s, {B / dt * 60:.2f} meshes/min) — "
+          f"ms/step figures below divide by {steps}")
+    parse(args.out, steps=steps)
+
+
+if __name__ == "__main__":
+    main()
