@@ -274,17 +274,16 @@ class OPTAttention(nn.Module):
             return o
 
         B, L = k_cache.shape[:2]
-        hd = k_cache.shape[-1] // 2  # combined K ++ V rows (lane axis)
         if jax.default_backend() == "tpu" and L % DEFAULT_BLOCK == 0 \
-                and hd % 128 == 0:
+                and k_cache.shape[-1] % 128 == 0:
             # pallas path: reads only cache[:index+1], keeps the HBM layout
             return fused_decode_attention(
-                qf.reshape(B, -1), k_cache, index,
+                qf.reshape(B, -1), k_cache, v_cache, index,
                 num_heads=c.num_attention_heads).reshape(B, 1, -1)
         q = self._heads(qf)
         # contiguous head split: a free bitcast, not a copy
-        kh = k_cache[..., :hd].reshape(B, L, c.num_attention_heads, c.head_dim)
-        vh = k_cache[..., hd:].reshape(B, L, c.num_attention_heads, c.head_dim)
+        kh = k_cache.reshape(B, L, c.num_attention_heads, c.head_dim)
+        vh = v_cache.reshape(B, L, c.num_attention_heads, c.head_dim)
         return decode_attention(q, kh, vh, index + 1).reshape(B, 1, -1)
 
     def _attend_cache_multi(self, qf, k_cache, v_cache, index_vec):
@@ -330,15 +329,13 @@ class OPTAttention(nn.Module):
                 o = rotate_rows(o, H, inverse=True).astype(c.dtype)
             return o
         L = k_cache.shape[1]
-        hd = k_cache.shape[-1] // 2  # combined K ++ V rows (lane axis)
         if jax.default_backend() == "tpu" and L % DEFAULT_BLOCK == 0 \
-                and hd % 128 == 0:
+                and k_cache.shape[-1] % 128 == 0:
             return fused_decode_attention_multi(
-                qf.reshape(B, T, -1), k_cache, index_vec, num_heads=H)
+                qf.reshape(B, T, -1), k_cache, v_cache, index_vec, num_heads=H)
         return decode_attention_multi(
-            self._heads(qf), k_cache[..., :hd].reshape(B, L, H, Dh),
-            k_cache[..., hd:].reshape(B, L, H, Dh),
-            index_vec).reshape(B, T, -1)
+            self._heads(qf), k_cache.reshape(B, L, H, Dh),
+            v_cache.reshape(B, L, H, Dh), index_vec).reshape(B, T, -1)
 
     def verify_step(self, h, k_cache, v_cache, index_vec):
         """h: [B, T, C] embeds of T proposal tokens; index_vec: [B] per-row
@@ -354,18 +351,17 @@ class OPTAttention(nn.Module):
             k_cache = _rows_update(k_cache, kv_row, index_vec)
             v_cache = _rows_update(v_cache, plane, index_vec)
         else:
-            k_cache = _rows_update(
-                k_cache, jnp.concatenate([kf, vf], axis=-1), index_vec)
+            k_cache = _rows_update(k_cache, kf, index_vec)
+            v_cache = _rows_update(v_cache, vf, index_vec)
 
         o = self._attend_cache_multi(qf, k_cache, v_cache, index_vec)
         return self.out_proj(o), k_cache, v_cache
 
     def step(self, h, k_cache, v_cache, index):
-        """h: [B, 1, C]; index: position. Cache per layer: k_cache holds the
-        combined rows — bf16 [B, L, 2*H*Dh] (K row ++ V row on the lane
-        axis) or, with kv_quant, int8 [B, L, 2*H*Dh] quantized values — and
-        v_cache holds the packed bf16 [B, L, 128] scale plane under kv_quant
-        (lane 0 = K, lane 1 = V) or a [B, 1, 1] placeholder in bf16 mode."""
+        """h: [B, 1, C]; index: position. Cache per layer is either packed
+        [B, L, H*Dh] (k_cache/v_cache) or, with kv_quant, k_cache = int8
+        [B, L, 2*H*Dh] values and v_cache = the packed bf16 [B, L, 128]
+        scale plane (lane 0 = K, lane 1 = V)."""
         c = self.cfg
         qf = self.q_proj(h)
         kf = self.k_proj(h)
@@ -379,9 +375,10 @@ class OPTAttention(nn.Module):
                 v_cache, plane, (0, index, 0))
             k_cache, v_cache = kv_vals, scales
         else:
-            kvf = jnp.concatenate([kf, vf], axis=-1).astype(k_cache.dtype)
             k_cache = jax.lax.dynamic_update_slice(
-                k_cache, kvf, (0, index, 0))
+                k_cache, kf.astype(k_cache.dtype), (0, index, 0))
+            v_cache = jax.lax.dynamic_update_slice(
+                v_cache, vf.astype(v_cache.dtype), (0, index, 0))
 
         o = self._attend_cache(qf, k_cache, v_cache, index)
         return self.out_proj(o), k_cache, v_cache
@@ -586,9 +583,8 @@ class ShapeOPTDecoder(nn.Module):
     def prefill(self, inputs_embeds, max_len: int):
         """Run the prompt; returns (hidden [B,P,C], k_cache, v_cache).
 
-        Caches are per-layer TUPLES of [B, max_len, 2*hidden] combined
-        buffers (K row ++ V row, packed heads; see SelfAttention.step for
-        the slot layout). Keeping layers as separate arrays — not one stacked
+        Caches are per-layer TUPLES of [B, max_len, hidden] buffers (packed
+        heads). Keeping layers as separate arrays — not one stacked
         [L, B, max, hidden] — lets every step's dynamic_update_slice and the
         decode kernel operate on each layer's own buffer in place; a stacked
         cache forces XLA to materialize 156MB slice copies per layer per
@@ -609,16 +605,10 @@ class ShapeOPTDecoder(nn.Module):
                 ks.append(jnp.pad(kv_row, pad))
                 vs.append(jnp.pad(plane, pad))
             return h, tuple(ks), tuple(vs)
-        # bf16 path: K row ++ V row packed on the lane axis — ONE array per
-        # layer, one DMA stream per block in the decode kernel (the split
-        # cache paid two streams, ~20% over the DMA floor; the second cache
-        # slot carries a [B, 1, 1] placeholder so every signature/carry keeps
-        # the (k_cache, v_cache) arity the quant path also uses)
         for layer in self.layers:
             h, k, v = layer.prefill(h)
-            kv = jnp.concatenate([k, v], axis=-1).astype(c.dtype)
-            ks.append(jnp.pad(kv, pad))
-            vs.append(jnp.zeros((B, 1, 1), c.dtype))
+            ks.append(jnp.pad(k.astype(c.dtype), pad))
+            vs.append(jnp.pad(v.astype(c.dtype), pad))
         return h, tuple(ks), tuple(vs)
 
     def step(self, token_ids, k_cache, v_cache, index):

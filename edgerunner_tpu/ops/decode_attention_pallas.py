@@ -6,12 +6,10 @@ static cache every step and lets XLA pick cache layouts (observed: extra
 whole-cache layout copies inside the decode while_loop). This kernel fixes
 both:
 
-  * the cache stays in HBM in its packed COMBINED [B, L, 2*hidden] layout —
-    K row ++ V row on the lane axis, for every precision (bf16 and int8/int4
-    alike) — so ONE DMA per block fetches both tensors; the kernel manually
-    DMAs only ceil((index+1)/BK) blocks per step — O(live prefix) traffic
-    instead of O(max_len), double-buffered. (The new token's k/v rows are
-    written by the caller with an in-place dynamic_update_slice *before*
+  * the cache stays in HBM in its packed [B, L, hidden] layout; the kernel
+    manually DMAs only ceil((index+1)/BK) blocks per step — O(live prefix)
+    traffic instead of O(max_len), double-buffered. (The new token's k/v rows
+    are written by the caller with an in-place dynamic_update_slice *before*
     the call: Mosaic DMA can't address single rows of an (8,128)-tiled dim.)
   * reading via ANY/HBM refs pins the cache to its natural layout — no
     whole-cache relayout copies inside the decode loop
@@ -50,13 +48,9 @@ NEG_INF = -1e30
 DEFAULT_BLOCK = 512
 
 
-def _kernel(index_ref, q_ref, kv_hbm,
+def _kernel(index_ref, q_ref, ko_hbm, vo_hbm,
             out_ref,
-            kvbuf, sems, *, num_heads, head_dim, block, scale):
-    """kv_hbm: [B, L, 2*hd] — K rows ++ V rows packed on the lane axis so ONE
-    DMA per block fetches both (same layout as the int8 cache): the split
-    bf16 cache paid two 3MB streams + two semaphore waits per block, measured
-    4.8 vs the 3.84 us/block DMA floor (evidence/decode_profile.md r5)."""
+            kbuf, vbuf, sems, *, num_heads, head_dim, block, scale):
     b = pl.program_id(0)
     index = index_ref[jnp.minimum(b, index_ref.shape[0] - 1)]
     hd = num_heads * head_dim
@@ -67,7 +61,7 @@ def _kernel(index_ref, q_ref, kv_hbm,
     h_ids = jax.lax.broadcasted_iota(jnp.int32, (hd, num_heads), 1)
     E = (j_ids // head_dim == h_ids).astype(jnp.float32)       # [hd, H]
     q = q_ref[0, 0, :].astype(jnp.float32)                     # [hd]
-    qdiag = (q[:, None] * E * scale).astype(kvbuf.dtype)       # [hd, H]
+    qdiag = (q[:, None] * E * scale).astype(kbuf.dtype)        # [hd, H]
     ones_hd = jnp.ones((1, hd), jnp.float32)
 
     nblocks = (index + 1 + block - 1) // block
@@ -76,10 +70,16 @@ def _kernel(index_ref, q_ref, kv_hbm,
     # semaphore is a race (wait() can return on the *other* slot's completion)
     def get_dma(slot, blk):
         return pltpu.make_async_copy(
-            kv_hbm.at[pl.ds(b, 1), pl.ds(blk * block, block), :],
-            kvbuf.at[pl.ds(slot, 1)], sems.at[slot])
+            ko_hbm.at[pl.ds(b, 1), pl.ds(blk * block, block), :],
+            kbuf.at[pl.ds(slot, 1)], sems.at[slot])
+
+    def get_dma_v(slot, blk):
+        return pltpu.make_async_copy(
+            vo_hbm.at[pl.ds(b, 1), pl.ds(blk * block, block), :],
+            vbuf.at[pl.ds(slot, 1)], sems.at[2 + slot])
 
     get_dma(0, 0).start()
+    get_dma_v(0, 0).start()
 
     def body(i, carry):
         m, l, acc = carry  # [1, H], [1, H], [H, hd] fp32
@@ -89,11 +89,13 @@ def _kernel(index_ref, q_ref, kv_hbm,
         @pl.when(i + 1 < nblocks)
         def _():
             get_dma(nxt, i + 1).start()
+            get_dma_v(nxt, i + 1).start()
 
         get_dma(slot, i).wait()
+        get_dma_v(slot, i).wait()
 
-        kb = kvbuf[slot][:, :hd]   # [BK, hd] native cache dtype
-        vb = kvbuf[slot][:, hd:]   # [BK, hd]
+        kb = kbuf[slot]   # [BK, hd] native cache dtype
+        vb = vbuf[slot]   # [BK, hd]
 
         s = jax.lax.dot_general(kb, qdiag, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # [BK, H]
@@ -134,16 +136,14 @@ def _kernel(index_ref, q_ref, kv_hbm,
     out_ref[0, 0, :] = out[0].astype(out_ref.dtype)
 
 
-def fused_decode_attention(q, kv_cache, index,
+def fused_decode_attention(q, k_cache, v_cache, index,
                            *, num_heads: int, block: int = DEFAULT_BLOCK):
-    """q: [B, hidden]; kv_cache: [B, L, 2*hidden] (L % block == 0) — K row ++
-    V row packed on the lane axis, ALREADY holding the new token's k/v at row
-    `index`; index: scalar int32 position.
+    """q: [B, hidden]; caches: [B, L, hidden] (L % block == 0) ALREADY holding
+    the new token's k/v at row `index`; index: scalar int32 position.
 
     Returns out [B, hidden], attending over cache[:index+1] only.
     """
-    B, L, hd2 = kv_cache.shape
-    hd = hd2 // 2
+    B, L, hd = k_cache.shape
     assert L % block == 0, f"cache length {L} not a multiple of block {block}"
     head_dim = hd // num_heads
     scale = 1.0 / np.sqrt(head_dim)
@@ -153,13 +153,15 @@ def fused_decode_attention(q, kv_cache, index,
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, 1, hd), lambda b, *_: (b, 0, 0)),  # q
-            pl.BlockSpec(memory_space=pl.ANY),          # kv_cache (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),          # k_cache (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),          # v_cache (HBM)
         ],
         out_specs=[
             pl.BlockSpec((1, 1, hd), lambda b, *_: (b, 0, 0)),  # out
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, block, hd2), kv_cache.dtype),
+            pltpu.VMEM((2, block, hd), k_cache.dtype),
+            pltpu.VMEM((2, block, hd), v_cache.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -172,7 +174,7 @@ def fused_decode_attention(q, kv_cache, index,
         out_shape=[jax.ShapeDtypeStruct((B, 1, hd), q.dtype)],
         interpret=jax.default_backend() != "tpu",
     )(jnp.broadcast_to(jnp.asarray(index, jnp.int32), (B,)), q.reshape(B, 1, hd),
-      kv_cache)
+      k_cache, v_cache)
     return out.reshape(B, hd)
 
 
@@ -489,11 +491,9 @@ def fused_decode_attention_q8(q, kv_vals, scales, index,
 # with T*H online-softmax columns; the PV tail unrolls over the (static,
 # small) T.
 
-def _kernel_multi(index_ref, q_ref, kv_hbm,
-                  out_ref, kvbuf, sems,
+def _kernel_multi(index_ref, q_ref, ko_hbm, vo_hbm,
+                  out_ref, kbuf, vbuf, sems,
                   *, num_heads, head_dim, block, scale, T):
-    """Multi-query decode over the combined [B, L, 2*hd] cache (K row ++ V
-    row on the lane axis — one DMA stream per block, see _kernel)."""
     b = pl.program_id(0)
     index = index_ref[jnp.minimum(b, index_ref.shape[0] - 1)]
     hd = num_heads * head_dim
@@ -506,17 +506,23 @@ def _kernel_multi(index_ref, q_ref, kv_hbm,
     # cast to the cache dtype so the S dot takes the K block natively
     qdiag = jnp.concatenate(
         [q_ref[0, t, :].astype(jnp.float32)[:, None] * E * scale
-         for t in range(T)], axis=1).astype(kvbuf.dtype)          # [hd, TH]
+         for t in range(T)], axis=1).astype(kbuf.dtype)           # [hd, TH]
     ones_hd = jnp.ones((1, hd), jnp.float32)
 
     nblocks = (index + T + block - 1) // block
 
     def get_dma(slot, blk):
         return pltpu.make_async_copy(
-            kv_hbm.at[pl.ds(b, 1), pl.ds(blk * block, block), :],
-            kvbuf.at[pl.ds(slot, 1)], sems.at[slot])
+            ko_hbm.at[pl.ds(b, 1), pl.ds(blk * block, block), :],
+            kbuf.at[pl.ds(slot, 1)], sems.at[slot])
+
+    def get_dma_v(slot, blk):
+        return pltpu.make_async_copy(
+            vo_hbm.at[pl.ds(b, 1), pl.ds(blk * block, block), :],
+            vbuf.at[pl.ds(slot, 1)], sems.at[2 + slot])
 
     get_dma(0, 0).start()
+    get_dma_v(0, 0).start()
 
     def body(i, carry):
         # acc rows t*H + h hold query t / head h (only head h's lanes are
@@ -529,11 +535,13 @@ def _kernel_multi(index_ref, q_ref, kv_hbm,
         @pl.when(i + 1 < nblocks)
         def _():
             get_dma(nxt, i + 1).start()
+            get_dma_v(nxt, i + 1).start()
 
         get_dma(slot, i).wait()
+        get_dma_v(slot, i).wait()
 
-        kb = kvbuf[slot][:, :hd]   # [BK, hd] native cache dtype
-        vb = kvbuf[slot][:, hd:]
+        kb = kbuf[slot]   # [BK, hd] native cache dtype
+        vb = vbuf[slot]
 
         s = jax.lax.dot_general(kb, qdiag, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)  # [BK, TH]
@@ -572,15 +580,14 @@ def _kernel_multi(index_ref, q_ref, kv_hbm,
     out_ref[0] = jnp.concatenate(outs, axis=0).astype(out_ref.dtype)
 
 
-def fused_decode_attention_multi(q, kv_cache, index,
+def fused_decode_attention_multi(q, k_cache, v_cache, index,
                                  *, num_heads: int,
                                  block: int = DEFAULT_BLOCK):
-    """q: [B, T, hidden]; kv_cache: [B, L, 2*hidden] (K row ++ V row on the
-    lane axis) ALREADY holding the T proposal rows at index..index+T-1;
-    index: [B] (or scalar) base position.
+    """q: [B, T, hidden]; caches: [B, L, hidden] ALREADY holding the T
+    proposal rows at index..index+T-1; index: [B] (or scalar) base position.
     Returns [B, T, hidden]; query t attends cache[: index+t+1]."""
     B, T, hd = q.shape
-    L = kv_cache.shape[1]
+    L = k_cache.shape[1]
     assert L % block == 0, f"cache length {L} not a multiple of block {block}"
     head_dim = hd // num_heads
     scale = 1.0 / np.sqrt(head_dim)
@@ -591,13 +598,15 @@ def fused_decode_attention_multi(q, kv_cache, index,
         in_specs=[
             pl.BlockSpec((1, T, hd), lambda b, *_: (b, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, T, hd), lambda b, *_: (b, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, block, 2 * hd), kv_cache.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, block, hd), k_cache.dtype),
+            pltpu.VMEM((2, block, hd), v_cache.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     kernel = functools.partial(
@@ -608,7 +617,7 @@ def fused_decode_attention_multi(q, kv_cache, index,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((B, T, hd), q.dtype)],
         interpret=jax.default_backend() != "tpu",
-    )(jnp.broadcast_to(jnp.asarray(index, jnp.int32), (B,)), q, kv_cache)
+    )(jnp.broadcast_to(jnp.asarray(index, jnp.int32), (B,)), q, k_cache, v_cache)
     return out
 
 

@@ -1,8 +1,4 @@
-"""Fused decode-attention kernel vs the einsum reference (interpret mode).
-
-The bf16 cache is COMBINED: [B, L, 2*hd] with K row ++ V row on the lane
-axis (one DMA stream per block — see decode_attention_pallas._kernel).
-"""
+"""Fused decode-attention kernel vs the einsum reference (interpret mode)."""
 
 import jax
 import jax.numpy as jnp
@@ -18,12 +14,12 @@ def test_matches_einsum_reference(index):
     B, L, H, Dh = 2, 256, 4, 96
     hd = H * Dh
     rng = np.random.default_rng(0)
-    k_cache = rng.normal(size=(B, L, hd)).astype(np.float32)
-    v_cache = rng.normal(size=(B, L, hd)).astype(np.float32)
-    kv = jnp.asarray(np.concatenate([k_cache, v_cache], axis=-1))
+    k_cache = jnp.asarray(rng.normal(size=(B, L, hd)).astype(np.float32))
+    v_cache = jnp.asarray(rng.normal(size=(B, L, hd)).astype(np.float32))
     q = jnp.asarray(rng.normal(size=(B, hd)).astype(np.float32))
 
-    out = fused_decode_attention(q, kv, index, num_heads=H, block=128)
+    out = fused_decode_attention(q, k_cache, v_cache, index, num_heads=H,
+                                 block=128)
     ref = decode_attention(
         q.reshape(B, 1, H, Dh), k_cache.reshape(B, L, H, Dh),
         v_cache.reshape(B, L, H, Dh), index + 1).reshape(B, hd)
@@ -44,16 +40,15 @@ def test_prefix_only_is_used():
     k2[:, idx + 1:] = 1e6  # poison the dead region
     v2[:, idx + 1:] = -1e6
     q = jnp.asarray(rng.normal(size=(B, hd)).astype(np.float32))
-    a = fused_decode_attention(
-        q, jnp.asarray(np.concatenate([k, v], axis=-1)), idx,
-        num_heads=H, block=128)
-    b = fused_decode_attention(
-        q, jnp.asarray(np.concatenate([k2, v2], axis=-1)), idx,
-        num_heads=H, block=128)
+    a = fused_decode_attention(q, jnp.asarray(k), jnp.asarray(v), idx,
+                               num_heads=H, block=128)
+    b = fused_decode_attention(q, jnp.asarray(k2), jnp.asarray(v2), idx,
+                               num_heads=H, block=128)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
 def test_asserts_block_alignment():
     with pytest.raises(AssertionError):
-        fused_decode_attention(jnp.zeros((1, 128)), jnp.zeros((1, 100, 256)),
-                               0, num_heads=2, block=128)
+        fused_decode_attention(jnp.zeros((1, 128)), jnp.zeros((1, 100, 128)),
+                               jnp.zeros((1, 100, 128)), 0, num_heads=2,
+                               block=128)

@@ -46,8 +46,7 @@ def test_multi_kernel_matches_reference(T):
     hd = H * Dh
     q, k, v = _data(B, L, hd, T)
     idx = jnp.asarray([5, 100, 251 - T], jnp.int32)  # per-row base positions
-    out = fused_decode_attention_multi(
-        q, jnp.concatenate([k, v], axis=-1), idx, num_heads=H, block=128)
+    out = fused_decode_attention_multi(q, k, v, idx, num_heads=H, block=128)
     ref = decode_attention_multi(
         q.reshape(B, T, H, Dh), k.reshape(B, L, H, Dh),
         v.reshape(B, L, H, Dh), idx).reshape(B, T, hd)
@@ -101,13 +100,11 @@ def test_multi_kernel_prefix_isolation():
     hd = H * Dh
     q, k, v = _data(B, L, hd, T, seed=1)
     idx = jnp.asarray([10, 60], jnp.int32)
-    base = fused_decode_attention_multi(
-        q, jnp.concatenate([k, v], axis=-1), idx, num_heads=H, block=128)
+    base = fused_decode_attention_multi(q, k, v, idx, num_heads=H, block=128)
     k2, v2 = np.asarray(k).copy(), np.asarray(v).copy()
     for b, i0 in enumerate([10, 60]):
         k2[b, i0 + T:] = 1e6
         v2[b, i0 + T:] = -1e6
-    pois = fused_decode_attention_multi(
-        q, jnp.asarray(np.concatenate([k2, v2], axis=-1)), idx,
-        num_heads=H, block=128)
+    pois = fused_decode_attention_multi(q, jnp.asarray(k2), jnp.asarray(v2),
+                                        idx, num_heads=H, block=128)
     np.testing.assert_allclose(np.asarray(base), np.asarray(pois), rtol=1e-6)

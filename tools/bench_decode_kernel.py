@@ -30,10 +30,6 @@ def _call(fn, H, block, q, i, a, b):
     return fn(q, a, b, i, num_heads=H, block=block)
 
 
-def _call1(fn, H, block, q, i, a):
-    return fn(q, a, i, num_heads=H, block=block)
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=12)
@@ -75,11 +71,10 @@ def main():
         bytes_per_row = 2 * hd + 256
         name = "q8"
     else:
-        # combined K ++ V rows on the lane axis: one [B, L, 2*hd] array,
-        # one DMA stream per block (matches the production cache layout)
-        cache = (jnp.asarray(rng.normal(size=(B, L, 2 * hd)), jnp.bfloat16),)
+        cache = (jnp.asarray(rng.normal(size=(B, L, hd)), jnp.bfloat16),
+                 jnp.asarray(rng.normal(size=(B, L, hd)), jnp.bfloat16))
         kern_args = functools.partial(
-            _call1, fused_decode_attention, H, args.block)
+            _call, fused_decode_attention, H, args.block)
         bytes_per_row = 2 * hd * 2  # K + V bf16
         name = "bf16"
 
