@@ -1,0 +1,79 @@
+"""Published performance numbers must match the committed evidence.
+
+VERDICT r4 weak #5 / next #6: README quoted builder-sweep numbers (14.09,
+24.9) that disagreed with the driver record (13.308, 18.0). The README
+performance section now quotes evidence artifacts by name; this test pins
+the load-bearing numbers to those artifacts so any re-measure that isn't
+propagated to the docs fails CI.
+"""
+
+import json
+import os
+import re
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _read(name):
+    with open(os.path.join(ROOT, name)) as f:
+        return f.read()
+
+
+def test_readme_headline_matches_bench_snapshot():
+    data = json.loads(_read("evidence/bench_last.json"))
+    readme = _read("README.md")
+    assert f"{data['value']} meshes/min" in readme, (
+        f"README headline drifted from evidence/bench_last.json "
+        f"({data['value']} meshes/min)")
+    tps = data["detail"]["decode_tokens_per_s"]
+    assert f"{tps} decode" in readme or f"{tps} tokens/s" in readme, (
+        f"README decode tokens/s drifted ({tps})")
+
+
+def test_readme_quant_fast_matches_snapshot_when_present():
+    data = json.loads(_read("evidence/bench_last.json"))
+    qf = data["detail"].get("quant_fast")
+    if not isinstance(qf, dict) or "meshes_per_min" not in qf:
+        return  # probe skipped/timed out in the committed snapshot
+    readme = _read("README.md")
+    assert str(qf["meshes_per_min"]) in readme, (
+        f"README quant_fast drifted from snapshot ({qf['meshes_per_min']})")
+
+
+def test_readme_train_step_matches_snapshot_when_present():
+    data = json.loads(_read("evidence/bench_last.json"))
+    tr = data["detail"].get("train")
+    if not isinstance(tr, dict) or "s_per_iter" not in tr:
+        return
+    readme = _read("README.md")
+    assert f"{tr['s_per_iter']} s/iter" in readme, (
+        f"README train s/iter drifted from snapshot ({tr['s_per_iter']})")
+
+
+def test_readme_long_context_probes_match_snapshot_when_present():
+    data = json.loads(_read("evidence/bench_last.json"))
+    readme = _read("README.md")
+    tl = data["detail"].get("train_long")
+    if isinstance(tl, dict) and "s_per_iter" in tl:
+        assert f"{tl['s_per_iter']} s/it" in readme, (
+            f"README 43k-envelope number drifted ({tl['s_per_iter']})")
+    dl = data["detail"].get("decode_long")
+    if isinstance(dl, dict) and "meshes_per_min" in dl:
+        assert str(dl["meshes_per_min"]) in readme, (
+            f"README 4000-face number drifted ({dl['meshes_per_min']})")
+
+
+def test_no_evidence_free_headline_claims():
+    """The three load-bearing README claims name their evidence artifact
+    within the same bullet (guards against un-cited perf claims creeping
+    back in)."""
+    readme = _read("README.md")
+    perf = readme.split("## Performance")[1].split("## ")[0]
+    for anchor in ("meshes/min/chip", "s/iter at batch 2", "s/iter at batch 32"):
+        for para in re.split(r"\n- ", perf):
+            if anchor in para:
+                assert "evidence/" in para or "BENCH_r" in para, (
+                    f"perf bullet with '{anchor}' cites no evidence artifact")
+                break
+        else:
+            raise AssertionError(f"README perf section lost '{anchor}'")
