@@ -162,7 +162,9 @@ def fused_decode_attention(q, k_cache, v_cache, index,
         scratch_shapes=[
             pltpu.VMEM((2, block, hd), k_cache.dtype),
             pltpu.VMEM((2, block, hd), v_cache.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            # 4 semaphores: K slots at [0,1], V slots at [2,3] — the kernel
+            # indexes sems.at[2+slot]; a (2,) allocation here was OOB
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
     kernel = functools.partial(
