@@ -30,6 +30,30 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def pick_test_conds(opt, batch: int, min_faces: int = 0) -> "np.ndarray":
+    """Point conds of `batch` meshes from the pinned held-out test split
+    ((0,0,idx) seeds — disjoint from any seed!=0 training run), optionally
+    keeping only meshes with >= min_faces faces (scans a 384-mesh pool)."""
+    from edgerunner_tpu.data.dataset import SyntheticMeshDataset
+
+    pool = 384 if min_faces else batch
+    ds = SyntheticMeshDataset(opt, size=pool, training=False)
+    conds, faces = [], []
+    for i in range(pool):
+        s = ds[i]
+        if s["num_faces"] >= min_faces:
+            conds.append(s["cond"])
+            faces.append(int(s["num_faces"]))
+        if len(conds) == batch:
+            break
+    assert len(conds) == batch, (
+        f"only {len(conds)}/{batch} test meshes with >= {min_faces} faces "
+        f"in a {pool}-mesh pool — lower --min_faces or raise "
+        f"--synthetic_subdiv")
+    print(f"[cond] {batch} held-out meshes, faces={faces}")
+    return np.stack(conds).astype(np.float32)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--resume", required=True)
@@ -45,6 +69,13 @@ def main():
     ap.add_argument("--max_seq_length", type=int, default=4096)
     ap.add_argument("--cond", choices=("random", "synthetic"),
                     default="synthetic")
+    ap.add_argument("--synthetic_subdiv", type=int, default=2,
+                    help="icosphere subdiv cap for the held-out test split "
+                         "(3 admits ~1280-face meshes: the long-cache "
+                         "operating point where the verify pass amortizes)")
+    ap.add_argument("--min_faces", type=int, default=0,
+                    help="pick only test meshes with at least this many "
+                         "faces (scans a 384-mesh pool of the pinned split)")
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
 
@@ -67,7 +98,8 @@ def main():
 
     base = dataclasses.replace(config_defaults["ArAE"],
                                generate_mode="greedy",
-                               mtp_heads=args.mtp_heads)
+                               mtp_heads=args.mtp_heads,
+                               synthetic_subdiv=args.synthetic_subdiv)
     if args.hidden_dim:
         base = dataclasses.replace(
             base, hidden_dim=args.hidden_dim, num_layers=args.num_layers,
@@ -75,11 +107,7 @@ def main():
 
     rng = jax.random.PRNGKey(0)
     if args.cond == "synthetic":
-        from edgerunner_tpu.data.dataset import SyntheticMeshDataset
-
-        ds = SyntheticMeshDataset(base, size=args.batch, training=False)
-        conds = np.stack([ds[i]["cond"] for i in range(args.batch)]) \
-            .astype(np.float32)
+        conds = pick_test_conds(base, args.batch, args.min_faces)
     else:
         conds = np.random.default_rng(0).normal(
             size=(args.batch, base.point_num, 3)).astype(np.float32)

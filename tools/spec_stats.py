@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--num_layers", type=int, default=12)
     ap.add_argument("--num_heads", type=int, default=12)
     ap.add_argument("--max_seq_length", type=int, default=4096)
+    ap.add_argument("--synthetic_subdiv", type=int, default=2,
+                    help="icosphere subdiv cap for the held-out test split")
+    ap.add_argument("--min_faces", type=int, default=0,
+                    help="pick only test meshes with at least this many faces")
     ap.add_argument("--cond", choices=("random", "synthetic"),
                     default="random",
                     help="conditioning point clouds: random normals (OOD) "
@@ -65,7 +69,8 @@ def main():
     from edgerunner_tpu.utils import cast_params
 
     opt = dataclasses.replace(config_defaults["ArAE"], generate_mode="greedy",
-                              mtp_heads=args.mtp_heads)
+                              mtp_heads=args.mtp_heads,
+                              synthetic_subdiv=args.synthetic_subdiv)
     if args.hidden_dim:
         opt = dataclasses.replace(
             opt, hidden_dim=args.hidden_dim, num_layers=args.num_layers,
@@ -86,11 +91,9 @@ def main():
     params = cast_params(params, jnp.bfloat16)
 
     if args.cond == "synthetic":
-        from edgerunner_tpu.data.dataset import SyntheticMeshDataset
+        from bench_spec import pick_test_conds
 
-        ds = SyntheticMeshDataset(opt, size=args.batch, training=False)
-        conds = np.stack([ds[i]["cond"] for i in range(args.batch)]) \
-            .astype(np.float32)
+        conds = pick_test_conds(opt, args.batch, args.min_faces)
     else:
         conds = np.random.default_rng(0).normal(
             size=(args.batch, opt.point_num, 3)).astype(np.float32)
