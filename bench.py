@@ -484,11 +484,25 @@ def main():
         import os
 
         here = os.path.dirname(os.path.abspath(__file__))
-        with open(os.path.join(here, "evidence",
-                               "spec_bench_heldout.json")) as f:
+        # prefer the flagship-dim measurement (round 5: 0.72B model, large
+        # held-out meshes — the attention-dominated regime where the
+        # multi-query verify pass amortizes) over the round-4 111M one
+        cand = [("spec_bench_heldout_flagship.json",
+                 "spec_stats_heldout_flagship.json",
+                 "evidence/spec_bench_heldout_flagship.json (flagship-dim "
+                 "ckpt trained on regenerating synthetic meshes incl. "
+                 "1280-face spheres, eval on the pinned held-out test "
+                 "split, measured on-chip)"),
+                ("spec_bench_heldout.json", "spec_stats_heldout.json",
+                 "evidence/spec_bench_heldout.json (111M ckpt trained "
+                 "on regenerating synthetic meshes, eval on the pinned "
+                 "held-out test split, measured on-chip 2026-08-19)")]
+        for sb_name, ss_name, src in cand:
+            if os.path.exists(os.path.join(here, "evidence", sb_name)):
+                break
+        with open(os.path.join(here, "evidence", sb_name)) as f:
             sb = json.load(f)
-        with open(os.path.join(here, "evidence",
-                               "spec_stats_heldout.json")) as f:
+        with open(os.path.join(here, "evidence", ss_name)) as f:
             ss = json.load(f)
         detail["spec"] = {
             "tokens_per_pass": ss["expected_tokens_per_pass"],
@@ -500,9 +514,7 @@ def main():
             "distribution": "held-out",
             "enabled_by_default": False,
             "ceiling_memorized_speedup": 1.898,
-            "source": "evidence/spec_bench_heldout.json (111M ckpt trained "
-                      "on regenerating synthetic meshes, eval on the pinned "
-                      "held-out test split, measured on-chip 2026-08-19)",
+            "source": src,
         }
     except Exception:
         pass
