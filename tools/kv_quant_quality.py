@@ -42,6 +42,13 @@ def main():
                     help="int4 scale group size in lanes (0 = per-row)")
     ap.add_argument("--kv_rotate", action="store_true",
                     help="QuaRot-style per-head rotation before quantization")
+    ap.add_argument("--hidden_dim", type=int, default=0,
+                    help="override model shape (0 = ArAE preset); set all "
+                         "four shape flags together so the checkpoint's "
+                         "position table loads without realignment")
+    ap.add_argument("--num_layers", type=int, default=12)
+    ap.add_argument("--num_heads", type=int, default=12)
+    ap.add_argument("--max_seq_length", type=int, default=4096)
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
     assert args.resume or args.random, "--resume CKPT or --random required"
@@ -65,6 +72,10 @@ def main():
     from edgerunner_tpu.utils import cast_params, get_tokenizer
 
     opt = dataclasses.replace(config_defaults["ArAE"], generate_mode="greedy")
+    if args.hidden_dim:
+        opt = dataclasses.replace(
+            opt, hidden_dim=args.hidden_dim, num_layers=args.num_layers,
+            num_heads=args.num_heads, max_seq_length=args.max_seq_length)
     if args.tiny:
         opt = dataclasses.replace(
             opt, hidden_dim=64, num_layers=2, num_heads=4,
