@@ -471,53 +471,11 @@ def main():
     for key, flags, cap in plan:
         _sub_probe(flags, key, timeout=10800 if args.warm_probes else cap)
 
-    # speculative decoding: acceptance needs *trained* MTP heads, which a
-    # random-init bench run cannot have — so report the committed HELD-OUT
-    # measurement (tools/bench_spec.py + tools/spec_stats.py on a 111M
-    # checkpoint trained on REGENERATING synthetic meshes, evaluated on the
-    # pinned test split it never trained on) instead of re-running it here.
-    # Held-out verdict (round 4): 1.52 tokens/pass but ~1.0x wall-clock —
-    # each 1+3-token verify pass costs ~1.5x a single-token step, so spec
-    # decode stays OFF by default; the earlier 1.90x
-    # (evidence/spec_bench.json) was a memorized-checkpoint CEILING.
-    try:
-        import os
-
-        here = os.path.dirname(os.path.abspath(__file__))
-        # prefer the flagship-dim measurement (round 5: 0.72B model, large
-        # held-out meshes — the attention-dominated regime where the
-        # multi-query verify pass amortizes) over the round-4 111M one
-        cand = [("spec_bench_heldout_flagship.json",
-                 "spec_stats_heldout_flagship.json",
-                 "evidence/spec_bench_heldout_flagship.json (flagship-dim "
-                 "ckpt trained on regenerating synthetic meshes incl. "
-                 "1280-face spheres, eval on the pinned held-out test "
-                 "split, measured on-chip)"),
-                ("spec_bench_heldout.json", "spec_stats_heldout.json",
-                 "evidence/spec_bench_heldout.json (111M ckpt trained "
-                 "on regenerating synthetic meshes, eval on the pinned "
-                 "held-out test split, measured on-chip 2026-08-19)")]
-        for sb_name, ss_name, src in cand:
-            if os.path.exists(os.path.join(here, "evidence", sb_name)):
-                break
-        with open(os.path.join(here, "evidence", sb_name)) as f:
-            sb = json.load(f)
-        with open(os.path.join(here, "evidence", ss_name)) as f:
-            ss = json.load(f)
-        detail["spec"] = {
-            "tokens_per_pass": ss["expected_tokens_per_pass"],
-            "head_match_rates": ss["head_match_rates"],
-            "vanilla_meshes_per_min": sb["vanilla"]["meshes_per_min"],
-            "spec_meshes_per_min": sb["spec"]["meshes_per_min"],
-            "speedup": sb["speedup"],
-            "streams_identical": sb["streams_identical"],
-            "distribution": "held-out",
-            "enabled_by_default": False,
-            "ceiling_memorized_speedup": 1.898,
-            "source": src,
-        }
-    except Exception:
-        pass
+    # Speculative decoding is RETIRED from the per-round bench payload
+    # (round 5; see evidence/spec_retirement.md). The machinery stays
+    # in-tree, bit-exact-tested and off by default; qualify a real
+    # checkpoint's acceptance with tools/spec_stats.py + tools/bench_spec.py
+    # before enabling (--spec CKPT measures it through this bench).
 
     # final line: identical headline, probe-augmented detail — lands in the
     # output tail on a clean finish; also snapshotted to evidence/ locally.
