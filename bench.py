@@ -471,11 +471,44 @@ def main():
     for key, flags, cap in plan:
         _sub_probe(flags, key, timeout=10800 if args.warm_probes else cap)
 
-    # Speculative decoding is RETIRED from the per-round bench payload
-    # (round 5; see evidence/spec_retirement.md). The machinery stays
-    # in-tree, bit-exact-tested and off by default; qualify a real
-    # checkpoint's acceptance with tools/spec_stats.py + tools/bench_spec.py
-    # before enabling (--spec CKPT measures it through this bench).
+    # Speculative decoding: acceptance needs *trained* MTP heads, which a
+    # random-init bench run cannot have — report the committed HELD-OUT
+    # measurement (round 5, tools/bench_spec.py + tools/spec_stats.py on a
+    # 111M ckpt trained on REGENERATING synthetic meshes, evaluated on the
+    # pinned test split it never trained on): 46% per-head acceptance,
+    # 1.768 tokens/pass, 1.212x wall-clock — the first held-out win; the
+    # round-4 ckpt measured 0.983x at 35% acceptance, so profitability is
+    # checkpoint-dependent and spec stays OFF by default behind the
+    # spec_stats/bench_spec qualification workflow
+    # (evidence/spec_decision.md).
+    try:
+        import os
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "evidence",
+                               "spec_bench_heldout_r5.json")) as f:
+            sb = json.load(f)
+        with open(os.path.join(here, "evidence",
+                               "spec_stats_heldout_r5.json")) as f:
+            ss = json.load(f)
+        detail["spec"] = {
+            "tokens_per_pass": ss["expected_tokens_per_pass"],
+            "head_match_rates": ss["head_match_rates"],
+            "vanilla_meshes_per_min": sb["vanilla"]["meshes_per_min"],
+            "spec_meshes_per_min": sb["spec"]["meshes_per_min"],
+            "speedup": sb["speedup"],
+            "streams_identical": sb["streams_identical"],
+            "distribution": "held-out",
+            "enabled_by_default": False,
+            "prior_checkpoint_speedup": 0.983,
+            "ceiling_memorized_speedup": 1.898,
+            "source": "evidence/spec_bench_heldout_r5.json (111M ckpt "
+                      "trained on regenerating synthetic meshes, eval on "
+                      "the pinned held-out test split, measured on-chip "
+                      "2026-08-20)",
+        }
+    except Exception:
+        pass
 
     # final line: identical headline, probe-augmented detail — lands in the
     # output tail on a clean finish; also snapshotted to evidence/ locally.
