@@ -516,7 +516,11 @@ def main():
     # (e.g. tests/test_bench_contract.py) must not clobber the committed
     # on-chip record with a smoke-test number.
     final = _headline(detail)
-    if not args.tiny and detail.get("backend") == "tpu":
+    # snapshot ONLY full runs: probe SUBPROCESSES (--skip_*) also reach this
+    # point and would clobber the parent's rich snapshot with a sparse one
+    # if the parent dies mid-probe-plan
+    full_run = not (args.skip_train or args.skip_probes)
+    if full_run and not args.tiny and detail.get("backend") == "tpu":
         try:
             import os
 
