@@ -519,7 +519,7 @@ def main():
     # snapshot ONLY full runs: probe SUBPROCESSES (--skip_*) also reach this
     # point and would clobber the parent's rich snapshot with a sparse one
     # if the parent dies mid-probe-plan
-    full_run = not (args.skip_train or args.skip_probes)
+    full_run = not (args.skip_train or args.skip_probes or args.spec)
     if full_run and not args.tiny and detail.get("backend") == "tpu":
         try:
             import os
