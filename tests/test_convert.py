@@ -52,10 +52,16 @@ def _fake_reference_lmm_sd(opt) -> dict:
         size=(1, opt.point_latent_size, P)).astype(np.float32)
     put("point_encoder.point_embed.mlp", lin(51, P))
     # the reference registers the frequency basis as a buffer, so it is part
-    # of the state_dict surface (reference point.py:44-51); each row holds
-    # freq//6 powers in one of three axis slots -> [3, freq//2]
-    sd["point_encoder.point_embed.basis"] = r.normal(
-        size=(3, 24)).astype(np.float32)
+    # of the state_dict surface (reference point.py:44-51) — but it is a
+    # FIXED power-of-2 table, never random: a real checkpoint always holds
+    # these exact values (each row = freq//6 powers in one of three axis
+    # slots -> [3, freq//2]), so the fixture must too or the export
+    # roundtrip comparison fails on values convert correctly ignores
+    e = (2.0 ** np.arange(8, dtype=np.float32)) * np.pi
+    z = np.zeros(8, np.float32)
+    sd["point_encoder.point_embed.basis"] = np.stack([
+        np.concatenate([e, z, z]), np.concatenate([z, e, z]),
+        np.concatenate([z, z, e])])
     put("point_encoder.ln", {"weight": np.ones(P, np.float32),
                              "bias": np.zeros(P, np.float32)})
     for ln in ("ln1", "ln2"):
